@@ -1,0 +1,59 @@
+package graft.cdc
+
+import org.apache.spark.sql.Dataset
+
+/** A raw logical-replication message, the engine's analogue of the pglogrepl
+  * message stream the reference consumes
+  * (sync/stream/message_accumulator.go:42-202): BEGIN / COMMIT frame a
+  * transaction; INSERT/UPDATE/DELETE carry row images; RELATION re-announces
+  * schema. `(xid, seq)` orders messages within a transaction, `lsn` is only
+  * meaningful on COMMIT (the commit LSN the whole transaction adopts). */
+final case class WalMessage(
+    xid: Long,
+    seq: Int,
+    msgType: String, // BEGIN | COMMIT | INSERT | UPDATE | DELETE | RELATION
+    lsn: Long,
+    table: String,
+    keyBefore: Map[String, String],
+    values: Map[String, String],
+    nulls: Seq[String],
+    unchanged: Seq[String],
+    rekey: Boolean)
+
+/** Transaction assembly — the reference's `Accumulator.Add` fold
+  * (message_accumulator.go:42-202) re-expressed as a grouped aggregation:
+  * one shuffle on `xid`, then an in-order fold of each transaction's
+  * messages. Incomplete transactions (COMMIT not yet seen in this batch)
+  * are dropped, exactly as the reference's accumulator only releases a
+  * `WalTransaction` on its commit message; every released action carries
+  * the transaction's commit LSN.
+  *
+  * RELATION messages are schema metadata; schema-change detection happens
+  * against the cached [[Relation]] (`Relation.equalsSchema`) in the
+  * streaming layer, not here. */
+object ChangelogAssembler extends Serializable {
+
+  private val dml = Set("INSERT", "UPDATE", "DELETE")
+
+  private def opOf(msgType: String): String = msgType match {
+    case "INSERT" => "I"
+    case "UPDATE" => "U"
+    case "DELETE" => "D"
+  }
+
+  def assemble(msgs: Dataset[WalMessage]): Dataset[ChangeAction] = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    msgs.groupByKey(_.xid).flatMapGroups { (_, it) =>
+      val ms = it.toSeq.sortBy(_.seq)
+      ms.find(_.msgType == "COMMIT") match {
+        case None => Iterator.empty // incomplete txn: held back, as in the reference
+        case Some(commit) =>
+          ms.iterator.filter(m => dml.contains(m.msgType)).map { m =>
+            ChangeAction(m.table, commit.lsn, m.seq, opOf(m.msgType),
+              m.keyBefore, m.values, m.nulls, m.unchanged, m.rekey)
+          }
+      }
+    }
+  }
+}

@@ -1,0 +1,209 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** A row-level change action, the engine's analogue of the reference's
+  * `db.RowAction` (sync/db/db.go:124-138):
+  *
+  *   - `keyBefore`  — replica-identity values *before* the action
+  *     (text format), i.e. `RowIdentityBefore`;
+  *   - `values`     — new column values (text) after the action; empty for
+  *     deletes; a column absent from `values`/`nulls`/`unchanged` means
+  *     "not specified → keep" (upsert ergonomics);
+  *   - `nulls`      — columns explicitly set NULL (`Value.Null`);
+  *   - `unchanged`  — TOAST-unchanged columns whose value was not shipped
+  *     and must be taken from the target row (`Value.Unchanged`);
+  *   - `rekey`      — update changed the row identity
+  *     (`ChangesRowIdentity`);
+  *   - `(lsn, seq)` — total order of the action in the WAL stream (commit
+  *     LSN + position within the transaction).
+  */
+final case class ChangeAction(
+    table: String,
+    lsn: Long,
+    seq: Int,
+    op: String, // "I" | "U" | "D"
+    keyBefore: Map[String, String],
+    values: Map[String, String],
+    nulls: Seq[String],
+    unchanged: Seq[String],
+    rekey: Boolean) {
+
+  /** Row identity after the action (db.go:160-176 `AfterActionRowIdentity`):
+    * identity columns take the new value unless TOAST-unchanged. */
+  def keyAfter: Map[String, String] =
+    if (!rekey) keyBefore
+    else keyBefore.map { case (k, v) =>
+      k -> (if (unchanged.contains(k)) v else values.getOrElse(k, v))
+    }
+
+  /** Value state of one column: Right(valueOrNull) when specified,
+    * Left(true) = TOAST-unchanged, Left(false) = unspecified. */
+  private[cdc] def colState(c: String): Either[Boolean, Option[String]] =
+    if (unchanged.contains(c)) Left(true)
+    else if (nulls.contains(c)) Right(None)
+    else values.get(c) match {
+      case Some(v) => Right(Some(v))
+      case None    => Left(false)
+    }
+}
+
+/** Distributed changelog compaction — the engine's re-expression of the
+  * reference's per-batch action dedup
+  * (target/common/multirowaction/multi_row_action.go:69-180).
+  *
+  * The reference walks the batch sequentially through a driver-side
+  * `map[rowIdentity]action`; at 100 TB of changes that map is the
+  * bottleneck, so here compaction is a key-partitioned aggregation:
+  *
+  *  - **cold path** (actions that never change their row identity — the
+  *    overwhelming majority): one shuffle on `(table, key)`, then an
+  *    in-order fold of each key's actions with `mergeActions`. Exactly the
+  *    reference's semantics, because for a fixed key the reference's map
+  *    degenerates to the same fold.
+  *  - **hot path** (actions whose key is an endpoint of some
+  *    identity-changing update): these can form chains across keys
+  *    (k1→k2→k3), which no single-key grouping can see. They are rare —
+  *    bounded by the number of rekeying updates — so they are grouped per
+  *    table and folded with the full sequential algorithm, bit-for-bit the
+  *    reference's `deduplicateActions`.
+  *
+  * The result is order-independent per key (each surviving action touches
+  * an independent row), exactly as the reference guarantees.
+  */
+object ChangelogCompactor extends Serializable {
+
+  /** Canonical grouping key for a row identity. */
+  private[cdc] def keyStr(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => k + "\u0001" + v }.mkString("\u0002")
+
+  /** Merge two consecutive actions for the same row
+    * (multi_row_action.go:103-180 `mergeActions`). `None` = the pair is a
+    * no-op (insert then delete). Invalid sequences throw, as the reference
+    * errors the batch. */
+  def mergeActions(a: ChangeAction, b: ChangeAction): Option[ChangeAction] = {
+    def mergedValueState(): (Map[String, String], Seq[String], Seq[String]) = {
+      // Column-wise: take b's state unless b marks the column
+      // TOAST-unchanged, in which case a's state flows through
+      // (multi_row_action.go:122-127).
+      val cols = a.values.keySet ++ a.nulls ++ a.unchanged ++
+        b.values.keySet ++ b.nulls ++ b.unchanged
+      val states = cols.toSeq.map { c =>
+        val st = if (b.unchanged.contains(c)) a.colState(c) match {
+          case Left(false) => Left(true) // unknown in a → still unchanged
+          case other       => other
+        } else b.colState(c)
+        c -> st
+      }
+      val values = states.collect { case (c, Right(Some(v))) => c -> v }.toMap
+      val nulls = states.collect { case (c, Right(None)) => c }
+      val unch = states.collect { case (c, Left(true)) => c }
+      (values, nulls, unch)
+    }
+    (a.op, b.op) match {
+      case ("I", "U") =>
+        val (v, n, u) = mergedValueState()
+        // insert absorbs the update; identity taken from merged values
+        // (multi_row_action.go:121-141)
+        val key = b.keyAfter
+        Some(ChangeAction(a.table, b.lsn, b.seq, "I", key, v, n, u, rekey = false))
+      case ("U", "U") =>
+        val (v, n, u) = mergedValueState()
+        Some(ChangeAction(a.table, b.lsn, b.seq, "U", a.keyBefore, v, n, u,
+          rekey = a.rekey || b.rekey))
+      case ("I", "D") => None // elide (multi_row_action.go:156-157)
+      case ("U", "D") =>
+        // delete wins; if a re-keyed, the delete must target a's original
+        // identity (multi_row_action.go:158-168)
+        Some(ChangeAction(a.table, b.lsn, b.seq, "D", a.keyBefore,
+          Map.empty, Nil, Nil, rekey = false))
+      case ("D", "I") =>
+        // delete then re-insert → update (multi_row_action.go:169-175)
+        Some(ChangeAction(a.table, b.lsn, b.seq, "U", a.keyBefore,
+          b.values, b.nulls, b.unchanged, rekey = keyDiffers(a.keyBefore, b.keyAfter)))
+      case (x, y) =>
+        throw new IllegalStateException(
+          s"invalid action sequence ($x, $y) for key ${a.keyBefore} in ${a.table}")
+    }
+  }
+
+  private def keyDiffers(a: Map[String, String], b: Map[String, String]): Boolean =
+    keyStr(a) != keyStr(b)
+
+  /** The reference's sequential `deduplicateActions`
+    * (multi_row_action.go:69-101): a map keyed on *current* row identity,
+    * re-keyed as identity-changing updates land. Used for the (rare,
+    * chain-capable) hot partition and as the test oracle. */
+  def sequentialDedup(in: Seq[ChangeAction]): Seq[ChangeAction] = {
+    val rowMap = scala.collection.mutable.LinkedHashMap.empty[String, ChangeAction]
+    in.sortBy(a => (a.lsn, a.seq)).foreach { action =>
+      rowMap.get(keyStr(action.keyBefore)) match {
+        case None =>
+          rowMap(keyStr(action.keyAfter)) = action
+        case Some(existing) =>
+          mergeActions(existing, action) match {
+            case None => rowMap.remove(keyStr(existing.keyAfter))
+            case Some(merged) =>
+              if (keyStr(merged.keyAfter) != keyStr(existing.keyAfter))
+                rowMap.remove(keyStr(existing.keyAfter))
+              rowMap(keyStr(merged.keyAfter)) = merged
+          }
+      }
+    }
+    rowMap.values.toSeq
+  }
+
+  /** Hot-key collection guard: above this many distinct rekey endpoints the
+    * batch is degenerate (mass key rewrite) and we fall back to the
+    * sequential path per table rather than ship a giant broadcast. */
+  private val MaxHotKeys = 1 << 20
+
+  def compact(actions: Dataset[ChangeAction]): Dataset[ChangeAction] = {
+    val spark = actions.sparkSession
+    import spark.implicits._
+
+    val hotKeys: Set[(String, String)] = actions
+      .filter(_.rekey)
+      .flatMap(a => Seq((a.table, keyStr(a.keyBefore)), (a.table, keyStr(a.keyAfter))))
+      .distinct()
+      .limit(MaxHotKeys)
+      .collect()
+      .toSet
+
+    if (hotKeys.isEmpty) {
+      // Fast path: pure key-partitioned fold, no second pass.
+      actions
+        .groupByKey(a => (a.table, keyStr(a.keyBefore)))
+        .flatMapGroups { (_, it) => foldSameKey(it.toSeq) }
+    } else {
+      val hot = spark.sparkContext.broadcast(hotKeys)
+      val isHot = hotPredicate(hot)
+      val cold = actions.filter(a => !isHot(a))
+        .groupByKey(a => (a.table, keyStr(a.keyBefore)))
+        .flatMapGroups { (_, it) => foldSameKey(it.toSeq) }
+      val hotCompacted = actions.filter(a => isHot(a))
+        .groupByKey(_.table)
+        .flatMapGroups { (_, it) => sequentialDedup(it.toSeq).iterator }
+      cold.union(hotCompacted)
+    }
+  }
+
+  private def hotPredicate(hot: org.apache.spark.broadcast.Broadcast[Set[(String, String)]])
+      : ChangeAction => Boolean =
+    a => hot.value.contains((a.table, keyStr(a.keyBefore))) ||
+      hot.value.contains((a.table, keyStr(a.keyAfter)))
+
+  /** In-order fold of one key's actions; the degenerate single-key form of
+    * `sequentialDedup` (no rekeys can appear here). */
+  private def foldSameKey(group: Seq[ChangeAction]): Iterator[ChangeAction] = {
+    val sorted = group.sortBy(a => (a.lsn, a.seq))
+    var acc: Option[ChangeAction] = None
+    sorted.foreach { action =>
+      acc = acc match {
+        case None           => Some(action)
+        case Some(existing) => mergeActions(existing, action)
+      }
+    }
+    acc.iterator
+  }
+}

@@ -1,0 +1,116 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** MERGE a compacted changelog into a snapshot table — the engine's
+  * re-expression of the reference's staged `MERGE INTO` per table
+  * (target/snowflake/snowflake_target.go:536-602):
+  *
+  *   matched ∧ delete-flag            → delete
+  *   matched                          → per-column CASE: TOAST-unchanged →
+  *                                      keep target value; explicit NULL →
+  *                                      NULL; else new value
+  *   not matched (and not a delete)   → insert
+  *
+  * Scale shape: the changelog is a micro-batch, orders of magnitude smaller
+  * than the snapshot, so the snapshot is NEVER shuffled — a broadcast
+  * left-outer join applies updates/deletes in place, and inserts are found
+  * by anti-joining the (small) changelog against the set of matched keys
+  * (itself ≤ |changelog|, harvested with a broadcast semi-join). Two
+  * snapshot scans, zero snapshot shuffles; with the snapshot bucketed by
+  * key both scans are partition-local.
+  *
+  * Deviation from the reference, documented: an *insert* arising from an
+  * action with TOAST-unchanged columns leaves those columns NULL. (The
+  * reference stages an empty string and inserts it —
+  * snowflake_target.go:554-566 consults `_IS_UNCHANGED_*` only in the
+  * update branch — which types like INT silently corrupt. NULL is the
+  * defensible reading; the reference itself flags this area with TODOs,
+  * db.go:153.)
+  */
+object MergeInto {
+
+  /** @param snapshot  current table state (typed columns per `relation`)
+    * @param changelog compacted actions for `relation.table` (compact first:
+    *                  [[ChangelogCompactor.compact]]) — after compaction all
+    *                  surviving actions touch independent rows, so the merge
+    *                  is order-free, exactly as the reference requires
+    *                  (multi_row_action.go:65-68).
+    */
+  def apply(snapshot: DataFrame, changelog: Dataset[ChangeAction], relation: Relation): DataFrame = {
+    val keyCols = relation.identityColumnNames
+    require(keyCols.nonEmpty, s"relation ${relation.qualifiedName} has no identity columns")
+
+    // Changelog → one typed row per action:
+    //   __op, key_before cols (kb_*), after-image state per column
+    //   (new value / is-null / is-unchanged / key-after for identity cols).
+    val cl = changelog.filter(col("table") === relation.table)
+    val clProjected = cl.select(
+      col("op").as("__op") +:
+      keyCols.map(k =>
+        PgValues.castText(element_at(col("keyBefore"), k),
+          relation.columns.find(_.name == k).get.pgOid).as(s"__kb_$k")) ++:
+      keyCols.map(k =>
+        PgValues.castText(
+          map_entry_or(col("keyBefore"), col("values"), col("unchanged"), col("rekey"), k),
+          relation.columns.find(_.name == k).get.pgOid).as(s"__ka_$k")) ++:
+      relation.columns.flatMap { c =>
+        Seq(
+          PgValues.castText(element_at(col("values"), c.name), c.pgOid, c.isArray)
+            .as(s"__new_${c.name}"),
+          array_contains(col("nulls"), c.name).as(s"__isnull_${c.name}"),
+          array_contains(col("unchanged"), c.name).as(s"__isunch_${c.name}"),
+          map_contains_key(col("values"), c.name).as(s"__has_${c.name}"))
+      }: _*)
+
+    val joinCond = keyCols.map(k => snapshot(k) === clProjected(s"__kb_$k")).reduce(_ && _)
+
+    // 1) updates/deletes/keeps: snapshot ⟕ broadcast(changelog)
+    val joined = snapshot.join(broadcast(clProjected), joinCond, "left_outer")
+    val updated = joined
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(relation.columns.map { c =>
+        val keep = snapshot(c.name)
+        val merged =
+          when(col("__op").isNull, keep) // untouched snapshot row
+            .when(col(s"__isunch_${c.name}"), keep) // TOAST-unchanged
+            .when(col(s"__isnull_${c.name}"), lit(null)) // explicit NULL
+            .when(col(s"__has_${c.name}"), col(s"__new_${c.name}")) // new value
+            .otherwise(keep) // unspecified → keep
+        val out =
+          if (relation.columns.find(_.name == c.name).get.isIdentity)
+            // identity columns land at the after-image key (rekey support)
+            when(col("__op").isNull, keep).otherwise(col(s"__ka_${c.name}"))
+          else merged
+        out.cast(snapshot.schema(c.name).dataType).as(c.name)
+      }: _*)
+
+    // 2) inserts: changelog keys that matched nothing in the snapshot
+    val matchedKeys = snapshot
+      .select(keyCols.map(snapshot(_)): _*)
+      .join(broadcast(clProjected), joinCond, "left_semi")
+    val inserts = clProjected
+      .filter(col("__op") =!= "D")
+      .join(broadcast(matchedKeys),
+        keyCols.map(k => clProjected(s"__kb_$k") === matchedKeys(k)).reduce(_ && _),
+        "left_anti")
+      .select(relation.columns.map { c =>
+        val v =
+          if (c.isIdentity) col(s"__ka_${c.name}")
+          else when(col(s"__isnull_${c.name}") || col(s"__isunch_${c.name}") ||
+            !col(s"__has_${c.name}"), lit(null))
+            .otherwise(col(s"__new_${c.name}"))
+        v.cast(snapshot.schema(c.name).dataType).as(c.name)
+      }: _*)
+
+    updated.unionByName(inserts)
+  }
+
+  /** keyAfter for one identity column, columnar: before-value when not
+    * rekeying or TOAST-unchanged, else the new value (db.go:160-176). */
+  private def map_entry_or(keyBefore: Column, values: Column, unchanged: Column,
+      rekey: Column, k: String): Column =
+    when(!rekey || array_contains(unchanged, k), element_at(keyBefore, k))
+      .otherwise(coalesce(element_at(values, k), element_at(keyBefore, k)))
+}

@@ -1,0 +1,93 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+
+/** Relation/column metadata, mirroring the reference's replication-protocol
+  * schema cache (reference: sync/db/db.go:11-22 `Relation`/`Column`).
+  *
+  * `pgOid` is the Postgres catalog type OID delivered by logical
+  * replication's Relation messages; `isIdentity` marks replica-identity
+  * (key) columns; `isArray` marks array-typed columns (the reference
+  * resolves this via pg_type introspection, sync/stream/stream.go).
+  */
+final case class RelColumn(
+    name: String,
+    pgOid: Int,
+    isIdentity: Boolean = false,
+    isArray: Boolean = false)
+
+final case class Relation(schema: String, table: String, columns: Seq[RelColumn]) {
+  def qualifiedName: String = s"$schema.$table"
+  def identityColumns: Seq[RelColumn] = columns.filter(_.isIdentity)
+  def identityColumnNames: Seq[String] = identityColumns.map(_.name)
+  def columnNames: Seq[String] = columns.map(_.name)
+
+  /** Schema equality as the reference defines it (db.go:53-67): same
+    * schema/table and column-wise same (name, identity, type). Used for
+    * schema-change detection → full resync (stream.go ErrRelationChanged). */
+  def equalsSchema(other: Relation): Boolean =
+    schema == other.schema && table == other.table &&
+      columns.size == other.columns.size &&
+      columns.zip(other.columns).forall { case (a, b) =>
+        a.name == b.name && a.isIdentity == b.isIdentity && a.pgOid == b.pgOid
+      }
+
+  def toStructType: StructType =
+    StructType(columns.map(c => StructField(c.name, PgTypes.toSpark(c.pgOid, c.isArray))))
+}
+
+/** Postgres OID → Spark type mapping, the analogue of the reference's
+  * Snowflake type mapping (target/snowflake/snowflake_target.go:675-714
+  * `getSfType`). OID values are the public pg_catalog constants.
+  */
+object PgTypes {
+  // pg_catalog.pg_type OIDs (public constants, see postgres
+  // src/include/catalog/pg_type.dat)
+  val BoolOid = 16
+  val ByteaOid = 17
+  val Int8Oid = 20
+  val Int2Oid = 21
+  val Int4Oid = 23
+  val TextOid = 25
+  val JsonOid = 114
+  val Float4Oid = 700
+  val Float8Oid = 701
+  val BpcharOid = 1042
+  val VarcharOid = 1043
+  val DateOid = 1082
+  val TimestampOid = 1114
+  val TimestamptzOid = 1184
+  val NumericOid = 1700
+  val JsonbOid = 3802
+  val UuidOid = 2950
+
+  /** Scalar mapping; reference maps json/jsonb → VARIANT and arrays →
+    * ARRAY — Spark-side we keep json as a string column (query with
+    * `from_json`/`get_json_object`) and arrays as ArrayType(StringType)
+    * of element text (typed per-element downstream). Unknown OIDs fall
+    * back to string, as the reference falls back to Snowflake STRING. */
+  def toSpark(oid: Int, isArray: Boolean = false): DataType =
+    if (isArray) ArrayType(StringType)
+    else oid match {
+      case BoolOid                     => BooleanType
+      case Int2Oid                     => ShortType
+      case Int4Oid                     => IntegerType
+      case Int8Oid                     => LongType
+      case Float4Oid                   => FloatType
+      case Float8Oid                   => DoubleType
+      case NumericOid                  => DecimalType(38, 18)
+      case DateOid                     => DateType
+      case TimestampOid                => TimestampNTZType
+      case TimestamptzOid              => TimestampType
+      case ByteaOid                    => BinaryType
+      case JsonOid | JsonbOid          => StringType // VARIANT-equivalent
+      case _                           => StringType
+    }
+
+  /** All OIDs with an explicit (non-fallback) mapping — the typed surface
+    * the engine guarantees, mirroring the reference's typeMapping table. */
+  val mappedOids: Seq[Int] = Seq(
+    BoolOid, ByteaOid, Int8Oid, Int2Oid, Int4Oid, TextOid, JsonOid,
+    Float4Oid, Float8Oid, BpcharOid, VarcharOid, DateOid, TimestampOid,
+    TimestamptzOid, NumericOid, JsonbOid, UuidOid)
+}

@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.cdc._
+import graft.sources.Tables
+
+/** CDC-core query entries (SURVEY.md §2.1) for the driver's oracle gate.
+  *
+  * The testdata has no changelog table, so each query *synthesizes* a valid
+  * change stream deterministically from the TPC-H-ish tables (window
+  * functions over `events`/`orders`), runs the real engine operator on it,
+  * and the DuckDB oracle recomputes the expected end state relationally.
+  */
+object CdcQueries {
+
+  /** Valid per-user action stream over events: first event per user is the
+    * row's INSERT, later events are UPDATEs, and a final 'error' event is
+    * the row's DELETE. */
+  private def eventActions(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .select(col("user_id"), col("event_id"), col("value"), col("event_type"),
+        col("rn"), col("n"))
+      .as[(Long, Long, Double, String, Int, Long)]
+      .map { case (user, eventId, value, eventType, rn, n) =>
+        val op = if (rn == 1) "I" else if (rn == n && eventType == "error") "D" else "U"
+        ChangeAction("users", eventId, 0, op,
+          Map("id" -> user.toString),
+          if (op == "D") Map.empty
+          else Map("id" -> user.toString, "val" -> value.toString),
+          Nil, Nil, rekey = false)
+      }
+  }
+
+  /** §2.1 #2 — changelog compaction on a synthesized stream. Each user's
+    * I,U,…,U[,D] chain folds to a single insert carrying the last values
+    * (or vanishes if the row was deleted). */
+  def cdcCompact(s: SparkSession, dir: String): DataFrame = {
+    ChangelogCompactor.compact(eventActions(s, dir))
+      .toDF()
+      .select(
+        element_at(col("keyBefore"), "id").cast("long").as("user_id"),
+        col("op"),
+        element_at(col("values"), "val").cast("double").as("val"),
+        col("lsn"))
+      .orderBy(col("user_id"))
+  }
+
+  /** §2.1 #1 — transaction assembly: DML messages only release with their
+    * transaction's COMMIT and adopt its commit LSN. Transactions with
+    * xid % 97 == 0 have no commit in the batch and are held back. */
+  def cdcTxnAssembly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .as[(Long, Long, Double)]
+    val dmls = ev.map { case (eventId, user, value) =>
+      WalMessage(eventId / 5, (eventId % 5).toInt, "INSERT", 0L, "events_t",
+        Map("id" -> eventId.toString),
+        Map("id" -> eventId.toString, "user" -> user.toString, "v" -> value.toString),
+        Nil, Nil, rekey = false)
+    }
+    val commits = ev.map(_._1 / 5).distinct()
+      .filter(xid => xid % 97 != 0)
+      .map(xid => WalMessage(xid, Int.MaxValue, "COMMIT", xid * 1000 + 999, "",
+        Map.empty, Map.empty, Nil, Nil, rekey = false))
+    ChangelogAssembler.assemble(dmls.union(commits))
+      .toDF()
+      .select(
+        element_at(col("values"), "id").cast("long").as("event_id"),
+        element_at(col("values"), "user").cast("long").as("user_id"),
+        col("lsn").as("commit_lsn"),
+        col("op"))
+      .orderBy(col("event_id"))
+  }
+
+  /** §2.1 #3 — MERGE a compacted changelog into a snapshot: per-custkey
+    * latest order updates the balance; custkey%10==0 is a delete; custkeys
+    * missing from the snapshot (custkey%3==0) become inserts. */
+  def cdcMergeInto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rel = Relation("public", "customer", Seq(
+      RelColumn("c_custkey", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("c_name", PgTypes.TextOid),
+      RelColumn("c_nationkey", PgTypes.Int4Oid),
+      RelColumn("c_acctbal", PgTypes.Float8Oid),
+      RelColumn("c_mktsegment", PgTypes.TextOid)))
+    val snapshot = Tables.customer(s, dir).filter(col("c_custkey") % 3 =!= 0)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val changelog = Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .as[(Long, Double)]
+      .map { case (custkey, total) =>
+        if (custkey % 10 == 0)
+          ChangeAction("customer", custkey, 0, "D", Map("c_custkey" -> custkey.toString),
+            Map.empty, Nil, Nil, rekey = false)
+        else
+          ChangeAction("customer", custkey, 0, "U", Map("c_custkey" -> custkey.toString),
+            Map("c_custkey" -> custkey.toString, "c_acctbal" -> total.toString),
+            Nil, Nil, rekey = false)
+      }
+    MergeInto(snapshot, changelog, rel).orderBy(col("c_custkey"))
+  }
+
+  /** §2.1 #10 — PG text-format decode: strings synthesized from typed
+    * columns, parsed back through PgValues (bool 't'/'f', int, date,
+    * timestamp). */
+  def cdcTextCast(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") === "R", "t").otherwise("f").as("bool_s"),
+        col("l_partkey").cast("string").as("int_s"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("date_s"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        PgValues.castText(col("bool_s"), PgTypes.BoolOid).as("b"),
+        PgValues.castText(col("int_s"), PgTypes.Int8Oid).as("n"),
+        // cast parsed date up to timestamp: engines agree on the value and
+        // the driver's hash compare sees one physical type on both sides
+        PgValues.castText(col("date_s"), PgTypes.DateOid).cast("timestamp").as("d"),
+        PgValues.castText(col("ts_s"), PgTypes.TimestamptzOid).as("ts"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** §2.1 #11 — PG array literal parse on synthesized `{k,p,NULL}` text. */
+  def pgArrayParse(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        concat(lit("{"), col("l_orderkey"), lit(","), col("l_partkey"), lit(",NULL}")).as("arr_s"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        PgValues.castArrayText(col("arr_s"), PgTypes.Int8Oid).as("arr"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        // serialize the parsed array for the hash compare (engines render
+        // raw lists differently); NULL elements spelled out
+        concat_ws(",", transform(col("arr"),
+          x => coalesce(x.cast("string"), lit("NULL")))).as("arr_csv"),
+        size(col("arr")).as("n_elems"),
+        element_at(col("arr"), 2).as("second_elem"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** §2.1 #6 — backfill: publish the typed snapshot atomically (scratch →
+    * rename), then read the live path back. */
+  def cdcSnapshotTyped(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_snapshots").getAbsolutePath
+    val live = SnapshotWriter.publish(
+      Tables.customer(s, dir), base, "customer", repartitionKeys = Seq("c_custkey"))
+    s.read.parquet(live).orderBy(col("c_custkey"))
+  }
+
+  /** §2.1 #7 — schema diff report (rows-only gate). */
+  def cdcSchemaDiff(s: SparkSession, dir: String): DataFrame = {
+    val source = Tables.customer(s, dir).schema
+    val target = org.apache.spark.sql.types.StructType(
+      source.fields.filterNot(_.name == "c_mktsegment").map {
+        case f if f.name == "c_acctbal" => f.copy(dataType = org.apache.spark.sql.types.StringType)
+        case f => f
+      })
+    SchemaVerify.diffDf(s, source, target).orderBy(col("column_name"), col("data_type"))
+  }
+
+  /** §2.1 #9 — the PG OID → Spark type surface (rows-only gate). */
+  def cdcTypemap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    PgTypes.mappedOids
+      .flatMap(oid => Seq(
+        (oid, false, PgTypes.toSpark(oid, isArray = false).simpleString),
+        (oid, true, PgTypes.toSpark(oid, isArray = true).simpleString)))
+      .toDF("pg_oid", "is_array", "spark_type")
+      .orderBy(col("pg_oid"), col("is_array"))
+  }
+
+  /** §2.1 #5 — rekey chains through the hot path (rows-only gate; exact
+    * semantics are property-tested in CompactorSpec). */
+  def cdcCompactRekey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val actions = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal")).as[(Long, Double)]
+      .flatMap { case (key, bal) =>
+        val base = ChangeAction("customer", key * 10, 0, "U",
+          Map("id" -> key.toString),
+          Map("id" -> key.toString, "bal" -> bal.toString), Nil, Nil, rekey = false)
+        if (key % 50 == 0)
+          Seq(
+            base.copy(values = base.values + ("id" -> (key + 5000000L).toString), rekey = true),
+            ChangeAction("customer", key * 10 + 1, 0, "U",
+              Map("id" -> (key + 5000000L).toString),
+              Map("id" -> (key + 9000000L).toString, "bal" -> (bal + 1).toString),
+              Nil, Nil, rekey = true))
+        else Seq(base)
+      }
+    ChangelogCompactor.compact(actions)
+      .toDF()
+      .select(element_at(col("keyBefore"), "id").cast("long").as("id_before"),
+        col("op"), col("rekey"),
+        element_at(col("values"), "bal").cast("double").as("bal"))
+      .orderBy(col("id_before"))
+  }
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_compact" -> (cdcCompact _),
+    "cdc_txn_assembly" -> (cdcTxnAssembly _),
+    "cdc_merge_into" -> (cdcMergeInto _),
+    "cdc_text_cast" -> (cdcTextCast _),
+    "pg_array_parse" -> (pgArrayParse _),
+    "cdc_snapshot_typed" -> (cdcSnapshotTyped _),
+    "cdc_schema_diff" -> (cdcSchemaDiff _),
+    "cdc_typemap" -> (cdcTypemap _),
+    "cdc_compact_rekey" -> (cdcCompactRekey _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "cdc_compact" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, 'I' AS op, value AS val, event_id AS lsn
+        |FROM ranked
+        |WHERE rn = n AND NOT (n > 1 AND event_type = 'error')
+        |ORDER BY user_id""".stripMargin,
+    "cdc_txn_assembly" ->
+      """SELECT event_id, user_id,
+        |  (event_id // 5) * 1000 + 999 AS commit_lsn,
+        |  'I' AS op
+        |FROM events
+        |WHERE (event_id // 5) % 97 <> 0
+        |ORDER BY event_id""".stripMargin,
+    "cdc_merge_into" ->
+      """WITH latest AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |cl AS (
+        |  SELECT o_custkey AS key,
+        |    CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice
+        |  FROM latest WHERE rn = 1),
+        |snap AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0)
+        |SELECT coalesce(s.c_custkey, c.key) AS c_custkey,
+        |  s.c_name AS c_name,
+        |  s.c_nationkey AS c_nationkey,
+        |  CASE WHEN c.key IS NOT NULL THEN c.o_totalprice ELSE s.c_acctbal END AS c_acctbal,
+        |  s.c_mktsegment AS c_mktsegment
+        |FROM snap s FULL OUTER JOIN cl c ON s.c_custkey = c.key
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
+    "cdc_text_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN (CASE WHEN l_returnflag = 'R' THEN 't' ELSE 'f' END) = 't'
+        |       THEN true ELSE false END AS b,
+        |  CAST(CAST(l_partkey AS VARCHAR) AS BIGINT) AS n,
+        |  CAST(CAST(strftime(l_shipdate, '%Y-%m-%d') AS DATE) AS TIMESTAMP) AS d,
+        |  CAST(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "pg_array_parse" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_orderkey AS VARCHAR) || ',' || CAST(l_partkey AS VARCHAR) || ',NULL' AS arr_csv,
+        |  3 AS n_elems,
+        |  l_partkey AS second_elem
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "cdc_snapshot_typed" ->
+      """SELECT * FROM customer ORDER BY c_custkey""".stripMargin,
+  )
+}

@@ -1,0 +1,157 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.TestSpark
+
+class CompactorSpec extends AnyFunSuite with Matchers {
+
+  /** Deterministic scalacheck sampling (scalatestplus bridge not on the
+    * classpath — offline build). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def act(lsn: Long, op: String, key: String, v: String = null,
+      nulls: Seq[String] = Nil, unchanged: Seq[String] = Nil,
+      newKey: String = null, table: String = "t"): ChangeAction = {
+    val rekey = newKey != null && newKey != key
+    val values = Option(v).map(x => Map("val" -> x)).getOrElse(Map.empty[String, String]) ++
+      (if (rekey) Map("id" -> newKey) else if (op != "D") Map("id" -> key) else Map.empty)
+    ChangeAction(table, lsn, 0, op, Map("id" -> key), values, nulls, unchanged, rekey)
+  }
+
+  // ---- mergeActions pair table (multi_row_action.go:103-180) ----
+
+  test("insert then update → insert with update's values") {
+    val m = ChangelogCompactor.mergeActions(
+      act(1, "I", "k", "a"), act(2, "U", "k", "b")).get
+    m.op shouldBe "I"
+    m.values("val") shouldBe "b"
+  }
+
+  test("insert then delete → elided") {
+    ChangelogCompactor.mergeActions(act(1, "I", "k", "a"), act(2, "D", "k")) shouldBe None
+  }
+
+  test("update then update → update, TOAST-unchanged inherits prior value") {
+    val m = ChangelogCompactor.mergeActions(
+      act(1, "U", "k", "a"), act(2, "U", "k", unchanged = Seq("val"))).get
+    m.op shouldBe "U"
+    m.values("val") shouldBe "a" // flowed through the unchanged mask
+    m.unchanged should not contain "val"
+  }
+
+  test("update then delete → delete") {
+    val m = ChangelogCompactor.mergeActions(act(1, "U", "k", "a"), act(2, "D", "k")).get
+    m.op shouldBe "D"
+  }
+
+  test("rekeying update then delete → delete targets the original identity") {
+    val m = ChangelogCompactor.mergeActions(
+      act(1, "U", "k1", "a", newKey = "k2"), act(2, "D", "k2")).get
+    m.op shouldBe "D"
+    m.keyBefore shouldBe Map("id" -> "k1")
+  }
+
+  test("delete then insert → update") {
+    val m = ChangelogCompactor.mergeActions(act(1, "D", "k"), act(2, "I", "k", "z")).get
+    m.op shouldBe "U"
+    m.values("val") shouldBe "z"
+  }
+
+  test("invalid pairs throw (insert,insert / delete,delete / delete,update)") {
+    an[IllegalStateException] should be thrownBy
+      ChangelogCompactor.mergeActions(act(1, "I", "k", "a"), act(2, "I", "k", "b"))
+    an[IllegalStateException] should be thrownBy
+      ChangelogCompactor.mergeActions(act(1, "D", "k"), act(2, "D", "k"))
+    an[IllegalStateException] should be thrownBy
+      ChangelogCompactor.mergeActions(act(1, "D", "k"), act(2, "U", "k", "b"))
+  }
+
+  // ---- sequential algorithm: chains ----
+
+  test("rekey chain k1→k2→k3 resolves to one action") {
+    val out = ChangelogCompactor.sequentialDedup(Seq(
+      act(1, "U", "k1", "a", newKey = "k2"),
+      act(2, "U", "k2", "b", newKey = "k3")))
+    out should have size 1
+    out.head.keyBefore shouldBe Map("id" -> "k1")
+    out.head.keyAfter shouldBe Map("id" -> "k3")
+    out.head.values("val") shouldBe "b"
+  }
+
+  test("rekey frees the old identity for a fresh insert") {
+    val out = ChangelogCompactor.sequentialDedup(Seq(
+      act(1, "U", "k1", "a", newKey = "k2"),
+      act(2, "I", "k1", "fresh")))
+    out.map(a => ChangelogCompactor.keyStr(a.keyAfter)).toSet should have size 2
+  }
+
+  // ---- distributed ≡ sequential (property) ----
+
+  /** Generate a valid interleaved WAL stream over `nKeys` logical rows,
+    * tracking liveness so op sequences are valid, with occasional rekeys
+    * and TOAST-unchanged columns. */
+  private def genStream(nKeys: Int, len: Int, withRekey: Boolean): Gen[List[ChangeAction]] = {
+    def step(live: Set[String], vacant: Set[String], lsn: Long,
+        acc: List[ChangeAction]): Gen[List[ChangeAction]] =
+      if (lsn > len) Gen.const(acc.reverse)
+      else {
+        val choices: Seq[Gen[(ChangeAction, Set[String], Set[String])]] =
+          (if (vacant.nonEmpty)
+            Seq(Gen.oneOf(vacant.toSeq).map(k =>
+              (act(lsn, "I", k, s"v$lsn"), live + k, vacant - k))) else Nil) ++
+          (if (live.nonEmpty) Seq(
+            Gen.oneOf(live.toSeq).flatMap(k =>
+              Gen.oneOf(Seq(Nil, Seq("val"))).map(unch =>
+                (act(lsn, "U", k, s"v$lsn", unchanged = unch), live, vacant))),
+            Gen.oneOf(live.toSeq).map(k =>
+              (act(lsn, "D", k), live - k, vacant + k))) else Nil) ++
+          (if (withRekey && live.nonEmpty && vacant.nonEmpty)
+            Seq(for { k <- Gen.oneOf(live.toSeq); nk <- Gen.oneOf(vacant.toSeq) } yield
+              (act(lsn, "U", k, s"v$lsn", newKey = nk), live - k + nk, vacant - nk + k))
+          else Nil)
+        Gen.oneOf(choices(0), choices(choices.size - 1), choices: _*).flatMap {
+          case (a, l2, v2) => step(l2, v2, lsn + 1, a :: acc)
+        }
+      }
+    step(Set.empty, (1 to nKeys).map(i => s"k$i").toSet, 1, Nil)
+  }
+
+  private def norm(a: ChangeAction): (String, String, Map[String, String], Set[String], Set[String], String) =
+    (a.op, ChangelogCompactor.keyStr(a.keyBefore), a.values, a.nulls.toSet,
+      a.unchanged.toSet, ChangelogCompactor.keyStr(a.keyAfter))
+
+  test("distributed compact ≡ reference sequential dedup (no rekeys)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    samples(genStream(6, 40, withRekey = false), 12).foreach { stream =>
+      val expected = ChangelogCompactor.sequentialDedup(stream).map(norm).toSet
+      val got = ChangelogCompactor.compact(stream.toDS()).collect().map(norm).toSet
+      got shouldBe expected
+    }
+  }
+
+  test("distributed compact ≡ reference sequential dedup (with rekey chains)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    samples(genStream(5, 30, withRekey = true), 8).foreach { stream =>
+      val expected = ChangelogCompactor.sequentialDedup(stream).map(norm).toSet
+      val got = ChangelogCompactor.compact(stream.toDS()).collect().map(norm).toSet
+      got shouldBe expected
+    }
+  }
+
+  test("compacted actions touch independent rows (after-keys unique)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    samples(genStream(5, 30, withRekey = true), 5).foreach { stream =>
+      val got = ChangelogCompactor.compact(stream.toDS()).collect()
+      val keys = got.map(a => ChangelogCompactor.keyStr(a.keyAfter))
+      keys.toSet.size shouldBe keys.length
+    }
+  }
+}

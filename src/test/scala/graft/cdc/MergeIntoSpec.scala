@@ -1,0 +1,77 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+class MergeIntoSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rel = Relation("public", "items", Seq(
+    RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+    RelColumn("name", PgTypes.TextOid),
+    RelColumn("qty", PgTypes.Int4Oid)))
+
+  private def snap(rows: (Long, String, Integer)*) =
+    rows.toDF("id", "name", "qty")
+
+  private def action(op: String, id: Long, name: String = null, qty: Integer = null,
+      nulls: Seq[String] = Nil, unchanged: Seq[String] = Nil, newId: java.lang.Long = null) = {
+    val values = Map("id" -> (if (newId != null) newId else id).toString) ++
+      Option(name).map("name" -> _) ++ Option(qty).map(q => "qty" -> q.toString)
+    ChangeAction("items", 1, 0, op, Map("id" -> id.toString),
+      if (op == "D") Map.empty else values, nulls, unchanged,
+      rekey = newId != null && newId != id)
+  }
+
+  private def run(snapshot: org.apache.spark.sql.DataFrame, actions: ChangeAction*) =
+    MergeInto(snapshot, actions.toDS(), rel)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else Integer.valueOf(r.getInt(2)))).toSet
+
+  test("matched update rewrites values") {
+    run(snap((1L, "a", 10), (2L, "b", 20)), action("U", 1, "a2", 11)) shouldBe
+      Set((1L, "a2", 11), (2L, "b", 20))
+  }
+
+  test("matched delete removes the row; unmatched delete is a no-op") {
+    run(snap((1L, "a", 10), (2L, "b", 20)), action("D", 1), action("D", 99)) shouldBe
+      Set((2L, "b", 20))
+  }
+
+  test("unmatched insert adds the row") {
+    run(snap((1L, "a", 10)), action("I", 3, "c", 30)) shouldBe
+      Set((1L, "a", 10), (3L, "c", 30))
+  }
+
+  test("TOAST-unchanged column keeps the target value (merge template CASE)") {
+    run(snap((1L, "big-toast", 10)), action("U", 1, qty = 99, unchanged = Seq("name"))) shouldBe
+      Set((1L, "big-toast", 99))
+  }
+
+  test("explicit NULL overwrites; unspecified column keeps target") {
+    run(snap((1L, "a", 10)), action("U", 1, qty = 5, nulls = Seq("name"))) shouldBe
+      Set((1L, null, 5))
+    run(snap((1L, "a", 10)), action("U", 1, name = "zz")) shouldBe
+      Set((1L, "zz", 10))
+  }
+
+  test("identity-changing update moves the row to its new key") {
+    run(snap((1L, "a", 10), (2L, "b", 20)), action("U", 1, "a2", 11, newId = 7L)) shouldBe
+      Set((7L, "a2", 11), (2L, "b", 20))
+  }
+
+  test("insert with TOAST-unchanged column lands NULL (documented deviation)") {
+    run(snap((1L, "a", 10)), action("I", 5, qty = 50, unchanged = Seq("name"))) shouldBe
+      Set((1L, "a", 10), (5L, null, 50))
+  }
+
+  test("merge is idempotent for upserts (at-least-once replay safe)") {
+    val once = run(snap((1L, "a", 10)), action("U", 1, "a2", 11))
+    val base = snap((1L, "a2", 11))
+    val twice = run(base, action("U", 1, "a2", 11))
+    once shouldBe twice
+  }
+}

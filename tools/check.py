@@ -42,10 +42,32 @@ for name in sorted(os.listdir(out_dir)):
         else:
             # row-order-insensitive exact compare
             def norm(df):
+                import numpy as np
                 df = df.copy()
                 for c in df.columns:
                     if str(df[c].dtype).startswith("datetime"):
                         df[c] = df[c].astype("datetime64[us]")
+                    elif df[c].dtype == object:
+                        import datetime, math
+                        def elem(v):
+                            if v is None or (isinstance(v, float) and math.isnan(v)):
+                                return None
+                            if isinstance(v, float) and v.is_integer():
+                                return int(v)
+                            if isinstance(v, (int, np.integer)):
+                                return int(v)
+                            return v
+                        def cell(v):
+                            if isinstance(v, np.ndarray):
+                                return tuple(elem(x) for x in v.tolist())
+                            if isinstance(v, list):
+                                return tuple(elem(x) for x in v)
+                            if isinstance(v, datetime.datetime):
+                                return pd.Timestamp(v)
+                            if isinstance(v, datetime.date):
+                                return pd.Timestamp(v)
+                            return v
+                        df[c] = df[c].map(cell)
                 return df.sort_values(by=list(df.columns)).reset_index(drop=True)
             s2, k2 = norm(s), norm(k)
             try:
