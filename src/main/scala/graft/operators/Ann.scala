@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorMath
+
+/** Approximate-nearest-neighbor search over embedding columns (SURVEY.md
+  * §2.3 #36-37).
+  *
+  * Scale shape: the query set is broadcast (it is the small side by
+  * construction); the corpus is scanned once. `bruteForceTopK` is the exact
+  * baseline — |Q|×|C| scored rows, pruned per-query by window top-k; the
+  * scale path is [[lshTopK]], which buckets both sides with random
+  * hyperplane signatures so each query only scores its bucket (multi-table
+  * to recover recall), turning the cross join into an equi-join.
+  */
+object Ann {
+
+  /** Exact cosine top-k per query (baseline / verifier). Output:
+    * (query_id, neighbor_id, cosine, rank). Deterministic: ties break on
+    * neighbor id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorMath.cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed top-k: `tables` independent hyperplane signatures of
+    * `bits` bits; query and corpus rows meet only inside matching buckets,
+    * then exact cosine re-ranks the union of candidates. Recall grows with
+    * `tables`, cost with `tables / 2^bits`. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      bits: Int = 8, tables: Int = 2, dims: Int = 64): DataFrame = {
+    def bucketed(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        // each table gets its own hyperplane family (distinct hash seed),
+        // tagged so buckets never collide across tables
+        posexplode(array((0 until tables).map(t =>
+          VectorMath.hyperplaneBucket(col(vecCol), bits, dims, seed = t) +
+            lit(t.toLong << 32)): _*)))
+        .toDF(idAs, vecAs, "__tbl", "__bkt")
+    val q = bucketed(queries, "query_id", "__qv").alias("q")
+    val c = bucketed(corpus, "neighbor_id", "__cv").alias("c")
+    val scored = c.join(broadcast(q),
+        col("q.__bkt") === col("c.__bkt") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorMath.cosine(col("q.__qv"), col("c.__cv")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

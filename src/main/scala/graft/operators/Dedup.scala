@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.3
+  * #31-35). Every operator is shaped for 100 TB: no all-pairs comparisons —
+  * candidates come from hash buckets (exact), LSH band buckets (MinHash),
+  * or pigeonhole chunks (SimHash), and only candidates are verified.
+  */
+object Dedup {
+
+  /** Exact duplicate groups. Groups on `(md5, length)` of the (optionally
+    * normalized) text instead of the text itself, so the shuffle carries
+    * 24 bytes per row, not documents. Returns one row per duplicate group:
+    * `(keep_id, n_copies)` with keep_id = min id. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String,
+      normalize: Boolean = false): DataFrame = {
+    val t = if (normalize) regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+            else col(textCol)
+    docs
+      .select(col(idCol), md5(t).as("__h"), length(t).as("__len"))
+      .groupBy(col("__h"), col("__len"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+  }
+
+  /** MinHash signatures: `numHashes` min-aggregated shingle hashes per doc.
+    * One explode + one groupBy — the shuffle carries (id, shingle-hash)
+    * pairs only. */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 32): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(TextAnalysis.shingles(col(textCol), shingleK)).as("__sh"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(col("__sh"), lit(i))).as(s"__h$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: candidate pairs whose signatures collide in ≥1 band
+    * (bands×rowsPerBand = numHashes). Classic S-curve: with 8 bands of 4,
+    * pairs at Jaccard 0.8 collide with p≈0.96, at 0.3 with p≈0.06. */
+  def minhashCandidates(sigs: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col(idCol),
+      posexplode(array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .toDF(idCol, "__band", "__bsig")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col(s"a.__band") === col(s"b.__band") &&
+        col(s"a.__bsig") === col(s"b.__bsig") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact k-gram Jaccard for given candidate pairs (the verify step —
+    * only candidates pay the set comparison). */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int): DataFrame = {
+    val sets = docs.select(col(idCol).as("__id"),
+      TextAnalysis.shingles(col(textCol), shingleK).as("__set"))
+    pairs
+      .join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__set", "__sa"), "id_a")
+      .join(sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__set", "__sb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb")))).as("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → minhash → band →
+    * bucket-join → exact-Jaccard verify ≥ threshold. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val sigs = minhashSignature(docs, idCol, textCol, shingleK, numHashes)
+    val cands = minhashCandidates(sigs, idCol, bands, numHashes / bands)
+    jaccardVerify(cands, docs, idCol, textCol, shingleK)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document: bit b is the sign of Σ±1 over shingle
+    * hashes. One explode + 64 conditional sums. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(TextAnalysis.shingles(col(textCol), shingleK)).as("__sh"))
+      .select(col(idCol), xxhash64(col("__sh")).as("__h"))
+    val aggs = (0 until 64).map { b =>
+      sum(when(col("__h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"__b$b")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b =>
+          when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        ).reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16):
+    * pigeonhole on 4 16-bit chunks — any pair within distance 3 must agree
+    * on ≥1 chunk, so candidates come from an equi-join on chunk value, and
+    * only candidates pay the popcount. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol, shingleK)
+    val chunked = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF(idCol, "simhash", "__chunk", "__cval")
+    val a = chunked.alias("a")
+    val b = chunked.alias("b")
+    a.join(b,
+        col("a.__chunk") === col("b.__chunk") &&
+        col("a.__cval") === col("b.__cval") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicate pairs: exact cosine over LSH-bucketed
+    * candidates (random-hyperplane signature). For corpora small enough to
+    * broadcast, pass `bucketBits = 0` to verify all pairs. */
+  def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bucketBits: Int = 12, dims: Int = 64): DataFrame = {
+    import graft.functions.VectorMath
+    val withBucket =
+      if (bucketBits == 0) vecs.select(col(idCol), col(vecCol), lit(0L).as("__bkt"))
+      else vecs.select(col(idCol), col(vecCol),
+        VectorMath.hyperplaneBucket(col(vecCol), bucketBits, dims).as("__bkt"))
+    val a = withBucket.alias("a")
+    val b = withBucket.alias("b")
+    a.join(b, col("a.__bkt") === col("b.__bkt") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        VectorMath.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Fingerprint, TextAnalysis}
+import graft.operators.{Ann, Dedup, Multimodal}
+import graft.sources.Tables
+
+/** LLM-training-data pipeline queries (SURVEY.md §2.3).
+  *
+  * The synthetic `documents` corpus has no natural duplicates (500 distinct
+  * texts), so the dedup queries build a duplicate-bearing corpus
+  * deterministically in-query: every doc with `doc_id % 5 == 0` gets a
+  * copy at `doc_id + 10000` — byte-identical for exact dedup, or with a
+  * fixed appended tail for the near-dup family (high but non-1.0 Jaccard).
+  */
+object LlmQueries {
+
+  private val DupTail = " spark engine dedup suffix tail"
+
+  private def withExactCopies(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  private def withNearCopies(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(DupTail)).as("text")))
+  }
+
+  /** §2.3 #31 — exact dedup over md5 buckets. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(withExactCopies(s, dir), "doc_id", "text")
+      .filter(col("n_copies") > 1)
+      .orderBy(col("keep_id"))
+
+  /** §2.3 #32 — MinHash+LSH near-dup pipeline (rows-only gate; the LSH
+    * S-curve is statistical, the verify step is exact). */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(withNearCopies(s, dir), "doc_id", "text",
+        shingleK = 5, numHashes = 32, bands = 8, threshold = 0.7)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** §2.3 #33 — SimHash near-dup (rows-only gate). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(withNearCopies(s, dir), "doc_id", "text",
+        shingleK = 5, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** §2.3 #34 — exact 3-gram Jaccard on the planted candidate pairs. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withNearCopies(s, dir)
+    val pairs = corpus.filter(col("doc_id") >= 10000)
+      .select((col("doc_id") - 10000).as("id_a"), col("doc_id").as("id_b"))
+    Dedup.jaccardVerify(pairs, corpus, "doc_id", "text", shingleK = 3)
+      .orderBy(col("id_a"))
+  }
+
+  /** §2.3 #35 — embedding near-dup: top-50 all-pairs cosine on a bounded
+    * id range (bucketed LSH variant gated separately in ann_lsh). */
+  def embedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+    Dedup.embeddingPairs(vecs, "vec_id", "embedding", threshold = -1.0, bucketBits = 0)
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(50)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cos_r"))
+  }
+
+  /** §2.3 #36 — brute-force cosine top-k (exact ANN baseline). */
+  def annTopk(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+    Ann.bruteForceTopK(
+        all.filter(col("vec_id") < 20), all.filter(col("vec_id") >= 20),
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cos_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** §2.3 #37 — LSH-bucketed ANN (rows-only gate; recall is statistical). */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+    Ann.lshTopK(
+        all.filter(col("vec_id") < 20), all.filter(col("vec_id") >= 20),
+        "vec_id", "embedding", k = 5, bits = 6, tables = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** §2.3 #38 — heuristic language ID. */
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("pred_lang"),
+        (TextAnalysis.langId(col("text")) === col("lang")).as("matches_label"))
+      .orderBy(col("doc_id"))
+
+  /** §2.3 #39 — quality scoring signals. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val sig = TextAnalysis.qualitySignals(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.3 #40 — whitespace + BPE-ish token counting. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+      .orderBy(col("doc_id"))
+
+  /** §2.3 #41 — winnowed rolling-hash fingerprints (rows-only gate; pinned
+    * by FingerprintSpec). */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Fingerprint.fingerprint64(col("text")).as("fp64"),
+        size(Fingerprint.winnow(col("text"), 8, 16)).as("n_winnow"))
+      .orderBy(col("doc_id"))
+
+  /** §2.3 #42 — multimodal plumbing: text payload → binary media frame →
+    * partition-batched (stub) decode → typed features. */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaFrame(
+      Tables.documents(s, dir), "doc_id", "text", "txt")
+    Multimodal.decodeFeatures(media, batchSize = 64)
+      .toDF()
+      .select(col("id"), col("nBytes").as("n_bytes"),
+        col("width"), col("height"))
+      .orderBy(col("id"))
+  }
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "embed_neardup" -> (embedNeardup _),
+    "ann_topk" -> (annTopk _),
+    "ann_lsh" -> (annLsh _),
+    "text_langid" -> (textLangid _),
+    "text_quality" -> (textQuality _),
+    "token_count" -> (tokenCount _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "multimodal_meta" -> (multimodalMeta _),
+  )
+
+  private val enList = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")
+  private val deList = TextAnalysis.stopwords("de").map(w => s"'$w'").mkString(",")
+  private val frList = TextAnalysis.stopwords("fr").map(w => s"'$w'").mkString(",")
+  private val esList = TextAnalysis.stopwords("es").map(w => s"'$w'").mkString(",")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM corpus GROUP BY text HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text || '$DupTail' FROM documents WHERE doc_id % 5 = 0),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_filter(
+        |      [substr(lower(text), x::INT, 3) for x in range(1, greatest(length(text)-1, 2))],
+        |      g -> length(g) = 3)) AS s
+        |  FROM corpus)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s))::DOUBLE /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10000
+        |WHERE a.doc_id % 5 = 0 AND a.doc_id < 10000
+        |ORDER BY id_a""".stripMargin,
+    "embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |           FROM embeddings WHERE vec_id < 100)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_r
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, id_a, id_b
+        |LIMIT 50""".stripMargin,
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id >= 20),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.emb, c.emb) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS rank
+        |  FROM q CROSS JOIN c)
+        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
+        |FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, lang, cjk,
+        |    len(list_filter(toks, x -> x IN ($enList))) AS en,
+        |    len(list_filter(toks, x -> x IN ($deList))) AS de,
+        |    len(list_filter(toks, x -> x IN ($frList))) AS fr,
+        |    len(list_filter(toks, x -> x IN ($esList))) AS es
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |       WHEN de >= fr AND de >= es THEN 'de'
+        |       WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang,
+        |  (CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |       WHEN de >= fr AND de >= es THEN 'de'
+        |       WHEN fr >= es THEN 'fr' ELSE 'es' END) = lang AS matches_label
+        |FROM hits ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, text,
+        |    length(text) AS n_chars,
+        |    len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+        |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+        |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |        x -> x IN ($enList))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens,
+        |  n_punct::DOUBLE / n_chars AS punct_ratio,
+        |  n_upper::DOUBLE / n_chars AS upper_ratio,
+        |  (n_chars - (n_tokens - 1))::DOUBLE / n_tokens AS mean_token_len,
+        |  n_stop::DOUBLE / n_tokens AS stopword_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id AS id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  octet_length(encode(text)) % 64 AS width,
+        |  (octet_length(encode(text)) // 64) % 64 AS height
+        |FROM documents ORDER BY id""".stripMargin,
+  )
+}

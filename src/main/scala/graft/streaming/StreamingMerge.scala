@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.cdc._
+
+/** Raised when the incoming relation schema deviates from the cached one —
+  * the analogue of the reference's `ErrRelationChanged`
+  * (sync/stream/stream.go:13, message_accumulator.go:118-122). The
+  * supervisor reacts with a full resync, as the reference drops the
+  * replication slot and re-snapshots (sync/service/sync_service.go:95-110).
+  */
+final class SchemaChangedException(msg: String) extends RuntimeException(msg)
+
+/** Micro-batched continuous synchronization — the engine's re-expression of
+  * the reference's streaming loop (sync/stream/stream.go): accumulate
+  * transactions, flush a batch every `batchtimeout`/`batchmaxitems`, write
+  * the batch transactionally to the target, acknowledge the applied LSN.
+  *
+  * Structured-Streaming mapping:
+  *   - batch timeout        → `Trigger.ProcessingTime`
+  *   - batch max items      → source admission control
+  *     (`maxFilesPerTrigger` / `maxOffsetsPerTrigger` on the source)
+  *   - apply + acknowledge  → `foreachBatch` { compact → merge → publish }
+  *     + the streaming checkpoint; a [[CommitLog]] records the last applied
+  *     (batchId, maxLsn) so replayed batches after a crash are skipped —
+  *     at-least-once delivery + idempotent apply ≡ effectively exactly-once,
+  *     the same contract the reference gets from MERGE + LSN acknowledge.
+  *   - one-Snowflake-transaction-per-batch (snowflake_target.go:283-340)
+  *     → all tables' new snapshots are staged as scratch dirs first, then
+  *     published (renamed) together after every merge succeeded.
+  */
+final class StreamingMerge(
+    spark: SparkSession,
+    tablesBase: String,
+    relations: Seq[Relation],
+    commitLogPath: String) extends Serializable {
+
+  private val relByTable = relations.map(r => r.table -> r).toMap
+  @transient lazy val commitLog = new CommitLog(spark, commitLogPath)
+
+  /** Apply one batch of change actions to the table store. Public so tests
+    * and batch backfills drive the exact code `foreachBatch` runs. */
+  def applyBatch(batch: Dataset[ChangeAction], batchId: Long): Unit = {
+    if (commitLog.lastBatchId.exists(_ >= batchId)) return // replayed batch: already applied
+    import batch.sparkSession.implicits._
+    val compacted = ChangelogCompactor.compact(batch).cache()
+    try {
+      val touched = compacted.map(_.table).distinct().collect().toSeq.sorted
+      val maxLsn = if (touched.isEmpty) 0L else compacted.map(_.lsn).reduce(math.max(_, _))
+      // stage every table first …
+      val staged = touched.map { table =>
+        val rel = relByTable.getOrElse(table,
+          throw new SchemaChangedException(s"unknown relation in stream: $table"))
+        val live = SnapshotWriter.livePath(tablesBase, table)
+        val fs = new Path(tablesBase).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val snapshot: DataFrame =
+          if (fs.exists(new Path(live))) spark.read.parquet(live)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rel.toStructType)
+        val merged = MergeInto(snapshot, compacted, rel)
+        val scratch = SnapshotWriter.scratchPath(tablesBase, table)
+        merged.write.mode("overwrite").parquet(scratch)
+        table
+      }
+      // … then publish together: the multi-table batch becomes visible as a
+      // unit, mirroring the reference's one-transaction-per-batch.
+      staged.foreach { table =>
+        val fs = new Path(tablesBase).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val live = new Path(SnapshotWriter.livePath(tablesBase, table))
+        val trash = new Path(SnapshotWriter.trashPath(tablesBase, table))
+        if (fs.exists(trash)) fs.delete(trash, true)
+        if (fs.exists(live)) fs.rename(live, trash)
+        fs.rename(new Path(SnapshotWriter.scratchPath(tablesBase, table)), live)
+        fs.delete(trash, true)
+      }
+      commitLog.commit(batchId, maxLsn) // ≙ StandbyStatusUpdate acknowledge
+    } finally compacted.unpersist()
+  }
+
+  /** Wire a change-action stream into the merge pipeline. */
+  def writer(stream: Dataset[ChangeAction], trigger: Trigger): DataStreamWriter[ChangeAction] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$commitLogPath/checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[ChangeAction], batchId: Long) =>
+        applyBatch(batch, batchId)
+      }
+
+  def start(stream: Dataset[ChangeAction],
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    writer(stream, trigger).start()
+}
+
+/** Durable record of the last applied batch and LSN — the analogue of the
+  * reference acknowledging the flushed LSN back to the replication slot
+  * (stream.go `SendStandbyStatusUpdate`), giving restart-resume and replay
+  * idempotence. One tiny JSON file, rewritten atomically per batch. */
+final class CommitLog(spark: SparkSession, path: String) extends Serializable {
+  private val file = new Path(path, "applied.json")
+  private def fs = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def lastBatchId: Option[Long] = read.map(_._1)
+  def lastLsn: Option[Long] = read.map(_._2)
+
+  private def read: Option[(Long, Long)] =
+    if (!fs.exists(file)) None
+    else {
+      val in = fs.open(file)
+      val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val m = """\{"batchId":(\d+),"maxLsn":(\d+)\}""".r
+      s.trim match {
+        case m(b, l) => Some((b.toLong, l.toLong))
+        case _       => None
+      }
+    }
+
+  def commit(batchId: Long, maxLsn: Long): Unit = {
+    val tmp = new Path(path, s"applied.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"batchId":$batchId,"maxLsn":$maxLsn}""".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(file)) fs.delete(file, false)
+    fs.rename(tmp, file)
+  }
+}

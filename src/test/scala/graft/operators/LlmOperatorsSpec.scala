@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.functions.{Fingerprint, TextAnalysis, VectorMath}
+
+class LlmOperatorsSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again!"), // near-dup of 1
+    (3L, "completely different content about spark query engines at scale"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups byte-identical texts") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter(col("n_copies") > 1).collect()
+    g.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 2L))
+  }
+
+  test("minhash LSH finds near-dups and not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L)) // near-dup
+    pairs should contain((1L, 4L)) // exact dup
+    pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, others far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    sh(1L) shouldBe sh(4L)
+    java.lang.Long.bitCount(sh(1L) ^ sh(2L)) should be <= 6
+    java.lang.Long.bitCount(sh(1L) ^ sh(3L)) should be > 10
+  }
+
+  test("jaccard verify: exact dup = 1.0, unrelated well below") {
+    val j = Dedup.jaccardVerify(
+        Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b"), docs, "doc_id", "text", 3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    j((1L, 4L)) shouldBe 1.0
+    j((1L, 3L)) should be < 0.3
+  }
+
+  test("brute-force ANN top-k is exact and deterministic") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(
+        vecs.filter(col("vec_id") === 0), vecs.filter(col("vec_id") > 0),
+        "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    top shouldBe Set((1L, 1), (3L, 2))
+  }
+
+  test("LSH ANN returns a subset ranked by exact cosine") {
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 17 + d).toFloat))).toDF("vec_id", "embedding")
+    val res = Ann.lshTopK(vecs.filter(col("vec_id") < 3), vecs.filter(col("vec_id") >= 3),
+      "vec_id", "embedding", k = 3, bits = 4, tables = 2, dims = 8)
+    val rows = res.select("query_id", "rank").as[(Long, Int)].collect()
+    rows.groupBy(_._1).values.foreach { g =>
+      g.map(_._2).sorted shouldBe (1 to g.length) // contiguous ranks per query
+    }
+  }
+
+  test("fingerprint is deterministic and shift-tolerant (winnow overlap)") {
+    val t1 = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val t2 = "PREFIX then " + t1 // shifted content
+    val fp = Seq((1L, t1), (1L, t1), (2L, t2)).toDF("id", "text")
+      .select(col("id"), Fingerprint.winnow(col("text"), 8, 16).as("w"))
+      .as[(Long, Seq[Long])].collect()
+    fp(0)._2 shouldBe fp(1)._2 // deterministic
+    fp(0)._2.toSet.intersect(fp(2)._2.toSet) should not be empty // shared windows survive shift
+  }
+
+  test("language-id heuristic picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "der Hund und die Katze sind nicht zu Hause"),
+      (2L, "the cat and the dog that was in the house"),
+      (3L, "el perro y el gato que no se fue de la casa"),
+      (4L, "这是 中文 文本")
+    ).toDF("id", "text")
+    df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap shouldBe
+      Map(1L -> "de", 2L -> "en", 3L -> "es", 4L -> "zh")
+  }
+
+  test("multimodal decode is partition-batched and deterministic") {
+    val media = Multimodal.asMediaFrame(docs, "doc_id", "text", "txt")
+    val feats = Multimodal.decodeFeatures(media, batchSize = 2)
+      .collect().map(f => f.id -> f).toMap
+    feats should have size 4
+    val n = docs.filter(col("doc_id") === 1).head().getString(1).getBytes("UTF-8").length
+    feats(1L).nBytes shouldBe n
+    feats(1L).width shouldBe n % 64
+    feats(1L).height shouldBe (n / 64) % 64
+  }
+
+  test("cosine fold matches direct computation") {
+    val r = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(VectorMath.cosine(col("a"), col("b"))).head().getDouble(0)
+    r shouldBe (10.0 / (math.sqrt(14.0) * math.sqrt(14.0))) +- 1e-12
+  }
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.TestSpark
+import graft.cdc._
+
+class StreamingMergeSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val rel = Relation("public", "items", Seq(
+    RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+    RelColumn("name", PgTypes.TextOid)))
+  private val rel2 = Relation("public", "tags", Seq(
+    RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+    RelColumn("tag", PgTypes.TextOid)))
+
+  private def action(table: String, lsn: Long, op: String, id: Long, v: String = null) =
+    ChangeAction(table, lsn, 0, op, Map("id" -> id.toString),
+      if (op == "D") Map.empty
+      else Map("id" -> id.toString,
+        (if (table == "items") "name" else "tag") -> v),
+      Nil, Nil, rekey = false)
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-stream").toString
+
+  private def tableRows(base: String, table: String): Set[(Long, String)] =
+    spark.read.parquet(SnapshotWriter.livePath(base, table))
+      .as[(Long, String)].collect().toSet
+
+  test("micro-batches merge into the table store via MemoryStream") {
+    val base = tmp()
+    val sm = new StreamingMerge(spark, base, Seq(rel, rel2), s"$base/_log")
+    val mem = MemoryStream[ChangeAction]
+    mem.addData(
+      action("items", 1, "I", 1, "a"),
+      action("items", 2, "I", 2, "b"),
+      action("tags", 3, "I", 10, "t1"))
+    val q = sm.start(mem.toDS(), Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    tableRows(base, "items") shouldBe Set((1L, "a"), (2L, "b"))
+    tableRows(base, "tags") shouldBe Set((10L, "t1"))
+
+    // second run: updates, deletes, cross-table, compaction inside batch
+    mem.addData(
+      action("items", 4, "U", 1, "a2"),
+      action("items", 5, "D", 2),
+      action("items", 6, "I", 3, "c-stale"),
+      action("items", 7, "U", 3, "c"),
+      action("tags", 8, "U", 10, "t2"))
+    val q2 = sm.start(mem.toDS(), Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    tableRows(base, "items") shouldBe Set((1L, "a2"), (3L, "c"))
+    tableRows(base, "tags") shouldBe Set((10L, "t2"))
+  }
+
+  test("replayed batch ids are skipped (idempotent apply + LSN commit log)") {
+    val base = tmp()
+    val sm = new StreamingMerge(spark, base, Seq(rel), s"$base/_log")
+    sm.applyBatch(Seq(action("items", 5, "I", 1, "a")).toDS(), batchId = 0)
+    sm.commitLog.lastLsn shouldBe Some(5L)
+    // crash-replay of batch 0 with the same data must not double-apply
+    sm.applyBatch(Seq(action("items", 5, "I", 1, "a")).toDS(), batchId = 0)
+    tableRows(base, "items") shouldBe Set((1L, "a"))
+    // next batch applies
+    sm.applyBatch(Seq(action("items", 9, "U", 1, "b")).toDS(), batchId = 1)
+    tableRows(base, "items") shouldBe Set((1L, "b"))
+    sm.commitLog.lastBatchId shouldBe Some(1L)
+    sm.commitLog.lastLsn shouldBe Some(9L)
+  }
+
+  test("unknown relation in the stream raises SchemaChangedException") {
+    val base = tmp()
+    val sm = new StreamingMerge(spark, base, Seq(rel), s"$base/_log")
+    a[SchemaChangedException] should be thrownBy
+      sm.applyBatch(Seq(action("tags", 1, "I", 1, "x")).toDS(), batchId = 0)
+  }
+
+  test("supervisor restarts on failure and resyncs on schema change") {
+    var runs = 0
+    var resyncs = 0
+    val r = Supervisor.runForever(
+      body = () => {
+        runs += 1
+        if (runs == 1) throw new RuntimeException("transient")
+        if (runs == 2) throw new SchemaChangedException("relation changed")
+        // third run succeeds
+      },
+      resync = () => resyncs += 1,
+      backoffMs = 1L)
+    runs shouldBe 3
+    r.restarts shouldBe 2
+    r.resyncs shouldBe 1
+    resyncs shouldBe 1
+  }
+
+  test("supervisor gives up after maxRestarts consecutive failures") {
+    an[IllegalStateException] should be thrownBy
+      Supervisor.runForever(
+        body = () => throw new RuntimeException("always"),
+        maxRestarts = 2, backoffMs = 1L)
+  }
+}
