@@ -29,19 +29,26 @@ object Dedup {
 
   /** MinHash signatures: `numHashes` min-aggregated shingle hashes per doc.
     * One explode + one groupBy — the shuffle carries (id, shingle-hash)
-    * pairs only. */
+    * pairs only. Each shingle string is hashed once; the per-i family
+    * re-hashes that fixed-width long (`xxhash64(h, i)`), so the string is
+    * scanned once regardless of `numHashes`. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, numHashes: Int = 32): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(TextAnalysis.shingles(col(textCol), shingleK)).as("__sh"))
-    val aggs = (0 until numHashes).map(i => min(xxhash64(col("__sh"), lit(i))).as(s"__h$i"))
+      shingleK: Int = 5, numHashes: Int = 64): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), shingleK)).as("__shs"))
+      .select(col(idCol), xxhash64(col("__shs")).as("__sh"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("__sh"), lit(i))).as(s"__h$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
   }
 
   /** LSH banding: candidate pairs whose signatures collide in ≥1 band
-    * (bands×rowsPerBand = numHashes). Classic S-curve: with 8 bands of 4,
-    * pairs at Jaccard 0.8 collide with p≈0.96, at 0.3 with p≈0.06. */
+    * (bands×rowsPerBand = numHashes). Classic S-curve: with 8 bands of 8,
+    * pairs at Jaccard 0.9 collide with p≈0.99 while a 0.4-Jaccard
+    * background pair collides with p≈0.005 — the knob that keeps the
+    * candidate set linear-ish instead of quadratic on corpora with high
+    * baseline similarity. */
   def minhashCandidates(sigs: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = sigs.select(col(idCol),
@@ -75,7 +82,7 @@ object Dedup {
   /** Full MinHash+LSH near-dup pipeline: shingle → minhash → band →
     * bucket-join → exact-Jaccard verify ≥ threshold. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
     val sigs = minhashSignature(docs, idCol, textCol, shingleK, numHashes)
     val cands = minhashCandidates(sigs, idCol, bands, numHashes / bands)

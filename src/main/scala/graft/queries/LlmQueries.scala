@@ -44,7 +44,7 @@ object LlmQueries {
     * S-curve is statistical, the verify step is exact). */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(withNearCopies(s, dir), "doc_id", "text",
-        shingleK = 5, numHashes = 32, bands = 8, threshold = 0.7)
+        shingleK = 5, numHashes = 64, bands = 8, threshold = 0.7)
       .orderBy(col("id_a"), col("id_b"))
 
   /** §2.3 #33 — SimHash near-dup (rows-only gate). */

@@ -25,7 +25,8 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
   }
 
   test("minhash LSH finds near-dups and not unrelated docs") {
-    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     pairs should contain((1L, 2L)) // near-dup
     pairs should contain((1L, 4L)) // exact dup

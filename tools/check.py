@@ -17,11 +17,17 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+try:
+    expected = set(json.load(open(f"{out_dir}/queries.json")))
+except FileNotFoundError:
+    expected = set()
+present = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
 n_pass = n_fail = 0
-for name in sorted(os.listdir(out_dir)):
+for name in sorted(expected - present):
+    print(f"FAIL {name}: NO OUTPUT (query failed before writing)")
+    n_fail += 1
+for name in sorted(present):
     d = os.path.join(out_dir, name)
-    if not os.path.isdir(d):
-        continue
     spark_df = pq.read_table(d).to_pandas()
     if name not in oracle:
         status = f"rows-only rows={len(spark_df)}"
