@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audit: correctness tests prove the small-SF answer; these
+  * prove the plan *shape* survives a 100×/1000× scale-up — filters reach
+  * the parquet scan, projections prune columns, dimension joins broadcast,
+  * and the MERGE path never shuffles the snapshot side. */
+class PlanAuditSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("selective filter is pushed to the parquet scan with pruned columns") {
+    val p = plan(queries.Analytics.qFilterPushdown(spark, dir))
+    p should include("PushedFilters")
+    // quantity filter is pushable; the projection reads 5 columns, not 11
+    p should include("l_quantity")
+    p.split("ReadSchema")(1).split("\n")(0) should not include "l_returnflag"
+    p.split("ReadSchema")(1).split("\n")(0) should not include "l_shipdate"
+  }
+
+  test("dimension joins in q5 broadcast instead of shuffling the fact table") {
+    val p = plan(queries.Analytics.q5LocalSupplier(spark, dir))
+    p should include("BroadcastHashJoin")
+  }
+
+  test("date filters on orders/lineitem reach their scans in q3") {
+    val p = plan(queries.Analytics.q3ShippingPriority(spark, dir))
+    p should include("PushedFilters")
+    p should include("IsNotNull(o_orderdate)")
+  }
+
+  test("MergeInto never shuffles the snapshot: changelog broadcasts, zero snapshot exchanges") {
+    import spark.implicits._
+    import graft.cdc._
+    val rel = Relation("public", "items", Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("v", PgTypes.TextOid)))
+    val snap = spark.range(1000).selectExpr("id", "cast(id as string) as v")
+    val cl = Seq(ChangeAction("items", 1, 0, "U", Map("id" -> "1"),
+      Map("id" -> "1", "v" -> "x"), Nil, Nil, rekey = false)).toDS()
+    val p = plan(MergeInto(snap, cl, rel))
+    p should include("BroadcastHashJoin")
+    // the only allowed exchanges are broadcast exchanges (changelog side)
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      l should include("Broadcast")
+    }
+  }
+
+  test("q1 aggregation is whole-stage codegen'd with partial aggregation") {
+    val p = plan(queries.Analytics.q1PricingSummary(spark, dir))
+    p should include("HashAggregate")
+    p should include("partial_sum") // map-side combine before the exchange
+    p should include("partial_count")
+  }
+
+  test("exact dedup shuffles 24-byte digests, not document text") {
+    val p = plan(operators.Dedup.exactGroups(
+      sources.Tables.documents(spark, dir), "doc_id", "text"))
+    val shuffleLines = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    shuffleLines should not be empty
+    shuffleLines.foreach { l =>
+      l should include("__h")
+      l should not include "text"
+    }
+  }
+}
