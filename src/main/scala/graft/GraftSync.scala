@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.cdc._
+import graft.streaming.{StreamingMerge, Supervisor}
+
+/** High-level synchronization facade — the engine's equivalent of running
+  * the reference binary (cmd/mammoth/main.go + sync/service/sync_service.go
+  * `Run`): configure the relations to sync, backfill snapshots, then apply
+  * change batches continuously, with schema verification up front and
+  * supervised restart.
+  *
+  * A mammoth `config.yml`
+  * {{{
+  * sync:
+  *   tables: [public.table1]
+  *   batchmaxitems: 25000
+  *   batchtimeout: 1m0s
+  * }}}
+  * maps to [[SyncConfig]] 1:1; the Snowflake target becomes a partitioned
+  * parquet table store (or any Spark sink), and the Postgres source becomes
+  * a JDBC snapshot read plus a change-event stream.
+  */
+final case class SyncConfig(
+    relations: Seq[Relation],
+    tablesBase: String,
+    checkpointBase: String,
+    batchTimeout: String = "60 seconds", // sync.batchtimeout
+    batchMaxItems: Long = 25000)         // sync.batchmaxitems → source admission
+
+final class GraftSync(spark: SparkSession, cfg: SyncConfig) {
+
+  // The applied-LSN commit log lives WITH the target tables, not the
+  // streaming checkpoint — "all state is in the source and target"
+  // (reference README), so a stream restarted from a fresh checkpoint
+  // still dedupes against what the table store has already absorbed.
+  private val merge = new StreamingMerge(
+    spark, cfg.tablesBase, cfg.relations, s"${cfg.tablesBase}/_commitlog")
+
+  /** Initial backfill of one relation from any source frame (JDBC
+    * partitioned read, parquet, …): typed check + atomic scratch→live
+    * publish, repartitioned by the identity key so later merges are
+    * co-partitioned (reference: InitializeRelation + snapshotToTarget). */
+  def backfill(rel: Relation, source: DataFrame): String = {
+    require(cfg.relations.exists(_.table == rel.table), s"${rel.table} not configured")
+    SnapshotWriter.publish(source, cfg.tablesBase, rel.table,
+      repartitionKeys = rel.identityColumnNames)
+  }
+
+  /** Schema verification before streaming starts (reference:
+    * verifyRelations): source relation vs live table schema. */
+  def verifyRelation(rel: Relation): Boolean = {
+    val live = SnapshotWriter.livePath(cfg.tablesBase, rel.table)
+    val fs = new org.apache.hadoop.fs.Path(cfg.tablesBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(live)) &&
+      SchemaVerify.matches(rel.toStructType, spark.read.parquet(live).schema)
+  }
+
+  /** Apply one batch of already-assembled change actions (batch mode /
+    * tests — the exact code the stream runs). */
+  def applyBatch(actions: Dataset[ChangeAction], batchId: Long): Unit =
+    merge.applyBatch(actions, batchId)
+
+  /** Continuous sync from a change-action stream. */
+  def start(changes: Dataset[ChangeAction]): StreamingQuery =
+    merge.start(changes, Trigger.ProcessingTime(cfg.batchTimeout))
+
+  /** Continuous sync from raw WAL-style messages: transaction assembly
+    * per micro-batch (per-xid), then the merge pipeline. */
+  def startFromMessages(messages: Dataset[WalMessage],
+      streamName: String = "messages"): StreamingQuery =
+    messages.writeStream
+      .option("checkpointLocation", s"${cfg.checkpointBase}/$streamName")
+      .trigger(Trigger.ProcessingTime(cfg.batchTimeout))
+      .foreachBatch { (batch: Dataset[WalMessage], batchId: Long) =>
+        merge.applyBatch(ChangelogAssembler.assemble(batch), batchId)
+      }
+      .start()
+
+  /** Supervised run: restart on transient failure, full resync via
+    * `resnapshot` on schema change (reference: supervisor/supervisor.go). */
+  def runSupervised(body: () => Unit, resnapshot: () => Unit,
+      maxRestarts: Int = 10): Supervisor.Result =
+    Supervisor.runForever(body, resnapshot, maxRestarts)
+
+  /** Read the current live state of a synced table. */
+  def table(name: String): DataFrame =
+    spark.read.parquet(SnapshotWriter.livePath(cfg.tablesBase, name))
+}

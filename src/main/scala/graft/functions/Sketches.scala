@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Partition-local similarity sketches (MinHash signature, SimHash) as
+  * codegen'd static calls.
+  *
+  * The explode + groupBy formulation of these sketches shuffles one row per
+  * (doc, shingle) — at 100 TB that shuffle dwarfs the actual hashing. Both
+  * sketches are algebraic over the shingle multiset, so they are computed
+  * here in a single pass per document inside the scan's codegen stage:
+  * zero shuffle, zero extra rows. */
+object Sketches {
+
+  /** `numHashes` MinHash values of the text's k-shingle set. */
+  def minhashSig(text: Column, shingleK: Int, numHashes: Int): Column =
+    GraftBridge.column(StaticInvoke(
+      SketchImpl.getClass,
+      ArrayType(LongType, containsNull = false),
+      "minhash",
+      Seq(GraftBridge.expression(text),
+        GraftBridge.expression(org.apache.spark.sql.functions.lit(shingleK)),
+        GraftBridge.expression(org.apache.spark.sql.functions.lit(numHashes))),
+      inputTypes = Seq(StringType, IntegerType, IntegerType),
+      propagateNull = true, returnNullable = true))
+
+  /** 64-bit SimHash of the text's k-shingle set. */
+  def simhash64(text: Column, shingleK: Int): Column =
+    GraftBridge.column(StaticInvoke(
+      SketchImpl.getClass,
+      LongType,
+      "simhash",
+      Seq(GraftBridge.expression(text),
+        GraftBridge.expression(org.apache.spark.sql.functions.lit(shingleK))),
+      inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true, returnNullable = true))
+}
+
+object SketchImpl {
+  // splitmix64 finalizer: cheap, well-distributed 64-bit mixing
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Rolling polynomial hash of each k-shingle of the lowercased text,
+    * visited once; `f` receives each shingle's mixed 64-bit hash.
+    * (Multiset visit — MinHash/SimHash are insensitive to the distinct-set
+    * vs multiset difference for min, and standard for SimHash.) */
+  private def foreachShingleHash(text: UTF8String, k: Int)(f: Long => Unit): Boolean = {
+    if (text == null) return false
+    val s = text.toString.toLowerCase
+    if (s.length < k) return false
+    val Base = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + s.charAt(i); i += 1 }
+    f(mix(h))
+    i = 1
+    val n = s.length - k + 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * Base + s.charAt(i + k - 1)
+      f(mix(h))
+      i += 1
+    }
+    true
+  }
+
+  def minhash(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val any = foreachShingleHash(text, k) { h =>
+      var i = 0
+      while (i < numHashes) {
+        // per-i family: remix with the slot index
+        val hi = mix(h ^ (i.toLong * 0xC2B2AE3D27D4EB4FL))
+        if (hi < mins(i)) mins(i) = hi
+        i += 1
+      }
+    }
+    if (!any) return new GenericArrayData(Array.fill[Any](numHashes)(0L))
+    new GenericArrayData(mins.map(x => x: Any))
+  }
+
+  def simhash(text: UTF8String, k: Int): Long = {
+    val counts = new Array[Int](64)
+    foreachShingleHash(text, k) { h =>
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}

@@ -27,21 +27,14 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
   }
 
-  /** MinHash signatures: `numHashes` min-aggregated shingle hashes per doc.
-    * One explode + one groupBy — the shuffle carries (id, shingle-hash)
-    * pairs only. Each shingle string is hashed once; the per-i family
-    * re-hashes that fixed-width long (`xxhash64(h, i)`), so the string is
-    * scanned once regardless of `numHashes`. */
+  /** MinHash signatures, computed partition-locally in one pass over each
+    * document (graft.functions.Sketches) — the explode+groupBy formulation
+    * would shuffle one row per (doc, shingle), which at 100 TB dwarfs the
+    * hashing itself. Zero shuffle, stays inside the scan stage. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, numHashes: Int = 64): DataFrame = {
-    val sh = docs
-      .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), shingleK)).as("__shs"))
-      .select(col(idCol), xxhash64(col("__shs")).as("__sh"))
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("__sh"), lit(i))).as(s"__h$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
-  }
+      shingleK: Int = 5, numHashes: Int = 64): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.Sketches.minhashSig(col(textCol), shingleK, numHashes).as("sig"))
 
   /** LSH banding: candidate pairs whose signatures collide in ≥1 band
     * (bands×rowsPerBand = numHashes). Classic S-curve: with 8 bands of 8,
@@ -91,21 +84,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: bit b is the sign of Σ±1 over shingle
-    * hashes. One explode + 64 conditional sums. */
+    * hashes. Partition-local single pass (see minhashSignature). */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(TextAnalysis.shingles(col(textCol), shingleK)).as("__sh"))
-      .select(col(idCol), xxhash64(col("__sh")).as("__h"))
-    val aggs = (0 until 64).map { b =>
-      sum(when(col("__h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"__b$b")
-    }
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(b =>
-          when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-        ).reduce(_ + _).as("simhash"))
-  }
+      shingleK: Int = 5): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.Sketches.simhash64(col(textCol), shingleK).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16):
     * pigeonhole on 4 16-bit chunks — any pair within distance 3 must agree

@@ -42,14 +42,22 @@ final class StreamingMerge(
   @transient lazy val commitLog = new CommitLog(spark, commitLogPath)
 
   /** Apply one batch of change actions to the table store. Public so tests
-    * and batch backfills drive the exact code `foreachBatch` runs. */
+    * and batch backfills drive the exact code `foreachBatch` runs.
+    *
+    * Replay protection is LSN-based, as in the reference (the applied LSN
+    * is acknowledged, not a batch counter): a batch whose max LSN is at or
+    * below the committed watermark was already applied — batch ids restart
+    * from zero when a stream is restarted from a fresh checkpoint, so they
+    * cannot carry idempotence across restarts. */
   def applyBatch(batch: Dataset[ChangeAction], batchId: Long): Unit = {
-    if (commitLog.lastBatchId.exists(_ >= batchId)) return // replayed batch: already applied
     import batch.sparkSession.implicits._
     val compacted = ChangelogCompactor.compact(batch).cache()
     try {
       val touched = compacted.map(_.table).distinct().collect().toSeq.sorted
-      val maxLsn = if (touched.isEmpty) 0L else compacted.map(_.lsn).reduce(math.max(_, _))
+      if (touched.isEmpty) return
+      val maxLsn = compacted.map(_.lsn).reduce(math.max(_, _))
+      val watermark = commitLog.lastLsn.getOrElse(Long.MinValue)
+      if (maxLsn <= watermark) return // replayed batch: already applied
       // stage every table first …
       val staged = touched.map { table =>
         val rel = relByTable.getOrElse(table,
@@ -76,7 +84,7 @@ final class StreamingMerge(
         fs.rename(new Path(SnapshotWriter.scratchPath(tablesBase, table)), live)
         fs.delete(trash, true)
       }
-      commitLog.commit(batchId, maxLsn) // ≙ StandbyStatusUpdate acknowledge
+      commitLog.commit(batchId, math.max(watermark, maxLsn)) // ≙ StandbyStatusUpdate acknowledge
     } finally compacted.unpersist()
   }
 

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.cdc._
+
+/** End-to-end facade test: backfill → verify → message stream →
+  * assembled transactions → merged tables — the whole reference lifecycle
+  * (sync_service.Run) in one run. */
+class GraftSyncSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val rel = Relation("public", "accounts", Seq(
+    RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+    RelColumn("balance", PgTypes.Float8Oid)))
+
+  test("backfill, verify, stream WAL messages, observe merged state") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sync").toString
+    val cfg = SyncConfig(Seq(rel), s"$base/tables", s"$base/ckpt",
+      batchTimeout = "1 seconds")
+    val sync = new GraftSync(spark, cfg)
+
+    // 1. backfill (reference: snapshotToTarget)
+    sync.backfill(rel, Seq((1L, 100.0), (2L, 200.0)).toDF("id", "balance"))
+    sync.verifyRelation(rel) shouldBe true
+
+    // 2. stream raw messages: one committed txn (update + insert),
+    //    one uncommitted txn that must be held back
+    def dml(xid: Long, seq: Int, op: String, id: Long, bal: Double) =
+      WalMessage(xid, seq, op, 0L, "accounts",
+        Map("id" -> id.toString),
+        if (op == "DELETE") Map.empty
+        else Map("id" -> id.toString, "balance" -> bal.toString),
+        Nil, Nil, rekey = false)
+    def commit(xid: Long, lsn: Long) =
+      WalMessage(xid, Int.MaxValue, "COMMIT", lsn, "", Map.empty, Map.empty, Nil, Nil, false)
+
+    val mem = MemoryStream[WalMessage]
+    mem.addData(
+      dml(100, 0, "UPDATE", 1, 150.0),
+      dml(100, 1, "INSERT", 3, 300.0),
+      commit(100, 1000),
+      dml(101, 0, "DELETE", 2, 0.0)) // no commit → held back
+    val q = sync.startFromMessages(mem.toDS())
+    try q.processAllAvailable() finally q.stop()
+
+    sync.table("accounts").as[(Long, Double)].collect().toSet shouldBe
+      Set((1L, 150.0), (2L, 200.0), (3L, 300.0)) // id=2 still present
+
+    // 3. commit arrives later with the txn's DML again (redelivery) —
+    //    now it applies
+    val mem2 = MemoryStream[WalMessage]
+    mem2.addData(dml(101, 0, "DELETE", 2, 0.0), commit(101, 1001))
+    val q2 = sync.startFromMessages(mem2.toDS(), streamName = "restarted")
+    try q2.processAllAvailable() finally q2.stop()
+    sync.table("accounts").as[(Long, Double)].collect().toSet shouldBe
+      Set((1L, 150.0), (3L, 300.0))
+  }
+
+  test("verifyRelation reports schema drift") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sync2").toString
+    val cfg = SyncConfig(Seq(rel), s"$base/tables", s"$base/ckpt")
+    val sync = new GraftSync(spark, cfg)
+    sync.backfill(rel, Seq((1L, "oops")).toDF("id", "balance")) // wrong type
+    sync.verifyRelation(rel) shouldBe false
+  }
+}
