@@ -59,4 +59,43 @@ object Ann {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) top-k: partition the corpus into `nCentroids`
+    * cells around deterministically-sampled centroid vectors (the corpus
+    * rows with the smallest id-hash — no trained model, reproducible);
+    * each query probes its `nProbe` nearest cells and re-ranks exactly
+    * inside them. The cluster-scale shape: the corpus is scored against a
+    * broadcast centroid table once at build, and query work is
+    * `nProbe/nCentroids` of the corpus instead of all of it. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(
+      corpus.select(col(idCol), col(vecCol))
+        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCentroids)
+        .select(row_number().over(Window.orderBy(col(idCol))).as("__cid"),
+          col(vecCol).as("__cv")))
+
+    def assign(df: DataFrame, idAs: String, vecAs: String, probes: Int) = {
+      val scored = df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+        .join(cents, lit(true))
+        .select(col(idAs), col(vecAs), col("__cid"),
+          VectorMath.cosine(col(vecAs), col("__cv")).as("__cdist"))
+      val w = Window.partitionBy(col(idAs)).orderBy(col("__cdist").desc, col("__cid"))
+      scored.withColumn("__crn", row_number().over(w))
+        .filter(col("__crn") <= probes)
+        .drop("__cdist", "__crn")
+    }
+
+    val corpusCells = assign(corpus, "neighbor_id", "__cv2", probes = 1)
+    val queryCells = broadcast(assign(queries, "query_id", "__qv", probes = nProbe))
+    val scored = corpusCells.join(queryCells, Seq("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorMath.cosine(col("__qv"), col("__cv2")).as("cosine"))
+      .distinct() // a pair can meet in several probed cells
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers (SURVEY.md §5). AQE's skew-join split handles
+  * most cases at runtime; explicit salting remains the tool when one key
+  * dominates a shuffle so badly that even split partitions won't balance
+  * (the classic null-key / celebrity-key problem), or when the engine's
+  * stats can't see the skew coming. */
+object Skew {
+
+  /** Salted equi-join of a skewed `big` side against a `small` side:
+    * `big` rows get a deterministic salt in [0, factor) derived from a
+    * differentiating column (NOT the join key — same-key rows must spread),
+    * and `small` is exploded `factor`× so every salted key finds its match.
+    * Shuffle partitions for a hot key then fan out `factor`-wide instead of
+    * landing on one reducer. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltBy: Column, factor: Int, joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(xxhash64(saltBy), lit(factor)).cast("int"))
+    val saltedSmall = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
+    saltedBig
+      .join(saltedSmall, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Two-phase aggregation with an explicit salted pre-combine: groupBy
+    * (key, salt) first, then re-aggregate by key. Spark's partial
+    * aggregation usually makes this unnecessary for algebraic aggregates —
+    * use it for high-cardinality-state aggregations (collect_set /
+    * approx sketches) where a hot key's state would otherwise assemble on
+    * one reducer. `partials` builds the salted pre-aggregates; `finals`
+    * folds partials per key. */
+  def saltedTwoPhase(df: DataFrame, key: String, saltBy: Column, factor: Int,
+      partials: Seq[Column], finals: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(saltBy), lit(factor)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col(key))
+      .agg(finals.head, finals.tail: _*)
+}

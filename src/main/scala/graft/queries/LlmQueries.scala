@@ -92,6 +92,15 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** §2.3 #37b — IVF-bucketed ANN (rows-only gate; recall is statistical). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+    Ann.ivfTopK(
+        all.filter(col("vec_id") < 20), all.filter(col("vec_id") >= 20),
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** §2.3 #38 — heuristic language ID. */
   def textLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -145,6 +154,7 @@ object LlmQueries {
     "embed_neardup" -> (embedNeardup _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
