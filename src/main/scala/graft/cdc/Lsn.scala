@@ -1,0 +1,20 @@
+package graft.cdc
+
+/** Postgres LSN text format ("XLOG/OFFSET", both hex — e.g. "16/B374D848")
+  * ↔ 64-bit value, mirroring the reference's lsn utilities
+  * (sync/lsn/lsn.go, pglogrepl.LSN). The numeric form is what the engine
+  * orders and checkpoints on; the text form appears in slot/status APIs. */
+object Lsn {
+
+  def parse(s: String): Long = {
+    val idx = s.indexOf('/')
+    require(idx > 0 && idx < s.length - 1, s"malformed LSN: $s")
+    val hi = java.lang.Long.parseLong(s.substring(0, idx), 16)
+    val lo = java.lang.Long.parseLong(s.substring(idx + 1), 16)
+    require(hi <= 0xFFFFFFFFL && lo <= 0xFFFFFFFFL, s"malformed LSN: $s")
+    (hi << 32) | lo
+  }
+
+  def format(lsn: Long): String =
+    f"${lsn >>> 32}%X/${lsn & 0xFFFFFFFFL}%X"
+}

@@ -143,6 +143,8 @@ object CdcQueries {
         // raw lists differently); NULL elements spelled out
         concat_ws(",", transform(col("arr"),
           x => coalesce(x.cast("string"), lit("NULL")))).as("arr_csv"),
+        // VARIANT-style target representation (reference: arraytojson.go)
+        to_json(col("arr")).as("arr_json"),
         size(col("arr")).as("n_elems"),
         element_at(col("arr"), 2).as("second_elem"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -157,6 +159,32 @@ object CdcQueries {
       Tables.customer(s, dir), base, "customer", repartitionKeys = Seq("c_custkey"))
     s.read.parquet(live).orderBy(col("c_custkey"))
   }
+
+  /** §2.1 #6b — CSV backfill: COPY-style text CSV → typed frame through
+    * the same PG text decode the stream uses. The CSV is produced in-query
+    * from `customer` (text round-trip is lossless), so the oracle is the
+    * table itself. */
+  def cdcCsvBackfill(s: SparkSession, dir: String): DataFrame = {
+    val rel = Relation("public", "customer", Seq(
+      RelColumn("c_custkey", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("c_name", PgTypes.TextOid),
+      RelColumn("c_nationkey", PgTypes.Int4Oid),
+      RelColumn("c_acctbal", PgTypes.Float8Oid),
+      RelColumn("c_mktsegment", PgTypes.TextOid)))
+    val tmp = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_csv_backfill").getAbsolutePath
+    Tables.customer(s, dir)
+      .select(rel.columnNames.map(c => col(c).cast("string").as(c)): _*)
+      .write.mode("overwrite").option("nullValue", "").csv(tmp)
+    graft.sources.PgCsv.read(s, rel, tmp).orderBy(col("c_custkey"))
+  }
+
+  /** §2.2-adjacent — event-time tumbling windows (same code path as the
+    * streaming aggregate; watermark is a no-op on batch input). */
+  def qEventWindows(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventAggregator
+      .windowedStats(Tables.events(s, dir), "ts", "event_type", "value", "1 hour")
+      .orderBy(col("window_start"), col("event_type"))
 
   /** §2.1 #7 — schema diff report (rows-only gate). */
   def cdcSchemaDiff(s: SparkSession, dir: String): DataFrame = {
@@ -214,6 +242,8 @@ object CdcQueries {
     "cdc_text_cast" -> (cdcTextCast _),
     "pg_array_parse" -> (pgArrayParse _),
     "cdc_snapshot_typed" -> (cdcSnapshotTyped _),
+    "cdc_csv_backfill" -> (cdcCsvBackfill _),
+    "q_event_windows" -> (qEventWindows _),
     "cdc_schema_diff" -> (cdcSchemaDiff _),
     "cdc_typemap" -> (cdcTypemap _),
     "cdc_compact_rekey" -> (cdcCompactRekey _),
@@ -269,11 +299,21 @@ object CdcQueries {
     "pg_array_parse" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_orderkey AS VARCHAR) || ',' || CAST(l_partkey AS VARCHAR) || ',NULL' AS arr_csv,
+        |  '[' || CAST(l_orderkey AS VARCHAR) || ',' || CAST(l_partkey AS VARCHAR) || ',null]' AS arr_json,
         |  3 AS n_elems,
         |  l_partkey AS second_elem
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "cdc_snapshot_typed" ->
       """SELECT * FROM customer ORDER BY c_custkey""".stripMargin,
+    "cdc_csv_backfill" ->
+      """SELECT * FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_event_windows" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
   )
 }
