@@ -120,9 +120,9 @@ object Dedup {
       threshold: Double, bucketBits: Int = 12, dims: Int = 64): DataFrame = {
     import graft.functions.VectorMath
     val withBucket =
-      if (bucketBits == 0) vecs.select(col(idCol), col(vecCol), lit(0L).as("__bkt"))
+      (if (bucketBits == 0) vecs.select(col(idCol), col(vecCol), lit(0L).as("__bkt"))
       else vecs.select(col(idCol), col(vecCol),
-        VectorMath.hyperplaneBucket(col(vecCol), bucketBits, dims).as("__bkt"))
+        VectorMath.hyperplaneBucket(col(vecCol), bucketBits, dims).as("__bkt")))
     val a = withBucket.alias("a")
     val b = withBucket.alias("b")
     a.join(b, col("a.__bkt") === col("b.__bkt") && col(s"a.$idCol") < col(s"b.$idCol"))
