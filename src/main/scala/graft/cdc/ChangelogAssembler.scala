@@ -41,18 +41,22 @@ object ChangelogAssembler extends Serializable {
     case "DELETE" => "D"
   }
 
+  /** One complete transaction's messages → its actions, stamped with the
+    * commit LSN. Shared by the batch and stateful-streaming assemblers. */
+  def assembleTxn(msgs: Seq[WalMessage], commit: WalMessage): Iterator[ChangeAction] =
+    msgs.sortBy(_.seq).iterator.filter(m => dml.contains(m.msgType)).map { m =>
+      ChangeAction(m.table, commit.lsn, m.seq, opOf(m.msgType),
+        m.keyBefore, m.values, m.nulls, m.unchanged, m.rekey)
+    }
+
   def assemble(msgs: Dataset[WalMessage]): Dataset[ChangeAction] = {
     val spark = msgs.sparkSession
     import spark.implicits._
     msgs.groupByKey(_.xid).flatMapGroups { (_, it) =>
-      val ms = it.toSeq.sortBy(_.seq)
+      val ms = it.toSeq
       ms.find(_.msgType == "COMMIT") match {
         case None => Iterator.empty // incomplete txn: held back, as in the reference
-        case Some(commit) =>
-          ms.iterator.filter(m => dml.contains(m.msgType)).map { m =>
-            ChangeAction(m.table, commit.lsn, m.seq, opOf(m.msgType),
-              m.keyBefore, m.values, m.nulls, m.unchanged, m.rekey)
-          }
+        case Some(commit) => assembleTxn(ms, commit)
       }
     }
   }
