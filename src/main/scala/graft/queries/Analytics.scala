@@ -186,6 +186,35 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** §2.2 #31 — correlated aggregate subquery re-expressed as a join
+    * (TPC-H Q17 flavor: lineitems below 20% of their part's average
+    * quantity). The threshold compare is cross-multiplied
+    * (5·n·qty < sum) so no division touches the predicate — exact decimal
+    * arithmetic on both engines, no float boundary. */
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+    Tables.lineitem(s, dir)
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(dec(col("l_quantity")) * 5 * col("n") < col("sum_qty"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("total_price"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** §2.2 #32 — full outer join: per-nation customer vs supplier counts. */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val p = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).cast("int").as("nationkey"),
+        coalesce(col("n_cust"), lit(0)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
   /** §2.2 #30 — union of two sources + dedup. */
   def qUnionDedup(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(col("c_nationkey").cast("int").as("nationkey"))
@@ -303,6 +332,25 @@ object Analytics {
         |  round(quantile_cont(o_totalprice, 0.9), 3) AS p90,
         |  count(*) AS n_rows
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey AS pk,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN per_part ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n < sum_qty""".stripMargin,
+    "q_full_outer" ->
+      """SELECT CAST(coalesce(c.ck, p.sk) AS INT) AS nationkey,
+        |  coalesce(c.n_cust, 0) AS n_cust,
+        |  coalesce(p.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1) p
+        |ON c.ck = p.sk
+        |ORDER BY nationkey""".stripMargin,
     "q_union_dedup" ->
       """SELECT DISTINCT nationkey FROM (
         |  SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
@@ -327,5 +375,7 @@ object Analytics {
     "q_sessionize" -> (qSessionize _),
     "q_percentiles" -> (qPercentiles _),
     "q_union_dedup" -> (qUnionDedup _),
+    "q17_small_quantity" -> (q17SmallQuantity _),
+    "q_full_outer" -> (qFullOuter _),
   )
 }
