@@ -106,8 +106,12 @@ class CompactorSpec extends AnyFunSuite with Matchers {
               (act(lsn, "I", k, s"v$lsn"), live + k, vacant - k))) else Nil) ++
           (if (live.nonEmpty) Seq(
             Gen.oneOf(live.toSeq).flatMap(k =>
-              Gen.oneOf(Seq(Nil, Seq("val"))).map(unch =>
-                (act(lsn, "U", k, s"v$lsn", unchanged = unch), live, vacant))),
+              // value state of "val": plain / TOAST-unchanged / explicit NULL
+              Gen.oneOf[(Seq[String], Seq[String], String)](
+                (Nil, Nil, s"v$lsn"), (Seq("val"), Nil, null), (Nil, Seq("val"), null))
+                .map { case (unch, nul, v) =>
+                  (act(lsn, "U", k, v, nulls = nul, unchanged = unch), live, vacant)
+                }),
             Gen.oneOf(live.toSeq).map(k =>
               (act(lsn, "D", k), live - k, vacant + k))) else Nil) ++
           (if (withRekey && live.nonEmpty && vacant.nonEmpty)
