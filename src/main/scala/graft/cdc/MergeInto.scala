@@ -37,8 +37,15 @@ object MergeInto {
     *                  surviving actions touch independent rows, so the merge
     *                  is order-free, exactly as the reference requires
     *                  (multi_row_action.go:65-68).
-    */
-  def apply(snapshot: DataFrame, changelog: Dataset[ChangeAction], relation: Relation): DataFrame = {
+    * @param broadcastChangelog true (default) for micro-batch-sized
+    *        changelogs: the snapshot is never shuffled. Set false for
+    *        backfill-sized changelogs against a *bucketed* snapshot
+    *        (SnapshotWriter.publishBucketed): the sort-merge join then
+    *        exchanges only the changelog side — the snapshot reads
+    *        bucket-local. */
+  def apply(snapshot: DataFrame, changelog: Dataset[ChangeAction], relation: Relation,
+      broadcastChangelog: Boolean = true): DataFrame = {
+    def maybeBcast(df: DataFrame): DataFrame = if (broadcastChangelog) broadcast(df) else df
     val keyCols = relation.identityColumnNames
     require(keyCols.nonEmpty, s"relation ${relation.qualifiedName} has no identity columns")
 
@@ -67,7 +74,7 @@ object MergeInto {
     val joinCond = keyCols.map(k => snapshot(k) === clProjected(s"__kb_$k")).reduce(_ && _)
 
     // 1) updates/deletes/keeps: snapshot ⟕ broadcast(changelog)
-    val joined = snapshot.join(broadcast(clProjected), joinCond, "left_outer")
+    val joined = snapshot.join(maybeBcast(clProjected), joinCond, "left_outer")
     val updated = joined
       .filter(col("__op").isNull || col("__op") =!= "D")
       .select(relation.columns.map { c =>
@@ -89,10 +96,10 @@ object MergeInto {
     // 2) inserts: changelog keys that matched nothing in the snapshot
     val matchedKeys = snapshot
       .select(keyCols.map(snapshot(_)): _*)
-      .join(broadcast(clProjected), joinCond, "left_semi")
+      .join(maybeBcast(clProjected), joinCond, "left_semi")
     val inserts = clProjected
       .filter(col("__op") =!= "D")
-      .join(broadcast(matchedKeys),
+      .join(maybeBcast(matchedKeys),
         keyCols.map(k => clProjected(s"__kb_$k") === matchedKeys(k)).reduce(_ && _),
         "left_anti")
       .select(relation.columns.map { c =>

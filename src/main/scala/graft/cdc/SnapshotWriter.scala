@@ -60,4 +60,17 @@ object SnapshotWriter {
     if (existed) fs.delete(trashPathH, true)
     live
   }
+
+  /** Publish the snapshot as a *bucketed* catalog table: co-located by the
+    * identity key so repeated [[MergeInto]] runs (broadcastChangelog=false)
+    * and key-equi-joins read bucket-local with no snapshot exchange. The
+    * bucketed layout is the parquet analogue of the co-partitioning a
+    * warehouse gets from clustering keys. */
+  def publishBucketed(df: DataFrame, tableName: String,
+      bucketKeys: Seq[String], nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
 }

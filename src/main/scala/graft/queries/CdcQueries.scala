@@ -52,6 +52,19 @@ object CdcQueries {
       .orderBy(col("user_id"))
   }
 
+  /** §2.1 #2b — the columnar fast-path compactor on the same stream; same
+    * oracle as cdc_compact (the two implementations must agree). */
+  def cdcCompactFast(s: SparkSession, dir: String): DataFrame = {
+    ChangelogCompactor.compactSimple(eventActions(s, dir))
+      .toDF()
+      .select(
+        element_at(col("keyBefore"), "id").cast("long").as("user_id"),
+        col("op"),
+        element_at(col("values"), "val").cast("double").as("val"),
+        col("lsn"))
+      .orderBy(col("user_id"))
+  }
+
   /** §2.1 #1 — transaction assembly: DML messages only release with their
     * transaction's COMMIT and adopt its commit LSN. Transactions with
     * xid % 97 == 0 have no commit in the batch and are held back. */
@@ -237,6 +250,7 @@ object CdcQueries {
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_compact" -> (cdcCompact _),
+    "cdc_compact_fast" -> (cdcCompactFast _),
     "cdc_txn_assembly" -> (cdcTxnAssembly _),
     "cdc_merge_into" -> (cdcMergeInto _),
     "cdc_text_cast" -> (cdcTextCast _),
@@ -251,6 +265,16 @@ object CdcQueries {
 
   val oracle: Map[String, String] = Map(
     "cdc_compact" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, 'I' AS op, value AS val, event_id AS lsn
+        |FROM ranked
+        |WHERE rn = n AND NOT (n > 1 AND event_type = 'error')
+        |ORDER BY user_id""".stripMargin,
+    "cdc_compact_fast" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id, value, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
