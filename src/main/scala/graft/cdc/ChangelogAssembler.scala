@@ -42,12 +42,17 @@ object ChangelogAssembler extends Serializable {
   }
 
   /** One complete transaction's messages → its actions, stamped with the
-    * commit LSN. Shared by the batch and stateful-streaming assemblers. */
-  def assembleTxn(msgs: Seq[WalMessage], commit: WalMessage): Iterator[ChangeAction] =
+    * commit LSN. Shared by the batch and stateful-streaming assemblers.
+    * TRUNCATE errors the batch, exactly as the reference
+    * (message_accumulator.go:197-198 "truncate message not implemented"). */
+  def assembleTxn(msgs: Seq[WalMessage], commit: WalMessage): Iterator[ChangeAction] = {
+    if (msgs.exists(_.msgType == "TRUNCATE"))
+      throw new UnsupportedOperationException("truncate message not implemented")
     msgs.sortBy(_.seq).iterator.filter(m => dml.contains(m.msgType)).map { m =>
       ChangeAction(m.table, commit.lsn, m.seq, opOf(m.msgType),
         m.keyBefore, m.values, m.nulls, m.unchanged, m.rekey)
     }
+  }
 
   def assemble(msgs: Dataset[WalMessage]): Dataset[ChangeAction] = {
     val spark = msgs.sparkSession

@@ -65,6 +65,36 @@ object CdcQueries {
       .orderBy(col("user_id"))
   }
 
+  /** §2.1 #2c — compaction at lineitem scale: 600k actions / 150k keys at
+    * sf0.1 (per order: INSERT at its first line, UPDATEs after, ordered by
+    * line number) — the volume proof for the per-key fold. */
+  def cdcCompactLineitem(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    // the stream position (lsn) is the row_number over a value-inclusive
+    // order — ties then carry identical values and the compacted output
+    // stays deterministic on both engines.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_extendedprice"))
+    val actions = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        row_number().over(w).as("rn"))
+      .as[(Long, Double, Int)]
+      .map { case (order, price, rn) =>
+        ChangeAction("li", rn.toLong, 0, if (rn == 1) "I" else "U",
+          Map("id" -> order.toString),
+          Map("id" -> order.toString, "price" -> price.toString),
+          Nil, Nil, rekey = false)
+      }
+    ChangelogCompactor.compact(actions)
+      .toDF()
+      .select(element_at(col("keyBefore"), "id").cast("long").as("order_id"),
+        col("op"),
+        element_at(col("values"), "price").cast("double").as("val"),
+        col("lsn"))
+      .orderBy(col("order_id"))
+  }
+
   /** §2.1 #1 — transaction assembly: DML messages only release with their
     * transaction's COMMIT and adopt its commit LSN. Transactions with
     * xid % 97 == 0 have no commit in the batch and are held back. */
@@ -251,6 +281,7 @@ object CdcQueries {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_compact" -> (cdcCompact _),
     "cdc_compact_fast" -> (cdcCompactFast _),
+    "cdc_compact_lineitem" -> (cdcCompactLineitem _),
     "cdc_txn_assembly" -> (cdcTxnAssembly _),
     "cdc_merge_into" -> (cdcMergeInto _),
     "cdc_text_cast" -> (cdcTextCast _),
@@ -284,6 +315,17 @@ object CdcQueries {
         |FROM ranked
         |WHERE rn = n AND NOT (n > 1 AND event_type = 'error')
         |ORDER BY user_id""".stripMargin,
+    "cdc_compact_lineitem" ->
+      """WITH ranked AS (
+        |  SELECT l_orderkey, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_orderkey) AS n
+        |  FROM lineitem)
+        |SELECT l_orderkey AS order_id, 'I' AS op,
+        |  l_extendedprice AS val, CAST(n AS BIGINT) AS lsn
+        |FROM ranked WHERE rn = n
+        |ORDER BY order_id""".stripMargin,
     "cdc_txn_assembly" ->
       """SELECT event_id, user_id,
         |  (event_id // 5) * 1000 + 999 AS commit_lsn,

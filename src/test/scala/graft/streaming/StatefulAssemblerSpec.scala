@@ -39,6 +39,15 @@ class StatefulAssemblerSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("TRUNCATE in a committed transaction errors the batch (reference fidelity)") {
+    val msgs = Seq(
+      dml(5, 0, 1),
+      WalMessage(5, 1, "TRUNCATE", 0L, "t", Map.empty, Map.empty, Nil, Nil, false),
+      commit(5, 500))
+    an[UnsupportedOperationException] should be thrownBy
+      graft.cdc.ChangelogAssembler.assembleTxn(msgs, msgs.last).toList
+  }
+
   test("uncommitted transactions stay parked (no partial emission)") {
     val mem = MemoryStream[WalMessage]
     val out = StatefulAssembler.assembleStream(mem.toDS())
