@@ -39,7 +39,11 @@ object SnapshotWriter {
     val out =
       if (repartitionKeys.nonEmpty) {
         val cols = repartitionKeys.map(df(_))
-        numPartitions.map(n => df.repartition(n, cols: _*)).getOrElse(df.repartition(cols: _*))
+        val rep = numPartitions.map(n => df.repartition(n, cols: _*))
+          .getOrElse(df.repartition(cols: _*))
+        // cluster rows inside each file so parquet row-group min/max
+        // statistics prune key-range scans (data skipping)
+        rep.sortWithinPartitions(cols: _*)
       } else df
     out.write.mode("overwrite").parquet(scratch)
 

@@ -32,11 +32,18 @@ final class SchemaChangedException(msg: String) extends RuntimeException(msg)
   *     → all tables' new snapshots are staged as scratch dirs first, then
   *     published (renamed) together after every merge succeeded.
   */
+/** @param simpleStreams set true when the source emits full-row images
+  *        with no TOAST-unchanged columns and no identity-changing updates
+  *        (REPLICA IDENTITY FULL / Debezium-style feeds): per-batch
+  *        compaction then uses the columnar fast path
+  *        ([[ChangelogCompactor.compactSimple]]) — one codegen'd
+  *        aggregation instead of a typed fold. */
 final class StreamingMerge(
     spark: SparkSession,
     tablesBase: String,
     relations: Seq[Relation],
-    commitLogPath: String) extends Serializable {
+    commitLogPath: String,
+    simpleStreams: Boolean = false) extends Serializable {
 
   private val relByTable = relations.map(r => r.table -> r).toMap
   @transient lazy val commitLog = new CommitLog(spark, commitLogPath)
@@ -51,7 +58,8 @@ final class StreamingMerge(
     * cannot carry idempotence across restarts. */
   def applyBatch(batch: Dataset[ChangeAction], batchId: Long): Unit = {
     import batch.sparkSession.implicits._
-    val compacted = ChangelogCompactor.compact(batch).cache()
+    val compacted = (if (simpleStreams) ChangelogCompactor.compactSimple(batch)
+                     else ChangelogCompactor.compact(batch)).cache()
     try {
       val touched = compacted.map(_.table).distinct().collect().toSeq.sorted
       if (touched.isEmpty) return

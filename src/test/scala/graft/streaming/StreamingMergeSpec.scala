@@ -75,6 +75,17 @@ class StreamingMergeSpec extends AnyFunSuite with Matchers {
     sm.commitLog.lastLsn shouldBe Some(9L)
   }
 
+  test("simpleStreams fast path produces the same merged state") {
+    val base = tmp()
+    val sm = new StreamingMerge(spark, base, Seq(rel), s"$base/_log", simpleStreams = true)
+    sm.applyBatch(Seq(
+      action("items", 1, "I", 1, "a"),
+      action("items", 2, "U", 1, "a2"),
+      action("items", 3, "I", 2, "b"),
+      action("items", 4, "D", 2)).toDS(), batchId = 0)
+    tableRows(base, "items") shouldBe Set((1L, "a2"))
+  }
+
   test("unknown relation in the stream raises SchemaChangedException") {
     val base = tmp()
     val sm = new StreamingMerge(spark, base, Seq(rel), s"$base/_log")
