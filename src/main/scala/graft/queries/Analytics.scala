@@ -222,6 +222,35 @@ object Analytics {
     c.union(p).distinct().orderBy(col("nationkey"))
   }
 
+  /** §2.2 #33 — string function surface: LIKE/regexp filters, case,
+    * substring, padding, concatenation. */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir)
+      .filter(col("p_type").like("%BRASS%") || col("p_name").rlike("^[aeiou]"))
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** §2.2 #34 — date/time function surface: extract, truncation, day
+    * difference, month arithmetic. */
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("1998-12-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_cutoff"),
+        add_months(col("o_orderdate").cast("date"), 3).cast("timestamp").as("plus3m"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Oracle SQL (DuckDB) for each query above — column names and ordering
     * must match the Spark output exactly. */
   val oracle: Map[String, String] = Map(
@@ -351,6 +380,26 @@ object Analytics {
         |FULL OUTER JOIN (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1) p
         |ON c.ck = p.sk
         |ORDER BY nationkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  substr(p_name, 1, 8) AS name8,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  length(p_name) AS name_len
+        |FROM part
+        |WHERE p_type LIKE '%BRASS%' OR regexp_matches(p_name, '^[aeiou]')
+        |ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  month(o_orderdate) AS m,
+        |  dayofmonth(o_orderdate) AS d,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS days_to_cutoff,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "q_union_dedup" ->
       """SELECT DISTINCT nationkey FROM (
         |  SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
@@ -377,5 +426,7 @@ object Analytics {
     "q_union_dedup" -> (qUnionDedup _),
     "q17_small_quantity" -> (q17SmallQuantity _),
     "q_full_outer" -> (qFullOuter _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
   )
 }
