@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming relational operators beyond the merge pipeline — the
+  * Structured Streaming surface a CDC-fed lakehouse needs day one:
+  * stream-stream interval joins (attribute one stream's events to
+  * another's within a time window, with watermark-bounded state) and
+  * watermark-bounded deduplication of at-least-once feeds. */
+object StreamOps {
+
+  /** Interval join: rows of `left` pair with rows of `right` sharing
+    * `keyCol`, where right.ts ∈ [left.ts, left.ts + within]. Both sides
+    * carry `watermark` so join state is dropped once the window can no
+    * longer match. Works identically on batch frames (watermark no-op). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, within: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+      col(s"r.$tsCol") >= col(s"l.$tsCol") &&
+      col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $within"))
+  }
+
+  /** At-least-once feed → effectively-once rows: drop duplicate keys with
+    * state bounded by the watermark (duplicates arriving later than the
+    * watermark delay are the source's contract violation, exactly the
+    * reference's at-least-once + idempotent-apply stance). */
+  def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String],
+      tsCol: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+}
