@@ -40,6 +40,32 @@ object LlmQueries {
       .filter(col("n_copies") > 1)
       .orderBy(col("keep_id"))
 
+  /** §2.3 #31b — exact dedup after text normalization (lowercase +
+    * whitespace collapse): catches case/spacing variants byte-exact dedup
+    * misses. Corpus plants uppercased copies. */
+  def dedupExactNorm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(upper(col("text")), lit("  ")).as("text")))
+    Dedup.exactGroups(corpus, "doc_id", "text", normalize = true)
+      .filter(col("n_copies") > 1)
+      .orderBy(col("keep_id"))
+  }
+
+  /** §2.3 #39b — the end-use of quality scoring: keep documents passing
+    * the signal thresholds (the training-data filter step). */
+  def textFilter(s: SparkSession, dir: String): DataFrame = {
+    val sig = TextAnalysis.qualitySignals(col("text")).toMap
+    Tables.documents(s, dir)
+      .filter(sig("n_tokens") >= 20 &&
+        sig("stopword_ratio") >= 0.01 &&
+        sig("mean_token_len") < lit(12.0))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2.3 #32 — MinHash+LSH near-dup pipeline (rows-only gate; the LSH
     * S-curve is statistical, the verify step is exact). */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
@@ -148,6 +174,8 @@ object LlmQueries {
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_exact_norm" -> (dedupExactNorm _),
+    "text_filter" -> (textFilter _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -176,6 +204,30 @@ object LlmQueries {
         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM corpus GROUP BY text HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
+    "dedup_exact_norm" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, upper(text) || '  ' FROM documents WHERE doc_id % 5 = 0),
+        |normed AS (
+        |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+        |  FROM corpus)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM normed GROUP BY t HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+    "text_filter" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    length(text) AS nc,
+        |    len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |        x -> x IN ($enList))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM t
+        |WHERE n_tokens >= 20
+        |  AND n_stop::DOUBLE / n_tokens >= 0.01
+        |  AND (nc - (n_tokens - 1))::DOUBLE / n_tokens < 12.0
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
