@@ -29,6 +29,21 @@ object Sketches {
       inputTypes = Seq(StringType, IntegerType, IntegerType),
       propagateNull = true, returnNullable = true))
 
+  /** Distinct k-gram shingles of the lowercased text, single pass. The
+    * higher-order-function formulation (`transform(sequence, substr)`)
+    * re-scans the string per element — O(len²) per document — while this
+    * is one linear sweep. Same result set as the SQL-comprehension oracle
+    * for BMP text. */
+  def shingleSet(text: Column, k: Int): Column =
+    GraftBridge.column(StaticInvoke(
+      SketchImpl.getClass,
+      ArrayType(StringType, containsNull = false),
+      "shingleSet",
+      Seq(GraftBridge.expression(text),
+        GraftBridge.expression(org.apache.spark.sql.functions.lit(k))),
+      inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true, returnNullable = true))
+
   /** 64-bit SimHash of the text's k-shingle set. */
   def simhash64(text: Column, shingleK: Int): Column =
     GraftBridge.column(StaticInvoke(
@@ -74,6 +89,20 @@ object SketchImpl {
       i += 1
     }
     true
+  }
+
+  def shingleSet(text: UTF8String, k: Int): ArrayData = {
+    if (text == null) return null
+    val s = text.toString.toLowerCase
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (s.length >= k) {
+      var i = 0
+      while (i + k <= s.length) {
+        out.add(UTF8String.fromString(s.substring(i, i + k)))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]].map(x => x: Any))
   }
 
   def minhash(text: UTF8String, k: Int, numHashes: Int): ArrayData = {

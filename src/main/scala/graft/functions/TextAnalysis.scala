@@ -75,13 +75,8 @@ object TextAnalysis {
       "stopword_ratio" -> nStop.cast("double") / nTokens)
   }
 
-  /** Distinct character k-gram shingles (the unit for MinHash/Jaccard). */
-  def shingles(text: Column, k: Int): Column = {
-    val t = lower(text)
-    array_distinct(
-      filter(
-        transform(sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-          i => t.substr(i, lit(k))),
-        s => length(s) === k))
-  }
+  /** Distinct character k-gram shingles (the unit for MinHash/Jaccard).
+    * Single-pass static call — the `transform(sequence, substr)`
+    * formulation re-scans the string per position (O(len²)/doc). */
+  def shingles(text: Column, k: Int): Column = Sketches.shingleSet(text, k)
 }
