@@ -19,7 +19,10 @@ object Bench {
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // noop sink: forces full materialization of every output column
+      // (a bare count() would let Catalyst prune the projection and
+      // under-report the real query cost)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case e: Throwable =>
           // a failing query must be loud: a swallowed exception reads as a
           // suspiciously fast query in the benchmark output
