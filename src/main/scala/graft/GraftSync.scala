@@ -68,15 +68,28 @@ final class GraftSync(spark: SparkSession, cfg: SyncConfig) {
   def start(changes: Dataset[ChangeAction]): StreamingQuery =
     merge.start(changes, Trigger.ProcessingTime(cfg.batchTimeout))
 
-  /** Continuous sync from raw WAL-style messages: transaction assembly
-    * per micro-batch (per-xid), then the merge pipeline. */
+  /** Continuous sync from raw WAL-style messages. Assembly is STATEFUL
+    * (`StatefulAssembler.assembleStream`): a transaction whose messages
+    * straddle a micro-batch boundary parks in keyed state until its COMMIT
+    * arrives, then is released whole — the reference's accumulator buffers
+    * open transactions across reads identically (message_accumulator.go
+    * `wta.tx`). The per-batch `ChangelogAssembler.assemble` would silently
+    * lose the pre-boundary messages of such a transaction and apply a
+    * partial transaction to the target.
+    *
+    * @param openTxnTimeout optional eviction for transactions that never
+    *        commit (rolled back); see [[graft.streaming.StatefulAssembler]].
+    */
   def startFromMessages(messages: Dataset[WalMessage],
-      streamName: String = "messages"): StreamingQuery =
-    messages.writeStream
+      streamName: String = "messages",
+      openTxnTimeout: Option[String] = None): StreamingQuery =
+    graft.streaming.StatefulAssembler.assembleStream(messages, openTxnTimeout)
+      .writeStream
+      .outputMode("append") // required by flatMapGroupsWithState(Append)
       .option("checkpointLocation", s"${cfg.checkpointBase}/$streamName")
       .trigger(Trigger.ProcessingTime(cfg.batchTimeout))
-      .foreachBatch { (batch: Dataset[WalMessage], batchId: Long) =>
-        merge.applyBatch(ChangelogAssembler.assemble(batch), batchId)
+      .foreachBatch { (batch: Dataset[ChangeAction], batchId: Long) =>
+        merge.applyBatch(batch, batchId)
       }
       .start()
 

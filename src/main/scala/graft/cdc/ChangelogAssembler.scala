@@ -54,13 +54,30 @@ object ChangelogAssembler extends Serializable {
     }
   }
 
-  def assemble(msgs: Dataset[WalMessage]): Dataset[ChangeAction] = {
+  /** Per-batch assembly. Correct only when the batch contains whole
+    * transactions; a transaction whose COMMIT lies beyond the batch
+    * boundary cannot be assembled here (its earlier messages are not
+    * retained anywhere). `strict=true` (the default) therefore fails
+    * loudly when a batch carries DML for an uncommitted xid instead of
+    * silently dropping it — callers that stream must use
+    * [[graft.streaming.StatefulAssembler.assembleStream]], which parks
+    * open transactions in keyed state across batches (the reference's
+    * accumulator holds `wta.tx` across reads the same way). `strict=false`
+    * reproduces drop-and-hold-back semantics for sources known to frame
+    * whole transactions per batch. */
+  def assemble(msgs: Dataset[WalMessage], strict: Boolean = true): Dataset[ChangeAction] = {
     val spark = msgs.sparkSession
     import spark.implicits._
-    msgs.groupByKey(_.xid).flatMapGroups { (_, it) =>
+    msgs.groupByKey(_.xid).flatMapGroups { (xid, it) =>
       val ms = it.toSeq
       ms.find(_.msgType == "COMMIT") match {
-        case None => Iterator.empty // incomplete txn: held back, as in the reference
+        case None if ms.exists(m => dml.contains(m.msgType)) && strict =>
+          throw new IllegalStateException(
+            s"xid=$xid has DML but no COMMIT in this batch: a transaction " +
+              "straddles the batch boundary; use StatefulAssembler.assembleStream " +
+              "for cross-batch assembly (or assemble(strict=false) if the source " +
+              "frames whole transactions per batch)")
+        case None => Iterator.empty // incomplete txn: held back
         case Some(commit) => assembleTxn(ms, commit)
       }
     }

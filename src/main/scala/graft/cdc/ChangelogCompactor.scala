@@ -155,28 +155,47 @@ object ChangelogCompactor extends Serializable {
 
   /** Hot-key collection guard: above this many distinct rekey endpoints the
     * batch is degenerate (mass key rewrite) and we fall back to the
-    * sequential path per table rather than ship a giant broadcast. */
-  private val MaxHotKeys = 1 << 20
+    * sequential path for every table that rekeys, rather than ship a giant
+    * broadcast. */
+  private val DefaultMaxHotKeys = 1 << 20
 
-  def compact(actions: Dataset[ChangeAction]): Dataset[ChangeAction] = {
+  def compact(actions: Dataset[ChangeAction],
+      maxHotKeys: Int = DefaultMaxHotKeys): Dataset[ChangeAction] = {
     val spark = actions.sparkSession
     import spark.implicits._
 
-    val hotKeys: Set[(String, String)] = actions
+    // collect limit+1 so overflow is DETECTED, never silently truncated —
+    // a dropped endpoint would route chain members to the cold path, which
+    // groups only by keyBefore and cannot follow rekey chains.
+    val collected: Array[(String, String)] = actions
       .filter(_.rekey)
       .flatMap(a => Seq((a.table, keyStr(a.keyBefore)), (a.table, keyStr(a.keyAfter))))
       .distinct()
-      .limit(MaxHotKeys)
+      .limit(maxHotKeys + 1)
       .collect()
-      .toSet
 
-    if (hotKeys.isEmpty) {
+    if (collected.isEmpty) {
       // Fast path: pure key-partitioned fold, no second pass.
       actions
         .groupByKey(a => (a.table, keyStr(a.keyBefore)))
         .flatMapGroups { (_, it) => foldSameKey(it.toSeq) }
+    } else if (collected.length > maxHotKeys) {
+      // Degenerate batch (mass key rewrite): the endpoint set is too big to
+      // broadcast, so the documented degradation applies — every table that
+      // contains a rekeying update is compacted wholly by the sequential
+      // reference algorithm; tables without rekeys still take the
+      // distributed cold path.
+      val rekeyTables = actions.filter(_.rekey).map(_.table).distinct().collect().toSet
+      val hotTables = spark.sparkContext.broadcast(rekeyTables)
+      val cold = actions.filter(a => !hotTables.value.contains(a.table))
+        .groupByKey(a => (a.table, keyStr(a.keyBefore)))
+        .flatMapGroups { (_, it) => foldSameKey(it.toSeq) }
+      val hotCompacted = actions.filter(a => hotTables.value.contains(a.table))
+        .groupByKey(_.table)
+        .flatMapGroups { (_, it) => sequentialDedup(it.toSeq).iterator }
+      cold.union(hotCompacted)
     } else {
-      val hot = spark.sparkContext.broadcast(hotKeys)
+      val hot = spark.sparkContext.broadcast(collected.toSet)
       val isHot = hotPredicate(hot)
       val cold = actions.filter(a => !isHot(a))
         .groupByKey(a => (a.table, keyStr(a.keyBefore)))

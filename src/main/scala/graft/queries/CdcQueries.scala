@@ -113,7 +113,9 @@ object CdcQueries {
       .filter(xid => xid % 97 != 0)
       .map(xid => WalMessage(xid, Int.MaxValue, "COMMIT", xid * 1000 + 999, "",
         Map.empty, Map.empty, Nil, Nil, rekey = false))
-    ChangelogAssembler.assemble(dmls.union(commits))
+    // strict=false: this query demonstrates hold-back of the commit-less
+    // xids (%97) — a real stream uses StatefulAssembler for those
+    ChangelogAssembler.assemble(dmls.union(commits), strict = false)
       .toDF()
       .select(
         element_at(col("values"), "id").cast("long").as("event_id"),

@@ -62,6 +62,48 @@ class GraftSyncSpec extends AnyFunSuite with Matchers {
       Set((1L, 150.0), (3L, 300.0))
   }
 
+  test("transaction straddling a micro-batch boundary applies whole") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sync3").toString
+    val cfg = SyncConfig(Seq(rel), s"$base/tables", s"$base/ckpt",
+      batchTimeout = "1 seconds")
+    val sync = new GraftSync(spark, cfg)
+    sync.backfill(rel, Seq((1L, 100.0)).toDF("id", "balance"))
+
+    def dml(xid: Long, seq: Int, op: String, id: Long, bal: Double) =
+      WalMessage(xid, seq, op, 0L, "accounts",
+        Map("id" -> id.toString),
+        Map("id" -> id.toString, "balance" -> bal.toString),
+        Nil, Nil, rekey = false)
+
+    val mem = MemoryStream[WalMessage]
+    val q = sync.startFromMessages(mem.toDS())
+    try {
+      // batch 1: first half of txn 200 — must NOT apply anything yet
+      mem.addData(dml(200, 0, "UPDATE", 1, 111.0))
+      q.processAllAvailable()
+      sync.table("accounts").as[(Long, Double)].collect().toSet shouldBe
+        Set((1L, 100.0))
+      // batch 2: second half + COMMIT — the WHOLE txn applies (both rows),
+      // not just the post-boundary tail
+      mem.addData(
+        dml(200, 1, "INSERT", 9, 900.0),
+        WalMessage(200, Int.MaxValue, "COMMIT", 2000, "", Map.empty, Map.empty, Nil, Nil, false))
+      q.processAllAvailable()
+    } finally q.stop()
+    sync.table("accounts").as[(Long, Double)].collect().toSet shouldBe
+      Set((1L, 111.0), (9L, 900.0))
+  }
+
+  test("batch assembler strict mode rejects straddling transactions") {
+    val msgs = Seq(
+      WalMessage(7L, 0, "INSERT", 0L, "accounts", Map("id" -> "1"),
+        Map("id" -> "1", "balance" -> "5"), Nil, Nil, rekey = false)).toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      ChangelogAssembler.assemble(msgs).collect()
+    }
+    ex.getMessage should include regex "(?i)stateful|commit"
+  }
+
   test("verifyRelation reports schema drift") {
     val base = java.nio.file.Files.createTempDirectory("graft-sync2").toString
     val cfg = SyncConfig(Seq(rel), s"$base/tables", s"$base/ckpt")

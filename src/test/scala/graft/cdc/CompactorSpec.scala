@@ -149,6 +149,31 @@ class CompactorSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("hot-key overflow degrades to per-table sequential, never truncates") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // maxHotKeys=1 forces the overflow branch on any stream with ≥1 rekey
+    // (each rekey contributes 2 endpoints); mix in a rekey-free table that
+    // must still take the distributed cold path.
+    samples(genStream(5, 30, withRekey = true), 5).foreach { stream =>
+      // a valid per-key I/U stream for a second, rekey-free table: first
+      // touch of each id is an insert, later touches are updates
+      val seen = scala.collection.mutable.Set.empty[String]
+      val otherValid = stream.zipWithIndex.map { case (a, i) =>
+        val id = (i % 3).toString
+        val op = if (seen.add(id)) "I" else "U"
+        ChangeAction("other", a.lsn, a.seq, op, Map("id" -> id),
+          Map("id" -> id, "val" -> s"x$i"), Nil, Nil, rekey = false)
+      }
+      val all = stream ++ otherValid
+      val expected = (ChangelogCompactor.sequentialDedup(stream) ++
+        ChangelogCompactor.sequentialDedup(otherValid)).map(norm).toSet
+      val got = ChangelogCompactor.compact(all.toDS(), maxHotKeys = 1)
+        .collect().map(norm).toSet
+      got shouldBe expected
+    }
+  }
+
   test("compacted actions touch independent rows (after-keys unique)") {
     val spark = TestSpark.spark
     import spark.implicits._
