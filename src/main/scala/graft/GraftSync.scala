@@ -52,6 +52,7 @@ final class GraftSync(spark: SparkSession, cfg: SyncConfig) {
   /** Schema verification before streaming starts (reference:
     * verifyRelations): source relation vs live table schema. */
   def verifyRelation(rel: Relation): Boolean = {
+    SnapshotWriter.recover(spark, cfg.tablesBase, rel.table)
     val live = SnapshotWriter.livePath(cfg.tablesBase, rel.table)
     val fs = new org.apache.hadoop.fs.Path(cfg.tablesBase)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -100,6 +101,8 @@ final class GraftSync(spark: SparkSession, cfg: SyncConfig) {
     Supervisor.runForever(body, resnapshot, maxRestarts)
 
   /** Read the current live state of a synced table. */
-  def table(name: String): DataFrame =
+  def table(name: String): DataFrame = {
+    SnapshotWriter.recover(spark, cfg.tablesBase, name)
     spark.read.parquet(SnapshotWriter.livePath(cfg.tablesBase, name))
+  }
 }

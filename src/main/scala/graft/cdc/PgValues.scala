@@ -18,8 +18,12 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   */
 object PgValues {
 
-  /** Typed column from a PG text-format value of the given type OID. */
-  def castText(c: Column, oid: Int, isArray: Boolean = false): Column =
+  /** Typed column from a PG text-format value of the given type OID.
+    * `numericMode` decides what an out-of-`decimal(38,18)`-range numeric
+    * does: fail the cast (ANSI, default), TRY-cast to NULL, or stay text —
+    * see [[PgTypes.NumericMode]]. */
+  def castText(c: Column, oid: Int, isArray: Boolean = false,
+      numericMode: PgTypes.NumericMode = PgTypes.NumericAnsi): Column =
     if (isArray) castArrayText(c, oid)
     else oid match {
       case PgTypes.BoolOid =>
@@ -29,8 +33,20 @@ object PgValues {
       case PgTypes.ByteaOid =>
         // PG hex bytea text format: "\x0a0b…" (byteaout)
         unhex(regexp_replace(c, "^\\\\x", ""))
+      case PgTypes.NumericOid => numericMode match {
+        case PgTypes.NumericText       => c.cast(StringType)
+        case PgTypes.NumericAnsi       => c.cast(PgTypes.toSpark(oid))
+        case PgTypes.NumericPermissive => tryCast(c, PgTypes.toSpark(oid))
+      }
       case _ => c.cast(PgTypes.toSpark(oid))
     }
+
+  /** TRY-semantics cast (overflow/malformed → NULL) regardless of the
+    * session's ANSI setting. */
+  private def tryCast(c: Column, to: DataType): Column =
+    GraftBridge.column(org.apache.spark.sql.catalyst.expressions.Cast(
+      GraftBridge.expression(c), to, None,
+      org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
 
   /** PG array literal (`{a,"b,c",NULL}`) → typed Spark array. The literal
     * parse is a codegen'd static call (StaticInvoke → PgArrayParser.parse),

@@ -32,8 +32,10 @@ final case class Relation(schema: String, table: String, columns: Seq[RelColumn]
         a.name == b.name && a.isIdentity == b.isIdentity && a.pgOid == b.pgOid
       }
 
-  def toStructType: StructType =
-    StructType(columns.map(c => StructField(c.name, PgTypes.toSpark(c.pgOid, c.isArray))))
+  def toStructType: StructType = toStructType(PgTypes.NumericAnsi)
+  def toStructType(numericMode: PgTypes.NumericMode): StructType =
+    StructType(columns.map(c =>
+      StructField(c.name, PgTypes.toSpark(c.pgOid, c.isArray, numericMode))))
 }
 
 /** Postgres OID → Spark type mapping, the analogue of the reference's
@@ -41,6 +43,25 @@ final case class Relation(schema: String, table: String, columns: Seq[RelColumn]
   * `getSfType`). OID values are the public pg_catalog constants.
   */
 object PgTypes {
+
+  /** Policy for PG `numeric` — PG numeric is UNBOUNDED precision while
+    * Spark decimals cap at 38 digits, so values with more than 20 integer
+    * digits (38-18) or more than 18 fractional digits cannot be represented
+    * by the default mapping. The reference sidesteps this by keeping the
+    * text and letting Snowflake NUMBER(38) handle it; Spark needs an
+    * explicit decision:
+    *
+    *  - [[NumericAnsi]] (default): `decimal(38,18)`; an out-of-range value
+    *    FAILS the cast loudly under ANSI mode (Spark 4's default) — no
+    *    silent corruption, matches "error the batch" semantics.
+    *  - [[NumericPermissive]]: `decimal(38,18)` via TRY cast; out-of-range
+    *    becomes NULL (lossy, never throws mid-merge).
+    *  - [[NumericText]]: keep the column as text, exactly as the reference
+    *    ships it; consumers cast where they know the bound. */
+  sealed trait NumericMode
+  case object NumericAnsi extends NumericMode
+  case object NumericPermissive extends NumericMode
+  case object NumericText extends NumericMode
   // pg_catalog.pg_type OIDs (public constants, see postgres
   // src/include/catalog/pg_type.dat)
   val BoolOid = 16
@@ -66,8 +87,10 @@ object PgTypes {
     * `from_json`/`get_json_object`) and arrays as ArrayType(StringType)
     * of element text (typed per-element downstream). Unknown OIDs fall
     * back to string, as the reference falls back to Snowflake STRING. */
-  def toSpark(oid: Int, isArray: Boolean = false): DataType =
+  def toSpark(oid: Int, isArray: Boolean = false,
+      numericMode: NumericMode = NumericAnsi): DataType =
     if (isArray) ArrayType(StringType)
+    else if (oid == NumericOid && numericMode == NumericText) StringType
     else oid match {
       case BoolOid                     => BooleanType
       case Int2Oid                     => ShortType

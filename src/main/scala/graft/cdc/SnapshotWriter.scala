@@ -47,22 +47,73 @@ object SnapshotWriter {
       } else df
     out.write.mode("overwrite").parquet(scratch)
 
+    swapLive(spark, base, table)
+    live
+  }
+
+  /** Promote a fully-written scratch dir to live: (live → trash) →
+    * (scratch → live) → drop trash. The two renames are individually atomic
+    * but not jointly — a crash between them leaves no live dir, which is
+    * why every reader runs [[recover]] first: the scratch dir still holds
+    * the complete new version (parquet `_SUCCESS` proves it), so the swap
+    * can always be rolled forward. */
+  def swapLive(spark: SparkSession, base: String, table: String): Unit = {
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val livePathH = new Path(live)
-    val trashPathH = new Path(trash)
+    val livePathH = new Path(livePath(base, table))
+    val trashPathH = new Path(trashPath(base, table))
+    val scratchH = new Path(scratchPath(base, table))
+    require(fs.exists(new Path(scratchH, "_SUCCESS")),
+      s"refusing to publish incomplete scratch $scratchH (no _SUCCESS)")
     if (fs.exists(trashPathH)) fs.delete(trashPathH, true)
     val existed = fs.exists(livePathH)
     if (existed) {
       if (!fs.rename(livePathH, trashPathH))
-        throw new java.io.IOException(s"could not stage out old $live")
+        throw new java.io.IOException(s"could not stage out old $livePathH")
     }
-    if (!fs.rename(new Path(scratch), livePathH)) {
+    if (!fs.rename(scratchH, livePathH)) {
       // roll back so the previous live version stays queryable
       if (existed) fs.rename(trashPathH, livePathH)
-      throw new java.io.IOException(s"could not publish $scratch -> $live")
+      throw new java.io.IOException(s"could not publish $scratchH -> $livePathH")
     }
     if (existed) fs.delete(trashPathH, true)
-    live
+  }
+
+  /** Crash recovery for an interrupted [[swapLive]]. Idempotent; call
+    * before reading or merging into a table (single-writer assumed).
+    *
+    * A publish can die in three observable states:
+    *  1. live missing, scratch COMPLETE (`_SUCCESS`)  → the old live was
+    *     already staged out: roll FORWARD (finish scratch → live). Safe
+    *     even though the batch was never commit-logged — the batch replays
+    *     and [[MergeInto]] is idempotent.
+    *  2. live missing, scratch absent/incomplete, trash present → the
+    *     forward rename never started or scratch is unusable: roll BACK
+    *     (trash → live).
+    *  3. live present → publish either never started or fully completed:
+    *     drop stale trash/scratch leftovers.
+    * Without this, a crash inside the window makes the next merge read an
+    * EMPTY snapshot and silently republish only that batch's rows. */
+  def recover(spark: SparkSession, base: String, table: String): Unit = {
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(livePath(base, table))
+    val trash = new Path(trashPath(base, table))
+    val scratch = new Path(scratchPath(base, table))
+    val scratchComplete = fs.exists(new Path(scratch, "_SUCCESS"))
+    if (!fs.exists(live)) {
+      if (scratchComplete) {
+        if (!fs.rename(scratch, live))
+          throw new java.io.IOException(s"recovery: could not roll forward $scratch -> $live")
+        if (fs.exists(trash)) fs.delete(trash, true)
+      } else if (fs.exists(trash)) {
+        if (fs.exists(scratch)) fs.delete(scratch, true)
+        if (!fs.rename(trash, live))
+          throw new java.io.IOException(s"recovery: could not roll back $trash -> $live")
+      }
+      // neither scratch nor trash: table never existed — nothing to do
+    } else {
+      if (fs.exists(trash)) fs.delete(trash, true)
+      if (fs.exists(scratch)) fs.delete(scratch, true) // stale stage: its batch will replay
+    }
   }
 
   /** Publish the snapshot as a *bucketed* catalog table: co-located by the

@@ -70,6 +70,11 @@ final class StreamingMerge(
       val staged = touched.map { table =>
         val rel = relByTable.getOrElse(table,
           throw new SchemaChangedException(s"unknown relation in stream: $table"))
+        // a crash inside a previous publish window may have left live
+        // staged-out — roll the swap forward/back BEFORE deciding whether
+        // the snapshot exists, or this merge would silently rebuild the
+        // table from this batch alone
+        SnapshotWriter.recover(spark, tablesBase, table)
         val live = SnapshotWriter.livePath(tablesBase, table)
         val fs = new Path(tablesBase).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val snapshot: DataFrame =
@@ -84,13 +89,7 @@ final class StreamingMerge(
       // … then publish together: the multi-table batch becomes visible as a
       // unit, mirroring the reference's one-transaction-per-batch.
       staged.foreach { table =>
-        val fs = new Path(tablesBase).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val live = new Path(SnapshotWriter.livePath(tablesBase, table))
-        val trash = new Path(SnapshotWriter.trashPath(tablesBase, table))
-        if (fs.exists(trash)) fs.delete(trash, true)
-        if (fs.exists(live)) fs.rename(live, trash)
-        fs.rename(new Path(SnapshotWriter.scratchPath(tablesBase, table)), live)
-        fs.delete(trash, true)
+        SnapshotWriter.swapLive(spark, tablesBase, table)
       }
       commitLog.commit(batchId, math.max(watermark, maxLsn)) // ≙ StandbyStatusUpdate acknowledge
     } finally compacted.unpersist()

@@ -14,28 +14,53 @@ object Supervisor {
     *                    supervision (stream finished / test drained)
     * @param resync     invoked when `body` raises [[SchemaChangedException]]
     * @param maxRestarts give up after this many consecutive failures
+    * @param maxResyncs give up after this many resyncs in a row with no
+    *                    normal completion — a resync that doesn't converge
+    *                    (schema keeps flapping, or the callback fails to fix
+    *                    the mismatch) must surface as a failure, not loop
+    *                    resnapshot→restart forever
     * @param backoffMs  sleep between restarts (doubled each consecutive
-    *                    failure, reset on success) */
+    *                    failure; resyncs back off too, un-doubled)
+    * @param progressMs a body that ran at least this long before failing
+    *                    counts as progress and resets both consecutive
+    *                    counters (restart-intensity semantics: only rapid
+    *                    loops trip the bounds) */
   def runForever(
       body: () => Unit,
       resync: () => Unit = () => (),
       maxRestarts: Int = 10,
-      backoffMs: Long = 1000L): Result = {
+      maxResyncs: Int = 3,
+      backoffMs: Long = 1000L,
+      progressMs: Long = 60000L): Result = {
     var restarts = 0
     var resyncs = 0
     var consecutive = 0
+    var consecutiveResyncs = 0
     var done = false
     while (!done) {
+      val startedAt = System.nanoTime()
+      def ranLongEnough: Boolean =
+        (System.nanoTime() - startedAt) / 1000000L >= progressMs
       try {
         body()
         done = true
       } catch {
         case e: SchemaChangedException =>
+          // a body that ran for a while made progress: this is a FRESH
+          // schema change (restart-intensity pattern), not a non-converging
+          // resync loop
+          if (ranLongEnough) { consecutive = 0; consecutiveResyncs = 0 }
           resyncs += 1
           restarts += 1
           consecutive = 0
+          consecutiveResyncs += 1
+          if (consecutiveResyncs > maxResyncs)
+            throw new IllegalStateException(
+              s"schema resync did not converge after $resyncs attempts: ${e.getMessage}")
           resync()
+          Thread.sleep(backoffMs)
         case scala.util.control.NonFatal(_) =>
+          if (ranLongEnough) { consecutive = 0; consecutiveResyncs = 0 }
           restarts += 1
           consecutive += 1
           if (consecutive > maxRestarts)

@@ -66,6 +66,27 @@ class PgValuesSpec extends AnyFunSuite with Matchers {
     r.getDouble(2) shouldBe 12.5
   }
 
+  test("numeric overflow policy: ANSI throws, permissive nulls, text keeps") {
+    // 25 integer digits: outside decimal(38,18)'s 20-integer-digit range
+    val big = "1234567890123456789012345.5"
+    val df = Seq(big).toDF("n")
+    an[Exception] should be thrownBy
+      df.select(PgValues.castText(col("n"), PgTypes.NumericOid)).collect()
+    df.select(PgValues.castText(col("n"), PgTypes.NumericOid,
+        numericMode = PgTypes.NumericPermissive)).collect()(0).isNullAt(0) shouldBe true
+    df.select(PgValues.castText(col("n"), PgTypes.NumericOid,
+        numericMode = PgTypes.NumericText)).collect()(0).getString(0) shouldBe big
+    // in-range values are identical across modes
+    val small = Seq("12.50").toDF("n")
+    small.select(PgValues.castText(col("n"), PgTypes.NumericOid,
+      numericMode = PgTypes.NumericPermissive).cast("double"))
+      .collect()(0).getDouble(0) shouldBe 12.5
+    // NumericText flows through the schema mapping too
+    Relation("s", "t", Seq(RelColumn("n", PgTypes.NumericOid)))
+      .toStructType(PgTypes.NumericText).head.dataType shouldBe
+      org.apache.spark.sql.types.StringType
+  }
+
   test("relation → StructType via PgTypes") {
     val rel = Relation("public", "t", Seq(
       RelColumn("id", PgTypes.Int8Oid, isIdentity = true),

@@ -24,6 +24,43 @@ class SnapshotAndSchemaSpec extends AnyFunSuite with Matchers {
     new java.io.File(SnapshotWriter.trashPath(base, "items")).exists() shouldBe false
   }
 
+  test("recover rolls FORWARD a publish that crashed between the two renames") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-fwd").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotWriter.publish(Seq((1L, "old")).toDF("id", "v"), base, "t")
+    // stage v2 fully, then simulate the crash window: live staged out to
+    // trash, forward rename never ran → live is MISSING
+    Seq((1L, "new"), (2L, "n2")).toDF("id", "v")
+      .write.parquet(SnapshotWriter.scratchPath(base, "t"))
+    fs.rename(new org.apache.hadoop.fs.Path(SnapshotWriter.livePath(base, "t")),
+      new org.apache.hadoop.fs.Path(SnapshotWriter.trashPath(base, "t")))
+
+    SnapshotWriter.recover(spark, base, "t")
+    spark.read.parquet(SnapshotWriter.livePath(base, "t"))
+      .as[(Long, String)].collect().toSet shouldBe Set((1L, "new"), (2L, "n2"))
+    new java.io.File(SnapshotWriter.trashPath(base, "t")).exists() shouldBe false
+    // idempotent
+    SnapshotWriter.recover(spark, base, "t")
+    spark.read.parquet(SnapshotWriter.livePath(base, "t")).count() shouldBe 2
+  }
+
+  test("recover rolls BACK when the staged scratch is incomplete") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-back").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotWriter.publish(Seq((1L, "old")).toDF("id", "v"), base, "t")
+    // incomplete scratch: no _SUCCESS marker
+    fs.mkdirs(new org.apache.hadoop.fs.Path(SnapshotWriter.scratchPath(base, "t")))
+    fs.rename(new org.apache.hadoop.fs.Path(SnapshotWriter.livePath(base, "t")),
+      new org.apache.hadoop.fs.Path(SnapshotWriter.trashPath(base, "t")))
+
+    SnapshotWriter.recover(spark, base, "t")
+    spark.read.parquet(SnapshotWriter.livePath(base, "t"))
+      .as[(Long, String)].collect().toSet shouldBe Set((1L, "old"))
+    new java.io.File(SnapshotWriter.scratchPath(base, "t")).exists() shouldBe false
+  }
+
   test("schema diff reports only-in-source / only-in-target per (column,type)") {
     val src = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType),

@@ -60,6 +60,28 @@ class StreamingMergeSpec extends AnyFunSuite with Matchers {
     tableRows(base, "tags") shouldBe Set((10L, "t2"))
   }
 
+  test("merge after a crash inside the publish window loses no rows") {
+    val base = tmp()
+    val sm = new StreamingMerge(spark, base, Seq(rel), s"$base/_log")
+    sm.applyBatch(Seq(
+      action("items", 1, "I", 1, "a"),
+      action("items", 2, "I", 2, "b"),
+      action("items", 3, "I", 3, "c")).toDS(), 0L)
+    // simulate the crash: batch 1 staged its scratch, renamed live → trash,
+    // then died before scratch → live (live dir MISSING at restart)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(SnapshotWriter.livePath(base, "items"))
+      .write.parquet(SnapshotWriter.scratchPath(base, "items"))
+    fs.rename(new org.apache.hadoop.fs.Path(SnapshotWriter.livePath(base, "items")),
+      new org.apache.hadoop.fs.Path(SnapshotWriter.trashPath(base, "items")))
+
+    // restart: the replayed batch must see the full recovered snapshot,
+    // not an empty table
+    sm.applyBatch(Seq(action("items", 4, "U", 1, "a2")).toDS(), 1L)
+    tableRows(base, "items") shouldBe Set((1L, "a2"), (2L, "b"), (3L, "c"))
+  }
+
   test("replayed batch ids are skipped (idempotent apply + LSN commit log)") {
     val base = tmp()
     val sm = new StreamingMerge(spark, base, Seq(rel), s"$base/_log")
@@ -116,5 +138,17 @@ class StreamingMergeSpec extends AnyFunSuite with Matchers {
       Supervisor.runForever(
         body = () => throw new RuntimeException("always"),
         maxRestarts = 2, backoffMs = 1L)
+  }
+
+  test("supervisor bounds a non-converging resync loop") {
+    var resyncs = 0
+    val ex = intercept[IllegalStateException] {
+      Supervisor.runForever(
+        body = () => throw new SchemaChangedException("keeps flapping"),
+        resync = () => resyncs += 1,
+        maxResyncs = 2, backoffMs = 1L)
+    }
+    ex.getMessage should include("did not converge")
+    resyncs shouldBe 2 // third schema change trips the bound before resyncing
   }
 }
