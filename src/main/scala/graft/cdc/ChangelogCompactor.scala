@@ -1,6 +1,7 @@
 package graft.cdc
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** A row-level change action, the engine's analogue of the reference's
   * `db.RowAction` (sync/db/db.go:124-138):
@@ -164,15 +165,23 @@ object ChangelogCompactor extends Serializable {
     val spark = actions.sparkSession
     import spark.implicits._
 
+    // Columnar existence probe first: `rekey` is a plain boolean column, so
+    // this short-circuits at the first hit without deserializing a single
+    // ChangeAction — the overwhelmingly common no-rekey stream pays one
+    // cheap scan instead of a full typed pass.
+    val anyRekey = actions.toDF().where(col("rekey")).limit(1).count() > 0
+
     // collect limit+1 so overflow is DETECTED, never silently truncated —
     // a dropped endpoint would route chain members to the cold path, which
     // groups only by keyBefore and cannot follow rekey chains.
-    val collected: Array[(String, String)] = actions
-      .filter(_.rekey)
-      .flatMap(a => Seq((a.table, keyStr(a.keyBefore)), (a.table, keyStr(a.keyAfter))))
-      .distinct()
-      .limit(maxHotKeys + 1)
-      .collect()
+    val collected: Array[(String, String)] =
+      if (!anyRekey) Array.empty
+      else actions
+        .filter(_.rekey)
+        .flatMap(a => Seq((a.table, keyStr(a.keyBefore)), (a.table, keyStr(a.keyAfter))))
+        .distinct()
+        .limit(maxHotKeys + 1)
+        .collect()
 
     if (collected.isEmpty) {
       // Fast path: pure key-partitioned fold, no second pass.

@@ -1,20 +1,40 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-analysis column functions for large-scale training-data pipelines
-  * (SURVEY.md §2.3 #38-40). Everything is built from native, codegen'd
-  * Spark functions — no UDFs — so the expressions stay inside
-  * WholeStageCodegen next to the parquet scan.
+  * (SURVEY.md §2.3 #38-40). The per-document statistics are computed by
+  * ONE single-pass static call ([[TextAnalysisImpl.textStats]], codegen'd
+  * via StaticInvoke) shared by language-ID, quality scoring and token
+  * counting — the pure-expression formulation walked the text once per
+  * signal (three regex replaces + four tokenize-and-filter trees) and its
+  * generated-code size dominated small-batch latency. Semantics are
+  * IDENTICAL to the expression forms (and to the DuckDB oracle SQL):
+  * tokens = `split(trim(lower(text)), '\s+')` with Java-split field rules.
   */
 object TextAnalysis {
+
+  /** struct<n_chars,n_tokens,n_punct,n_upper,cjk,en,de,fr,es> computed in
+    * one pass over the document. */
+  def textStats(text: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      TextAnalysisImpl.getClass, TextAnalysisImpl.statsType, "textStats",
+      Seq(GraftBridge.expression(text)),
+      inputTypes = Seq(StringType),
+      propagateNull = true, returnNullable = true))
 
   /** Whitespace tokens of the trimmed, lowercased text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count (single-pass). */
+  def tokenCount(text: Column): Column = textStats(text)("n_tokens")
 
   /** BPE-ish subword segmentation: letter runs, digit runs, and single
     * non-alphanumeric marks — the classic pre-tokenizer split. ASCII
@@ -22,7 +42,11 @@ object TextAnalysis {
     * agree. */
   val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+    GraftBridge.column(StaticInvoke(
+      TextAnalysisImpl.getClass, IntegerType, "bpeishCount",
+      Seq(GraftBridge.expression(text)),
+      inputTypes = Seq(StringType),
+      propagateNull = true, returnNullable = false))
 
   /** Stopword-hit count for a language's function-word list. */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column =
@@ -44,39 +68,137 @@ object TextAnalysis {
   /** Heuristic language ID over {en,de,fr,es,zh}: CJK presence → zh, else
     * the language with the most stopword hits; ties break in the fixed
     * order en > de > fr > es so the result is deterministic. */
-  def langId(text: Column): Column = {
-    val en = stopwordHits(text, stopwords("en"))
-    val de = stopwordHits(text, stopwords("de"))
-    val fr = stopwordHits(text, stopwords("fr"))
-    val es = stopwordHits(text, stopwords("es"))
-    when(cjkCount(text) > 0, "zh")
+  def langId(text: Column): Column = langIdFromStats(textStats(text))
+
+  /** langId over an already-computed [[textStats]] struct (compute the
+    * stats once when a query also reads other signals). */
+  def langIdFromStats(st: Column): Column = {
+    val (en, de, fr, es) = (st("en"), st("de"), st("fr"), st("es"))
+    when(st("cjk") > 0, "zh")
       .when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")
       .otherwise("es")
   }
 
-  /** Quality-signal struct: length, token count, punctuation density, mean
-    * word length, uppercase ratio, stopword density (en). All exact integer
-    * arithmetic until the final double divisions, for cross-engine
-    * reproducibility. */
-  def qualitySignals(text: Column): Seq[(String, Column)] = {
-    val nChars = length(text)
-    val nTokens = tokenCount(text)
-    val nPunct = length(regexp_replace(text, "[^.,!?;:]", ""))
-    val nUpper = length(regexp_replace(text, "[^A-Z]", ""))
-    val nStop = stopwordHits(text, stopwords("en"))
+  /** Quality-signal columns: length, token count, punctuation density, mean
+    * word length, uppercase ratio, stopword density (en). One stats pass;
+    * exact integer arithmetic until the final double divisions, for
+    * cross-engine reproducibility. */
+  def qualitySignals(text: Column): Seq[(String, Column)] =
+    qualitySignalsFromStats(textStats(text))
+
+  def qualitySignalsFromStats(st: Column): Seq[(String, Column)] = {
+    val nChars = st("n_chars")
+    val nTokens = st("n_tokens")
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> nTokens,
-      "punct_ratio" -> nPunct.cast("double") / nChars,
-      "upper_ratio" -> nUpper.cast("double") / nChars,
+      "punct_ratio" -> st("n_punct").cast("double") / nChars,
+      "upper_ratio" -> st("n_upper").cast("double") / nChars,
       "mean_token_len" -> (nChars - (nTokens - lit(1))).cast("double") / nTokens,
-      "stopword_ratio" -> nStop.cast("double") / nTokens)
+      "stopword_ratio" -> st("en").cast("double") / nTokens)
   }
 
   /** Distinct character k-gram shingles (the unit for MinHash/Jaccard).
     * Single-pass static call — the `transform(sequence, substr)`
     * formulation re-scans the string per position (O(len²)/doc). */
   def shingles(text: Column, k: Int): Column = Sketches.shingleSet(text, k)
+}
+
+/** Single-pass implementations behind [[TextAnalysis]]'s StaticInvoke
+  * columns. Tokenization matches `split(trim(lower(text)), "\\s+")`
+  * exactly (Spark/DuckDB `trim` strips 0x20 only; Java split field rules —
+  * the oracle gate hash-verifies the equivalence). */
+object TextAnalysisImpl {
+
+  val statsType: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_upper", IntegerType, nullable = false),
+    StructField("cjk", IntegerType, nullable = false),
+    StructField("en", IntegerType, nullable = false),
+    StructField("de", IntegerType, nullable = false),
+    StructField("fr", IntegerType, nullable = false),
+    StructField("es", IntegerType, nullable = false)))
+
+  private val wsSplit = java.util.regex.Pattern.compile("\\s+")
+  private def set(lang: String) =
+    new java.util.HashSet[String](java.util.Arrays.asList(
+      TextAnalysis.stopwords(lang): _*))
+  private val enSet = set("en")
+  private val deSet = set("de")
+  private val frSet = set("fr")
+  private val esSet = set("es")
+
+  def textStats(text: UTF8String): InternalRow = {
+    if (text == null) return null
+    val raw = text.toString
+    val n = raw.length
+    var nPunct = 0
+    var nUpper = 0
+    var cjk = 0
+    var i = 0
+    while (i < n) {
+      val c = raw.charAt(i)
+      c match {
+        case '.' | ',' | '!' | '?' | ';' | ':' => nPunct += 1
+        case _ if c >= 'A' && c <= 'Z'         => nUpper += 1
+        case _ if c >= 0x4e00 && c <= 0x9fff   => cjk += 1
+        case _                                 => ()
+      }
+      i += 1
+    }
+    // tokens of split(trim(lower(text)), "\s+"): trim strips 0x20 only
+    var lo = 0
+    var hi = n
+    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+    // Spark's split() is str.split(regex, -1): trailing empties KEPT
+    val toks = wsSplit.split(raw.substring(lo, hi).toLowerCase, -1)
+    var en = 0; var de = 0; var fr = 0; var es = 0
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      if (enSet.contains(w)) en += 1
+      if (deSet.contains(w)) de += 1
+      if (frSet.contains(w)) fr += 1
+      if (esSet.contains(w)) es += 1
+      t += 1
+    }
+    new GenericInternalRow(Array[Any](
+      text.numChars(), toks.length, nPunct, nUpper, cjk, en, de, fr, es))
+  }
+
+  /** Count of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` matches, single sweep. */
+  def bpeishCount(text: UTF8String): Int = {
+    if (text == null) return 0
+    val s = text.toString
+    val n = s.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) {
+        count += 1
+        i += 1
+        while (i < n && {
+          val d = s.charAt(i); (d >= 'A' && d <= 'Z') || (d >= 'a' && d <= 'z')
+        }) i += 1
+      } else if (c >= '0' && c <= '9') {
+        count += 1
+        i += 1
+        while (i < n && { val d = s.charAt(i); d >= '0' && d <= '9' }) i += 1
+      } else if (!isJavaRegexWs(c)) {
+        count += 1
+        i += 1
+      } else i += 1
+    }
+    count
+  }
+
+  // Java regex \s = [ \t\n\x0B\f\r] (ASCII-only, unlike Character.isWhitespace)
+  private def isJavaRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
 }

@@ -1,40 +1,101 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Vector math over `array<float>` embedding columns, built from native
-  * higher-order functions (`zip_with` + `aggregate`) so the arithmetic is
-  * codegen'd and — being a strict left-to-right fold in double — bitwise
-  * reproducible across engines (verified against DuckDB's
-  * list_dot_product/list_cosine_similarity). */
+/** Vector math over `array<float>` embedding columns as codegen'd static
+  * calls (StaticInvoke → one JVM loop per row).
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`)
+  * produces the same values but a much larger generated-code tree — with
+  * cosine appearing in several operators of an ANN plan, Janino compile
+  * time dominated small-batch latency. The loop below performs the SAME
+  * strict left-to-right fold in double, so results stay bitwise equal to
+  * DuckDB's `list_dot_product`/`list_cosine_similarity` on `::DOUBLE[]`
+  * (verified by the driver's oracle gate). */
 object VectorMath {
 
   /** Cast an array<float> to array<double> for stable accumulation. */
-  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+  def toDouble(v: Column): Column = v.cast(ArrayType(DoubleType))
+
+  private def call(name: String, ret: DataType, args: Column*): Column =
+    GraftBridge.column(StaticInvoke(
+      VectorMathImpl.getClass, ret, name,
+      args.map(GraftBridge.expression),
+      inputTypes = args.map(_ => ArrayType(DoubleType)),
+      propagateNull = true, returnNullable = true))
 
   /** Sequential-fold dot product in double. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), _ * _), lit(0.0), _ + _)
+    call("dot", DoubleType, toDouble(a), toDouble(b))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    call("cosine", DoubleType, toDouble(a), toDouble(b))
 
   /** Random-hyperplane sign signature for LSH bucketing: `nBits` pseudo
-    * hyperplanes derived deterministically from `xxhash64(bit, dim)` —
-    * no stored model, reproducible across runs and executors. Returns a
-    * bigint bucket id. Used by the scale path of ANN search (bucket join
-    * instead of an all-pairs cross join). */
-  def hyperplaneBucket(v: Column, nBits: Int, dims: Int, seed: Int = 0): Column = {
-    // component c of hyperplane h: a fixed pseudo-random ±1/±2/… weight
-    val bits = (0 until nBits).map { h =>
-      val proj = aggregate(
-        zip_with(toDouble(v), sequence(lit(0), lit(dims - 1)),
-          (x, i) => x * (pmod(xxhash64(lit(seed), lit(h), i), lit(1000)).cast("double") - 499.5)),
-        lit(0.0), _ + _)
-      when(proj >= 0, lit(1L << h)).otherwise(lit(0L))
+    * hyperplanes with weights derived deterministically from a splitmix64
+    * of `(seed, bit, dim)` — no stored model, reproducible across runs and
+    * executors. Returns a bigint bucket id. Used by the scale path of ANN
+    * search (bucket join instead of an all-pairs cross join). */
+  def hyperplaneBucket(v: Column, nBits: Int, dims: Int, seed: Int = 0): Column =
+    GraftBridge.column(StaticInvoke(
+      VectorMathImpl.getClass, LongType, "hyperplaneBucket",
+      Seq(GraftBridge.expression(toDouble(v)),
+        GraftBridge.expression(lit(nBits)),
+        GraftBridge.expression(lit(seed))),
+      inputTypes = Seq(ArrayType(DoubleType), IntegerType, IntegerType),
+      propagateNull = true, returnNullable = true))
+}
+
+object VectorMathImpl {
+
+  /** Strict left-to-right fold, identical FP-operation order to
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double =
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+  // splitmix64 finalizer
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** All `nBits` hyperplane projections in ONE pass over the vector:
+    * weight(seed, bit, dim) ∈ [-499.5, 499.5] pseudo-random. */
+  def hyperplaneBucket(v: ArrayData, nBits: Int, seed: Int): Long = {
+    val n = v.numElements()
+    val proj = new Array[Double](nBits)
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      var h = 0
+      while (h < nBits) {
+        val w = java.lang.Math.floorMod(
+          mix(seed.toLong * 0x9E3779B9L + h.toLong * 0x85EBCA6BL + i), 1000L).toDouble - 499.5
+        proj(h) += x * w
+        h += 1
+      }
+      i += 1
     }
-    bits.reduce(_ + _)
+    var bucket = 0L
+    var h = 0
+    while (h < nBits) { if (proj(h) >= 0) bucket |= (1L << h); h += 1 }
+    bucket
   }
 }

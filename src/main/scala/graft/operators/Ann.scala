@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,30 +70,49 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = broadcast(
-      corpus.select(col(idCol), col(vecCol))
-        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCentroids)
-        .select(row_number().over(Window.orderBy(col(idCol))).as("__cid"),
-          col(vecCol).as("__cv")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Deterministic centroid sample: the nCentroids corpus rows with the
+    // smallest id-hash. Collected to the driver — bounded by nCentroids,
+    // exactly like shipping a trained quantizer model to executors — and
+    // baked into the plan as a literal, so cell assignment is a pure
+    // projection: no centroid join, no per-row window.
+    val centVecs: Array[Seq[Double]] = corpus
+      .select(col(idCol).cast("long"), VectorMath.toDouble(col(vecCol)))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCentroids)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2)
+    require(centVecs.nonEmpty, "empty corpus")
+    val centArr = array(centVecs.map(v => typedLit(v)): _*)
 
-    def assign(df: DataFrame, idAs: String, vecAs: String, probes: Int) = {
-      val scored = df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
-        .join(cents, lit(true))
-        .select(col(idAs), col(vecAs), col("__cid"),
-          VectorMath.cosine(col(vecAs), col("__cv")).as("__cdist"))
-      val w = Window.partitionBy(col(idAs)).orderBy(col("__cdist").desc, col("__cid"))
-      scored.withColumn("__crn", row_number().over(w))
-        .filter(col("__crn") <= probes)
-        .drop("__cdist", "__crn")
+    // per-row cell scores against every centroid (small: nCentroids entries)
+    def cellScores(vec: Column): Column =
+      transform(centArr, cv => VectorMath.cosine(vec, cv))
+    // corpus → its single best cell: first index of the max score
+    // (ties → smallest cell id, matching the former window tie-break)
+    def bestCell(vec: Column): Column = {
+      val s = cellScores(vec)
+      (array_position(s, array_max(s)) - 1).cast("int")
+    }
+    // query → its nProbe best cells
+    def probeCells(vec: Column): Column = {
+      val s = cellScores(vec)
+      val ranked = array_sort(zip_with(s,
+        sequence(lit(0), lit(centVecs.length - 1)),
+        (sc, i) => struct(sc.as("s"), i.as("i"))))
+      transform(slice(reverse(ranked), 1, nProbe), e => e("i").cast("int"))
     }
 
-    val corpusCells = assign(corpus, "neighbor_id", "__cv2", probes = 1)
-    val queryCells = broadcast(assign(queries, "query_id", "__qv", probes = nProbe))
+    val corpusCells = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), bestCell(col(vecCol)).as("__cid"))
+    val queryCells = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+          explode(probeCells(col(vecCol))).as("__cid")))
+    // each corpus row lives in exactly one cell → a (query, neighbor) pair
+    // meets at most once; no dedup needed
     val scored = corpusCells.join(queryCells, Seq("__cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        VectorMath.cosine(col("__qv"), col("__cv2")).as("cosine"))
-      .distinct() // a pair can meet in several probed cells
+        VectorMath.cosine(col("__qv"), col("__cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -130,15 +130,18 @@ object LlmQueries {
   /** §2.3 #38 — heuristic language ID. */
   def textLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.textStats(col("text")).as("__st"))
       .select(col("doc_id"),
-        TextAnalysis.langId(col("text")).as("pred_lang"),
-        (TextAnalysis.langId(col("text")) === col("lang")).as("matches_label"))
+        TextAnalysis.langIdFromStats(col("__st")).as("pred_lang"),
+        (TextAnalysis.langIdFromStats(col("__st")) === col("lang")).as("matches_label"))
       .orderBy(col("doc_id"))
 
   /** §2.3 #39 — quality scoring signals. */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
-    val sig = TextAnalysis.qualitySignals(col("text"))
+    val sig = TextAnalysis.qualitySignalsFromStats(col("__st"))
     Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.textStats(col("text")).as("__st"))
       .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
       .orderBy(col("doc_id"))
   }
