@@ -108,11 +108,15 @@ object SketchImpl {
   def minhash(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val any = foreachShingleHash(text, k) { h =>
+      // Kirsch–Mitzenmacher: hash family i = h1 + i*h2 from two derived
+      // hashes — one multiply-add per slot instead of a full remix
+      val h1 = mix(h)
+      val h2 = mix(h ^ 0xC2B2AE3D27D4EB4FL) | 1L
+      var hi = h1
       var i = 0
       while (i < numHashes) {
-        // per-i family: remix with the slot index
-        val hi = mix(h ^ (i.toLong * 0xC2B2AE3D27D4EB4FL))
         if (hi < mins(i)) mins(i) = hi
+        hi += h2
         i += 1
       }
     }

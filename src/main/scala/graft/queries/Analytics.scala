@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.{AsofJoin, RangeJoin}
 import graft.sources.Tables
 
 /** Analytics / operator-coverage queries (SURVEY.md §2.2) over the TPC-H-ish
@@ -406,7 +407,62 @@ object Analytics {
         |  UNION ALL
         |  SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier)
         |ORDER BY nationkey""".stripMargin,
+    "q_asof_join" ->
+      """SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us,
+        |  coalesce(r.event_id, -1) AS purchase_event,
+        |  coalesce(r.value, -1.0) AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH bands AS (
+        |  SELECT CAST(i AS INT) AS band_id,
+        |    i * 20000.0 * 0.9 AS lo,
+        |    (i + 1) * 20000.0 * 1.1 AS hi
+        |  FROM range(0, 25) t(i))
+        |SELECT band_id, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
   )
+
+  /** §2.2 #30f — as-of (point-in-time) join: each click event picks up the
+    * user's most recent purchase at or before it. Union + keyed running
+    * window — one shuffle, no range explosion (operators.AsofJoin); the
+    * oracle is DuckDB's native ASOF LEFT JOIN. NULL-free output (misses
+    * coalesced to -1) keeps the cross-engine hash stable. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_event"), col("value").as("purchase_value"))
+    AsofJoin(clicks, purchases, Seq("user_id"), "ts",
+        Seq("purchase_event", "purchase_value"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        coalesce(col("purchase_event"), lit(-1L)).as("purchase_event"),
+        coalesce(col("purchase_value"), lit(-1.0)).as("purchase_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** §2.2 #30g — range (interval) join: orders priced into overlapping
+    * price bands via bucketed equi-join (operators.RangeJoin), then a
+    * per-band rollup. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(0, 25).select(col("id").cast("int").as("band_id"),
+      (col("id") * 20000.0 * 0.9).as("lo"),
+      ((col("id") + 1) * 20000.0 * 1.1).as("hi"))
+    val orders = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+    RangeJoin.pointInInterval(orders, bands, "o_totalprice", "lo", "hi",
+        bucketWidth = 20000.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("band_id"))
+  }
 
   /** queries-map fragment for SparkEntry. */
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -428,5 +484,7 @@ object Analytics {
     "q_full_outer" -> (qFullOuter _),
     "q_string_funcs" -> (qStringFuncs _),
     "q_date_funcs" -> (qDateFuncs _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
   )
 }
