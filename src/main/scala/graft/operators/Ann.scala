@@ -104,9 +104,12 @@ object Ann {
 
     val corpusCells = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), bestCell(col(vecCol)).as("__cid"))
+    // explode gets its own projection: a generator whose child expression
+    // nests lambdas breaks self-join attribute dedup
     val queryCells = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-          explode(probeCells(col(vecCol))).as("__cid")))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        .withColumn("__cells", probeCells(col("__qv")))
+        .select(col("query_id"), col("__qv"), explode(col("__cells")).as("__cid")))
     // each corpus row lives in exactly one cell → a (query, neighbor) pair
     // meets at most once; no dedup needed
     val scored = corpusCells.join(queryCells, Seq("__cid"))

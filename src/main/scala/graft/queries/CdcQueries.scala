@@ -297,6 +297,43 @@ object CdcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // golden oracle: the engine's type surface is a fixed contract
+    // (snowflake_target.go:675-714 getSfType re-expressed for Spark) —
+    // pinning it catches accidental mapping drift
+    "cdc_typemap" ->
+      ("""SELECT CAST(c0 AS INT) AS pg_oid, c1 AS is_array, c2 AS spark_type
+        |FROM (VALUES
+        |""" +
+        Seq(16 -> "boolean", 17 -> "binary", 20 -> "bigint", 21 -> "smallint",
+          23 -> "int", 25 -> "string", 114 -> "string", 700 -> "float",
+          701 -> "double", 1042 -> "string", 1043 -> "string", 1082 -> "date",
+          1114 -> "timestamp_ntz", 1184 -> "timestamp",
+          1700 -> "decimal(38,18)", 2950 -> "string", 3802 -> "string")
+          .flatMap { case (oid, t) =>
+            Seq(s"  ($oid, false, '$t')", s"  ($oid, true, 'array<string>')")
+          }.mkString(",\n") +
+        """) t(c0, c1, c2)
+        |ORDER BY pg_oid, is_array""").stripMargin,
+    // golden oracle for the diff report shape on the synthesized drift
+    // (drop c_mktsegment, retype c_acctbal)
+    "cdc_schema_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('c_acctbal', 'double', 'only in: source'),
+        |  ('c_acctbal', 'string', 'only in: target'),
+        |  ('c_custkey', 'bigint', 'both'),
+        |  ('c_mktsegment', 'string', 'only in: source'),
+        |  ('c_name', 'string', 'both'),
+        |  ('c_nationkey', 'int', 'both')
+        |) t(column_name, data_type, status)
+        |ORDER BY column_name, data_type""".stripMargin,
+    // relational closed form of the synthesized rekey stream: lone updates
+    // pass through; %50 keys carry a two-step rekey chain whose merge keeps
+    // the ORIGINAL identity, the FINAL values, and the rekey flag
+    "cdc_compact_rekey" ->
+      """SELECT c_custkey AS id_before, 'U' AS op,
+        |  (c_custkey % 50 = 0) AS rekey,
+        |  CASE WHEN c_custkey % 50 = 0 THEN c_acctbal + 1 ELSE c_acctbal END AS bal
+        |FROM customer ORDER BY id_before""".stripMargin,
     "cdc_compact" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id, value, event_type,

@@ -118,12 +118,17 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** §2.3 #37b — IVF-bucketed ANN (rows-only gate; recall is statistical). */
+  /** §2.3 #37b — IVF-bucketed ANN. Probing ALL cells makes IVF exact
+    * (same results as brute force through the cell machinery), so this is
+    * hash-gated against the brute-force oracle; partial-probe recall is
+    * covered by LlmOperatorsSpec. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.embeddings(s, dir)
     Ann.ivfTopK(
         all.filter(col("vec_id") < 20), all.filter(col("vec_id") >= 20),
-        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 16)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cos_r"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -256,6 +261,19 @@ object LlmQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, id_a, id_b
         |LIMIT 50""".stripMargin,
+    // full-probe IVF is exact → same oracle as brute force
+    "ann_ivf" ->
+      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id >= 20),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.emb, c.emb) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS rank
+        |  FROM q CROSS JOIN c)
+        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
+        |FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id >= 20),
