@@ -53,4 +53,60 @@ object Multimodal {
         lit(format).as("format"))
       .as[MediaRecord]
   }
+
+  /** One sampled frame of a media payload (video frame / audio window). */
+  final case class MediaFrame(id: Long, frameIdx: Int, offset: Long,
+      frameBytes: Array[Byte])
+
+  /** Strided frame sampling — the video/audio fan-out shape: each payload
+    * yields up to `maxFrames` windows of `frameSize` bytes at `stride`
+    * spacing. A real implementation seeks keyframes via the codec; the
+    * byte-window version keeps the exact same row-explosion contract
+    * (1 → n rows, partition-local, no shuffle) and is oracle-checkable. */
+  def sampleFrames(ds: Dataset[MediaRecord], frameSize: Int, stride: Int,
+      maxFrames: Int): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      Iterator.range(0, maxFrames)
+        .map(i => (i, i.toLong * stride))
+        .takeWhile { case (_, off) => off + frameSize <= r.media.length }
+        .map { case (i, off) =>
+          MediaFrame(r.id, i, off,
+            java.util.Arrays.copyOfRange(r.media, off.toInt, off.toInt + frameSize))
+        }
+    }
+  }
+
+  /** ==== STUB ==== resize/transcode: deterministic byte-decimation to
+    * `targetBytes` standing in for a real resampler; preserves the
+    * batched-transform contract (binary in → binary out, same row). */
+  def resizeStub(ds: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val n = r.media.length
+      val out =
+        if (n <= targetBytes) r.media
+        else Array.tabulate(targetBytes)(i => r.media((i.toLong * n / targetBytes).toInt))
+      r.copy(media = out)
+    })
+  }
+
+  /** ==== STUB ==== media → embedding: a deterministic `dims`-float vector
+    * from the payload bytes (splitmix-mixed rolling state), standing in for
+    * a vision/audio encoder. Output feeds [[Ann]]/[[Dedup]] directly — the
+    * media → embedding → similarity pipeline with real partition shape. */
+  def embedStub(ds: Dataset[MediaRecord], dims: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val acc = new Array[Float](dims)
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < r.media.length) {
+        h = (h ^ r.media(i)) * 0xBF58476D1CE4E5B9L
+        acc((i % dims + dims) % dims) += ((h >>> 40).toInt % 256) / 256.0f
+        i += 1
+      }
+      (r.id, acc.toSeq)
+    }.toDF("id", "embedding")
+  }
 }

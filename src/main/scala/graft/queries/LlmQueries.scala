@@ -180,6 +180,19 @@ object LlmQueries {
       .orderBy(col("id"))
   }
 
+  /** §2.3 #42b — multimodal fan-out: strided frame sampling over binary
+    * payloads (1 → n rows, partition-local), frames fingerprinted for the
+    * oracle compare. */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaFrame(
+      Tables.documents(s, dir), "doc_id", "text", "vid")
+    Multimodal.sampleFrames(media, frameSize = 256, stride = 512, maxFrames = 8)
+      .toDF()
+      .select(col("id"), col("frameIdx").as("frame_idx"), col("offset"),
+        md5(col("frameBytes")).as("frame_md5"))
+      .orderBy(col("id"), col("frame_idx"))
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
@@ -196,6 +209,7 @@ object LlmQueries {
     "token_count" -> (tokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_frames" -> (multimodalFrames _),
   )
 
   private val enList = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")
@@ -336,5 +350,16 @@ object LlmQueries {
         |  octet_length(encode(text)) % 64 AS width,
         |  (octet_length(encode(text)) // 64) % 64 AS height
         |FROM documents ORDER BY id""".stripMargin,
+    // documents are ASCII (octet_length = length verified), so text
+    // substring is byte-exact for the frame windows
+    "multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, text AS b, octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT id, CAST(i AS INT) AS frame_idx, i * 512 AS offset,
+        |  md5(substring(b, CAST(i * 512 + 1 AS INT), 256)) AS frame_md5
+        |FROM m, generate_series(0, 7) s(i)
+        |WHERE i * 512 + 256 <= n
+        |ORDER BY id, frame_idx""".stripMargin,
   )
 }

@@ -105,6 +105,31 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
     feats(1L).height shouldBe (n / 64) % 64
   }
 
+  test("frame sampling fans out strided windows; resize decimates; embed is stable") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Array.tabulate(1300)(_.toByte), "vid"),
+      Multimodal.MediaRecord(2L, Array.tabulate(40)(_.toByte), "vid"))
+      .toDS()
+    val frames = Multimodal.sampleFrames(media, frameSize = 256, stride = 512,
+      maxFrames = 8).collect()
+    // id=1: offsets 0/512/1024 fit (1024+256 = 1280 <= 1300, a 4th would
+    // need 1536+256); id=2 (40 bytes): no frame fits
+    frames.map(f => (f.id, f.frameIdx, f.offset)).toSet shouldBe
+      Set((1L, 0, 0L), (1L, 1, 512L), (1L, 2, 1024L))
+    frames.foreach(_.frameBytes.length shouldBe 256)
+    frames.find(f => f.frameIdx == 1).get.frameBytes.head shouldBe 512.toByte
+
+    val resized = Multimodal.resizeStub(media, targetBytes = 64).collect()
+    resized.find(_.id == 1L).get.media.length shouldBe 64
+    resized.find(_.id == 2L).get.media.length shouldBe 40 // never upsamples
+
+    val e1 = Multimodal.embedStub(media, dims = 16).collect()
+    val e2 = Multimodal.embedStub(media, dims = 16).collect()
+    e1.map(_.toString).sorted shouldBe e2.map(_.toString).sorted // deterministic
+    e1.foreach(_.getSeq[Float](1).length shouldBe 16)
+  }
+
   test("cosine fold matches direct computation") {
     val r = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
       .toDF("a", "b")
