@@ -60,6 +60,34 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("partial_count")
   }
 
+  test("asof join is one keyed shuffle: no range explosion, no nested loop") {
+    import spark.implicits._
+    val quotes = Seq(("A", 10L, 1.0)).toDF("sym", "ts", "px")
+    val trades = Seq(("A", 12L, 5L)).toDF("sym", "ts", "qty")
+    val p = plan(operators.AsofJoin(trades, quotes, Seq("sym"), "ts", Seq("px")))
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    p should include("Window")
+    // exactly one exchange node: the union shuffles once on the key
+    // (formatted explain prints each node in the tree AND a details
+    // section, so count tree entries)
+    p.linesIterator.count(l =>
+      l.contains("- Exchange") || l.trim.startsWith("Exchange (")) shouldBe 1
+    p should include("hashpartitioning(sym")
+  }
+
+  test("range join plans as an equi-join on buckets, not a nested loop") {
+    import spark.implicits._
+    val intervals = Seq((1, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val points = Seq(5.0).toDF("p")
+    val p = plan(operators.RangeJoin.pointInInterval(
+      points, intervals, "p", "lo", "hi", bucketWidth = 5.0))
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin")) shouldBe true
+  }
+
   test("exact dedup shuffles 24-byte digests, not document text") {
     val p = plan(operators.Dedup.exactGroups(
       sources.Tables.documents(spark, dir), "doc_id", "text"))
