@@ -25,6 +25,12 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // ANSI stays ON (Spark 4 default), stated here as an explicit
+      // decision: an out-of-range cast mid-merge FAILS the batch loudly
+      // (the reference errors the batch on bad data the same way) instead
+      // of silently nulling; per-column opt-outs go through
+      // PgTypes.NumericMode / PgValues.castText permissive modes
+      .config("spark.sql.ansi.enabled", "true")
 
   def local(): SparkSession = {
     val s = builder().getOrCreate()

@@ -28,9 +28,32 @@ final case class SyncConfig(
     tablesBase: String,
     checkpointBase: String,
     batchTimeout: String = "60 seconds", // sync.batchtimeout
-    batchMaxItems: Long = 25000)         // sync.batchmaxitems → source admission
+    batchMaxItems: Long = 25000) {       // sync.batchmaxitems → source admission
 
-final class GraftSync(spark: SparkSession, cfg: SyncConfig) {
+  /** Fail-fast validation, mirroring the reference's config.Validate
+    * (config/config.go:86, required-field checks before anything runs). */
+  def validate(): SyncConfig = {
+    require(relations.nonEmpty, "sync.tables must list at least one relation")
+    val dup = relations.groupBy(_.table).collect { case (t, rs) if rs.size > 1 => t }
+    require(dup.isEmpty, s"duplicate relations configured: ${dup.mkString(",")}")
+    relations.foreach { r =>
+      require(r.identityColumns.nonEmpty,
+        s"${r.qualifiedName}: a replica identity (key) column is required")
+    }
+    require(tablesBase.nonEmpty, "tablesBase is required")
+    require(checkpointBase.nonEmpty, "checkpointBase is required")
+    require(batchMaxItems > 0, "batchmaxitems must be positive")
+    // trigger string must parse — fail at config time, not stream start
+    require(scala.util.Try(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(batchTimeout)).isSuccess,
+      s"unparseable batchtimeout: '$batchTimeout'")
+    this
+  }
+}
+
+final class GraftSync(spark: SparkSession, cfg0: SyncConfig) {
+
+  private val cfg = cfg0.validate()
 
   // The applied-LSN commit log lives WITH the target tables, not the
   // streaming checkpoint — "all state is in the source and target"

@@ -104,6 +104,25 @@ class GraftSyncSpec extends AnyFunSuite with Matchers {
     ex.getMessage should include regex "(?i)stateful|commit"
   }
 
+  test("config validation fails fast, mirroring config.Validate") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sync-v").toString
+    def cfg(rels: Seq[Relation] = Seq(rel), timeout: String = "1 seconds",
+        maxItems: Long = 10) =
+      SyncConfig(rels, s"$base/t", s"$base/c", timeout, maxItems)
+    an[IllegalArgumentException] should be thrownBy
+      new GraftSync(spark, cfg(rels = Nil))
+    an[IllegalArgumentException] should be thrownBy
+      new GraftSync(spark, cfg(rels = Seq(rel, rel)))
+    an[IllegalArgumentException] should be thrownBy
+      new GraftSync(spark, cfg(rels = Seq(Relation("public", "nokey",
+        Seq(RelColumn("v", PgTypes.TextOid))))))
+    an[IllegalArgumentException] should be thrownBy
+      new GraftSync(spark, cfg(timeout = "not a duration"))
+    an[IllegalArgumentException] should be thrownBy
+      new GraftSync(spark, cfg(maxItems = 0))
+    noException should be thrownBy new GraftSync(spark, cfg())
+  }
+
   test("verifyRelation reports schema drift") {
     val base = java.nio.file.Files.createTempDirectory("graft-sync2").toString
     val cfg = SyncConfig(Seq(rel), s"$base/tables", s"$base/ckpt")
