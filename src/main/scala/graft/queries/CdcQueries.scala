@@ -42,27 +42,25 @@ object CdcQueries {
     * I,U,…,U[,D] chain folds to a single insert carrying the last values
     * (or vanishes if the row was deleted). */
   def cdcCompact(s: SparkSession, dir: String): DataFrame = {
-    ChangelogCompactor.compact(eventActions(s, dir))
+    orderedSmall(ChangelogCompactor.compact(eventActions(s, dir))
       .toDF()
       .select(
         element_at(col("keyBefore"), "id").cast("long").as("user_id"),
         col("op"),
         element_at(col("values"), "val").cast("double").as("val"),
-        col("lsn"))
-      .orderBy(col("user_id"))
+        col("lsn")), col("user_id"))
   }
 
   /** §2.1 #2b — the columnar fast-path compactor on the same stream; same
     * oracle as cdc_compact (the two implementations must agree). */
   def cdcCompactFast(s: SparkSession, dir: String): DataFrame = {
-    ChangelogCompactor.compactSimple(eventActions(s, dir))
+    orderedSmall(ChangelogCompactor.compactSimple(eventActions(s, dir))
       .toDF()
       .select(
         element_at(col("keyBefore"), "id").cast("long").as("user_id"),
         col("op"),
         element_at(col("values"), "val").cast("double").as("val"),
-        col("lsn"))
-      .orderBy(col("user_id"))
+        col("lsn")), col("user_id"))
   }
 
   /** §2.1 #2c — compaction at lineitem scale: 600k actions / 150k keys at
@@ -86,13 +84,12 @@ object CdcQueries {
           Map("id" -> order.toString, "price" -> price.toString),
           Nil, Nil, rekey = false)
       }
-    ChangelogCompactor.compact(actions)
+    orderedSmall(ChangelogCompactor.compact(actions)
       .toDF()
       .select(element_at(col("keyBefore"), "id").cast("long").as("order_id"),
         col("op"),
         element_at(col("values"), "price").cast("double").as("val"),
-        col("lsn"))
-      .orderBy(col("order_id"))
+        col("lsn")), col("order_id"))
   }
 
   /** §2.1 #1 — transaction assembly: DML messages only release with their
@@ -115,14 +112,13 @@ object CdcQueries {
         Map.empty, Map.empty, Nil, Nil, rekey = false))
     // strict=false: this query demonstrates hold-back of the commit-less
     // xids (%97) — a real stream uses StatefulAssembler for those
-    ChangelogAssembler.assemble(dmls.union(commits), strict = false)
+    orderedSmall(ChangelogAssembler.assemble(dmls.union(commits), strict = false)
       .toDF()
       .select(
         element_at(col("values"), "id").cast("long").as("event_id"),
         element_at(col("values"), "user").cast("long").as("user_id"),
         col("lsn").as("commit_lsn"),
-        col("op"))
-      .orderBy(col("event_id"))
+        col("op")), col("event_id"))
   }
 
   /** §2.1 #3 — MERGE a compacted changelog into a snapshot: per-custkey
@@ -160,7 +156,11 @@ object CdcQueries {
     * columns, parsed back through PgValues (bool 't'/'f', int, date,
     * timestamp). */
   def cdcTextCast(s: SparkSession, dir: String): DataFrame = {
+    // sort FIRST on the narrow scan, project after: range partitioning
+    // samples its child, so an orderBy above the parse/format pipeline
+    // would execute that pipeline twice
     Tables.lineitem(s, dir)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
       .select(col("l_orderkey"), col("l_linenumber"),
         when(col("l_returnflag") === "R", "t").otherwise("f").as("bool_s"),
         col("l_partkey").cast("string").as("int_s"),
@@ -173,12 +173,14 @@ object CdcQueries {
         // the driver's hash compare sees one physical type on both sides
         PgValues.castText(col("date_s"), PgTypes.DateOid).cast("timestamp").as("d"),
         PgValues.castText(col("ts_s"), PgTypes.TimestamptzOid).as("ts"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** §2.1 #11 — PG array literal parse on synthesized `{k,p,NULL}` text. */
   def pgArrayParse(s: SparkSession, dir: String): DataFrame = {
+    // sort-first: see cdcTextCast — keeps the parse/json pipeline out of
+    // the range-partitioning sample pass
     Tables.lineitem(s, dir)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
       .select(col("l_orderkey"), col("l_linenumber"),
         concat(lit("{"), col("l_orderkey"), lit(","), col("l_partkey"), lit(",NULL}")).as("arr_s"))
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -192,7 +194,6 @@ object CdcQueries {
         to_json(col("arr")).as("arr_json"),
         size(col("arr")).as("n_elems"),
         element_at(col("arr"), 2).as("second_elem"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** §2.1 #6 — backfill: publish the typed snapshot atomically (scratch →
@@ -272,12 +273,11 @@ object CdcQueries {
               Nil, Nil, rekey = true))
         else Seq(base)
       }
-    ChangelogCompactor.compact(actions)
+    orderedSmall(ChangelogCompactor.compact(actions)
       .toDF()
       .select(element_at(col("keyBefore"), "id").cast("long").as("id_before"),
         col("op"), col("rekey"),
-        element_at(col("values"), "bal").cast("double").as("bal"))
-      .orderBy(col("id_before"))
+        element_at(col("values"), "bal").cast("double").as("bal")), col("id_before"))
   }
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -36,9 +36,8 @@ object LlmQueries {
 
   /** §2.3 #31 — exact dedup over md5 buckets. */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Dedup.exactGroups(withExactCopies(s, dir), "doc_id", "text")
-      .filter(col("n_copies") > 1)
-      .orderBy(col("keep_id"))
+    orderedSmall(Dedup.exactGroups(withExactCopies(s, dir), "doc_id", "text")
+      .filter(col("n_copies") > 1), col("keep_id"))
 
   /** §2.3 #31b — exact dedup after text normalization (lowercase +
     * whitespace collapse): catches case/spacing variants byte-exact dedup
@@ -49,9 +48,8 @@ object LlmQueries {
       docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 10000).as("doc_id"),
           concat(upper(col("text")), lit("  ")).as("text")))
-    Dedup.exactGroups(corpus, "doc_id", "text", normalize = true)
-      .filter(col("n_copies") > 1)
-      .orderBy(col("keep_id"))
+    orderedSmall(Dedup.exactGroups(corpus, "doc_id", "text", normalize = true)
+      .filter(col("n_copies") > 1), col("keep_id"))
   }
 
   /** §2.3 #39b — the end-use of quality scoring: keep documents passing
@@ -69,23 +67,22 @@ object LlmQueries {
   /** §2.3 #32 — MinHash+LSH near-dup pipeline (rows-only gate; the LSH
     * S-curve is statistical, the verify step is exact). */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(withNearCopies(s, dir), "doc_id", "text",
-        shingleK = 5, numHashes = 64, bands = 8, threshold = 0.7)
-      .orderBy(col("id_a"), col("id_b"))
+    orderedSmall(Dedup.minhashPairs(withNearCopies(s, dir), "doc_id", "text",
+        shingleK = 5, numHashes = 64, bands = 8, threshold = 0.7),
+      col("id_a"), col("id_b"))
 
   /** §2.3 #33 — SimHash near-dup (rows-only gate). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(withNearCopies(s, dir), "doc_id", "text",
-        shingleK = 5, maxHamming = 3)
-      .orderBy(col("id_a"), col("id_b"))
+    orderedSmall(Dedup.simhashPairs(withNearCopies(s, dir), "doc_id", "text",
+        shingleK = 5, maxHamming = 3), col("id_a"), col("id_b"))
 
   /** §2.3 #34 — exact 3-gram Jaccard on the planted candidate pairs. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val corpus = withNearCopies(s, dir)
     val pairs = corpus.filter(col("doc_id") >= 10000)
       .select((col("doc_id") - 10000).as("id_a"), col("doc_id").as("id_b"))
-    Dedup.jaccardVerify(pairs, corpus, "doc_id", "text", shingleK = 3)
-      .orderBy(col("id_a"))
+    orderedSmall(Dedup.jaccardVerify(pairs, corpus, "doc_id", "text", shingleK = 3),
+      col("id_a"))
   }
 
   /** §2.3 #35 — embedding near-dup: top-50 all-pairs cosine on a bounded
@@ -135,38 +132,38 @@ object LlmQueries {
   /** §2.3 #38 — heuristic language ID. */
   def textLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .orderBy(col("doc_id")) // sort-first: keep stats out of the range-sample pass
       .select(col("doc_id"), col("lang"),
         TextAnalysis.textStats(col("text")).as("__st"))
       .select(col("doc_id"),
         TextAnalysis.langIdFromStats(col("__st")).as("pred_lang"),
         (TextAnalysis.langIdFromStats(col("__st")) === col("lang")).as("matches_label"))
-      .orderBy(col("doc_id"))
 
   /** §2.3 #39 — quality scoring signals. */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val sig = TextAnalysis.qualitySignalsFromStats(col("__st"))
     Tables.documents(s, dir)
+      .orderBy(col("doc_id")) // sort-first: see textLangid
       .select(col("doc_id"), TextAnalysis.textStats(col("text")).as("__st"))
       .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
-      .orderBy(col("doc_id"))
   }
 
   /** §2.3 #40 — whitespace + BPE-ish token counting. */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .orderBy(col("doc_id")) // sort-first: see textLangid
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
         TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
-      .orderBy(col("doc_id"))
 
   /** §2.3 #41 — winnowed rolling-hash fingerprints (rows-only gate; pinned
     * by FingerprintSpec). */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .orderBy(col("doc_id")) // sort-first: see textLangid
       .select(col("doc_id"),
         Fingerprint.fingerprint64(col("text")).as("fp64"),
         size(Fingerprint.winnow(col("text"), 8, 16)).as("n_winnow"))
-      .orderBy(col("doc_id"))
 
   /** §2.3 #42 — multimodal plumbing: text payload → binary media frame →
     * partition-batched (stub) decode → typed features. */
