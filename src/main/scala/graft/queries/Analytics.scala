@@ -425,6 +425,11 @@ object Analytics {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_exact,
+        |  true AS approx_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 
   /** §2.2 #30f — as-of (point-in-time) join: each click event picks up the
@@ -464,6 +469,24 @@ object Analytics {
       .orderBy(col("band_id"))
   }
 
+  /** §2.2 #30h — sketch aggregate: HyperLogLog++ approximate distinct
+    * count per group, self-checked against the exact count (the sketch is
+    * deterministic for fixed data, so `approx_ok` is a stable gate; the
+    * oracle asserts the exact counts and that the 5%-rsd sketch lands
+    * within 10%). At 100 TB the sketch is mergeable partial state — no
+    * distinct shuffle of the raw column. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count_distinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.05).as("n_approx"))
+      .select(col("o_orderpriority"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact"))
+          <= col("n_exact") * 0.1).as("approx_ok"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** queries-map fragment for SparkEntry. */
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -486,5 +509,6 @@ object Analytics {
     "q_date_funcs" -> (qDateFuncs _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
+    "q_approx_distinct" -> (qApproxDistinct _),
   )
 }
