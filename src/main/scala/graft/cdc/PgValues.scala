@@ -41,6 +41,22 @@ object PgValues {
       case _ => c.cast(PgTypes.toSpark(oid))
     }
 
+  /** PG json/jsonb → Spark VARIANT — the engine's analogue of the
+    * reference's json→Snowflake-VARIANT mapping (getSfType:690): parse
+    * once, then path-extract with [[jsonGet]] /
+    * `functions.variant_get`. The storage column stays the PG text
+    * (schema-on-read, like VARIANT). */
+  def jsonVariant(c: Column): Column = parse_json(c)
+
+  /** Typed path extraction from a VARIANT json column:
+    * `jsonGet(v, "$.a.b", "long")`. */
+  def jsonGet(v: Column, path: String, targetType: String): Column =
+    variant_get(v, path, targetType)
+
+  /** Schema-on-read with a KNOWN schema: PG json text → typed struct. */
+  def jsonTyped(c: Column, schema: DataType): Column =
+    from_json(c, schema)
+
   /** TRY-semantics cast (overflow/malformed → NULL) regardless of the
     * session's ANSI setting. */
   private def tryCast(c: Column, to: DataType): Column =

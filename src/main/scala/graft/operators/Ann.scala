@@ -36,10 +36,14 @@ object Ann {
   /** LSH-bucketed top-k: `tables` independent hyperplane signatures of
     * `bits` bits; query and corpus rows meet only inside matching buckets,
     * then exact cosine re-ranks the union of candidates. Recall grows with
-    * `tables`, cost with `tables / 2^bits`. */
+    * `tables`, cost with `tables / 2^bits`. TUNE against a brute-force
+    * sample: P(bucket match) = (1 - θ/π)^bits per table — corpora whose
+    * nearest neighbors sit at moderate cosine (θ large) need FEW bits and
+    * MANY tables (the measured-recall harness in LlmOperatorsSpec pins
+    * recall@5 ≥ 0.7 at 4 bits × 8 tables on the testdata embeddings). */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      bits: Int = 8, tables: Int = 2, dims: Int = 64): DataFrame = {
+      bits: Int = 4, tables: Int = 8, dims: Int = 64): DataFrame = {
     def bucketed(df: DataFrame, idAs: String, vecAs: String) =
       df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
         // each table gets its own hyperplane family (distinct hash seed),

@@ -196,6 +196,26 @@ object CdcQueries {
         element_at(col("arr"), 2).as("second_elem"))
   }
 
+  /** §2.1 #9b — json/jsonb → VARIANT surface (reference getSfType:690 maps
+    * json to Snowflake VARIANT; Spark 4's VariantType is the native
+    * analogue): synthesize json text, parse once, path-extract typed
+    * values — including a nested path. Values are ints/strings only so the
+    * json RENDERING differences between engines never surface; only the
+    * extracted values are compared. */
+  def cdcJsonVariant(s: SparkSession, dir: String): DataFrame = {
+    val j = to_json(struct(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("p"),
+      struct(col("o_custkey").as("c")).as("n")))
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), PgValues.jsonVariant(j).as("__v"))
+      .select(col("o_orderkey"),
+        PgValues.jsonGet(col("__v"), "$.p", "string").as("priority"),
+        PgValues.jsonGet(col("__v"), "$.n.c", "long").as("nested_custkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** §2.1 #6 — backfill: publish the typed snapshot atomically (scratch →
     * rename), then read the live path back. */
   def cdcSnapshotTyped(s: SparkSession, dir: String): DataFrame = {
@@ -294,6 +314,7 @@ object CdcQueries {
     "cdc_schema_diff" -> (cdcSchemaDiff _),
     "cdc_typemap" -> (cdcTypemap _),
     "cdc_compact_rekey" -> (cdcCompactRekey _),
+    "cdc_json_variant" -> (cdcJsonVariant _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -326,6 +347,16 @@ object CdcQueries {
         |  ('c_nationkey', 'int', 'both')
         |) t(column_name, data_type, status)
         |ORDER BY column_name, data_type""".stripMargin,
+    "cdc_json_variant" ->
+      """WITH j AS (
+        |  SELECT o_orderkey,
+        |    to_json({'k': o_orderkey, 'p': o_orderpriority,
+        |             'n': {'c': o_custkey}}) AS v
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT o_orderkey,
+        |  json_extract_string(v, '$.p') AS priority,
+        |  CAST(json_extract(v, '$.n.c') AS BIGINT) AS nested_custkey
+        |FROM j ORDER BY o_orderkey""".stripMargin,
     // relational closed form of the synthesized rekey stream: lone updates
     // pass through; %50 keys carry a two-step rekey chain whose merge keeps
     // the ORIGINAL identity, the FINAL values, and the rekey flag

@@ -106,12 +106,14 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** §2.3 #37 — LSH-bucketed ANN (rows-only gate; recall is statistical). */
+  /** §2.3 #37 — LSH-bucketed ANN (rows-only gate; recall is statistical,
+    * measured ≥0.7 at these parameters by LlmOperatorsSpec — this corpus'
+    * neighbors sit near cosine 0.44, so few bits + many tables). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.embeddings(s, dir)
     Ann.lshTopK(
         all.filter(col("vec_id") < 20), all.filter(col("vec_id") >= 20),
-        "vec_id", "embedding", k = 5, bits = 6, tables = 3)
+        "vec_id", "embedding", k = 5, bits = 4, tables = 8)
       .orderBy(col("query_id"), col("rank"))
   }
 

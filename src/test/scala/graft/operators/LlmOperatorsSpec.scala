@@ -130,6 +130,28 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
     e1.foreach(_.getSeq[Float](1).length shouldBe 16)
   }
 
+  test("LSH and partial-probe IVF hit measured recall floors vs brute force") {
+    val dir = "/root/testdata/sf0.01"
+    val all = graft.sources.Tables.embeddings(spark, dir)
+    val q = all.filter(col("vec_id") < 20)
+    val c = all.filter(col("vec_id") >= 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.bruteForceTopK(q, c, "vec_id", "embedding", k = 5))
+    val lsh = pairs(Ann.lshTopK(q, c, "vec_id", "embedding", k = 5,
+      bits = 4, tables = 8))
+    val ivf = pairs(Ann.ivfTopK(q, c, "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 4))
+    val lshRecall = (exact & lsh).size.toDouble / exact.size
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    info(f"recall@5: lsh=$lshRecall%.2f ivf(4/16 probes)=$ivfRecall%.2f")
+    // floors pinned ~0.15 under measured values — catch parameter/algorithm
+    // regressions, not statistical noise
+    lshRecall should be >= 0.5
+    ivfRecall should be >= 0.5
+  }
+
   test("cosine fold matches direct computation") {
     val r = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
       .toDF("a", "b")
