@@ -125,17 +125,44 @@ object SketchImpl {
   }
 
   def simhash(text: UTF8String, k: Int): Long = {
-    val counts = new Array[Int](64)
-    foreachShingleHash(text, k) { h =>
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
-        b += 1
+    // SWAR bit-count: accumulator g packs the ones-counts of bits
+    // {g, g+8, …, g+56} in eight 8-bit lanes; flushed to the wide counts
+    // every 255 shingles (lane overflow bound). 8 ops per shingle instead
+    // of 64; same result as the naive ±1 walk.
+    val ones = new Array[Int](64)
+    val acc = new Array[Long](8)
+    var pending = 0
+    var total = 0
+    def flush(): Unit = {
+      var g = 0
+      while (g < 8) {
+        val a = acc(g)
+        var j = 0
+        while (j < 8) {
+          ones(g + j * 8) += ((a >>> (j * 8)) & 0xFFL).toInt
+          j += 1
+        }
+        acc(g) = 0L
+        g += 1
       }
+      pending = 0
     }
+    foreachShingleHash(text, k) { h =>
+      var g = 0
+      while (g < 8) {
+        acc(g) += (h >>> g) & 0x0101010101010101L
+        g += 1
+      }
+      total += 1
+      pending += 1
+      if (pending == 255) flush()
+    }
+    if (pending > 0) flush()
     var out = 0L
     var b = 0
-    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    // majority vote: strictly more ones than zeros (ties → 0), identical
+    // to the former counts(b) > 0 criterion
+    while (b < 64) { if (2 * ones(b) > total) out |= (1L << b); b += 1 }
     out
   }
 }

@@ -430,6 +430,10 @@ object Analytics {
         |  count(DISTINCT o_custkey) AS n_exact,
         |  true AS approx_ok
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_explode_agg" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(p_name), ' ')) AS word FROM part)
+        |GROUP BY word ORDER BY word""".stripMargin,
   )
 
   /** §2.2 #30f — as-of (point-in-time) join: each click event picks up the
@@ -487,6 +491,18 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** §2.2 #30i — lateral explode/unnest + re-aggregation: one row per
+    * word of every part name, rolled back up to corpus word frequencies.
+    * Generate stays adjacent to the scan (no pre-explode shuffle); the
+    * aggregation shuffles words, not part rows. */
+  def qExplodeAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir)
+      .select(explode(split(lower(col("p_name")), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("word"))
+  }
+
   /** queries-map fragment for SparkEntry. */
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -510,5 +526,6 @@ object Analytics {
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_explode_agg" -> (qExplodeAgg _),
   )
 }
