@@ -434,6 +434,15 @@ object Analytics {
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(lower(p_name), ' ')) AS word FROM part)
         |GROUP BY word ORDER BY word""".stripMargin,
+    "q6_sql_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
   )
 
   /** §2.2 #30f — as-of (point-in-time) join: each click event picks up the
@@ -503,6 +512,23 @@ object Analytics {
       .orderBy(col("word"))
   }
 
+  /** §2.2 #30j — the `spark.sql` entry path: TPC-H Q6 (forecasting
+    * revenue change) run as SQL text over [[Tables.registerAll]] temp
+    * views. Same Catalyst plan as the DataFrame API — scans stay pruned
+    * and filter-pushed — proving the library's SQL surface end-to-end. */
+  def qSqlQ6(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        count(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""")
+  }
+
   /** queries-map fragment for SparkEntry. */
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -527,5 +553,6 @@ object Analytics {
     "q_range_join" -> (qRangeJoin _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_explode_agg" -> (qExplodeAgg _),
+    "q6_sql_revenue" -> (qSqlQ6 _),
   )
 }

@@ -34,4 +34,14 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql(...)` works over
+    * the corpus — the SQL entry path of the library (events goes through
+    * the nanos-safe loader). Views are session-scoped and lazy: Catalyst
+    * still prunes/pushes into the underlying parquet scans. */
+  def registerAll(s: SparkSession, dir: String): Unit =
+    all.foreach { name =>
+      val df = if (name == "events") events(s, dir) else apply(s, dir, name)
+      df.createOrReplaceTempView(name)
+    }
 }
