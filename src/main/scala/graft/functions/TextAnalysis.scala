@@ -34,7 +34,20 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** Whitespace token count (single-pass). */
-  def tokenCount(text: Column): Column = textStats(text)("n_tokens")
+  def tokenCount(text: Column): Column = statsField(textStats(text), "n_tokens")
+
+  /** Struct-field access that also works inside SQL FUNCTION BUILDERS:
+    * `st("name")` makes an UnresolvedExtractValue column node the analyzer
+    * won't resolve when the expression is born outside a DataFrame (e.g.
+    * from `GraftFunctions` builders, whose inputs are already resolved) —
+    * there, emit a direct GetStructField. */
+  private[graft] def statsField(st: Column, name: String): Column = {
+    val e = GraftBridge.expression(st)
+    if (e.resolved)
+      GraftBridge.column(org.apache.spark.sql.catalyst.expressions.GetStructField(
+        e, TextAnalysisImpl.statsType.fieldIndex(name), Some(name)))
+    else st(name)
+  }
 
   /** BPE-ish subword segmentation: letter runs, digit runs, and single
     * non-alphanumeric marks — the classic pre-tokenizer split. ASCII
@@ -73,8 +86,9 @@ object TextAnalysis {
   /** langId over an already-computed [[textStats]] struct (compute the
     * stats once when a query also reads other signals). */
   def langIdFromStats(st: Column): Column = {
-    val (en, de, fr, es) = (st("en"), st("de"), st("fr"), st("es"))
-    when(st("cjk") > 0, "zh")
+    val (en, de, fr, es) = (statsField(st, "en"), statsField(st, "de"),
+      statsField(st, "fr"), statsField(st, "es"))
+    when(statsField(st, "cjk") > 0, "zh")
       .when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")
@@ -89,15 +103,15 @@ object TextAnalysis {
     qualitySignalsFromStats(textStats(text))
 
   def qualitySignalsFromStats(st: Column): Seq[(String, Column)] = {
-    val nChars = st("n_chars")
-    val nTokens = st("n_tokens")
+    val nChars = statsField(st, "n_chars")
+    val nTokens = statsField(st, "n_tokens")
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> nTokens,
-      "punct_ratio" -> st("n_punct").cast("double") / nChars,
-      "upper_ratio" -> st("n_upper").cast("double") / nChars,
+      "punct_ratio" -> statsField(st, "n_punct").cast("double") / nChars,
+      "upper_ratio" -> statsField(st, "n_upper").cast("double") / nChars,
       "mean_token_len" -> (nChars - (nTokens - lit(1))).cast("double") / nTokens,
-      "stopword_ratio" -> st("en").cast("double") / nTokens)
+      "stopword_ratio" -> statsField(st, "en").cast("double") / nTokens)
   }
 
   /** Distinct character k-gram shingles (the unit for MinHash/Jaccard).

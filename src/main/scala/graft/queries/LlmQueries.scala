@@ -192,6 +192,22 @@ object LlmQueries {
       .orderBy(col("id"), col("frame_idx"))
   }
 
+  /** §2.3 #44b — the SQL-function surface: graft kernels called from SQL
+    * TEXT (`graft_token_count`, `graft_langid`, `graft_fingerprint`)
+    * through the runtime-registered function registry
+    * ([[graft.functions.GraftFunctions.register]]); same expressions as
+    * the Column API, so the existing oracles apply verbatim. */
+  def sqlFunctions(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    s.sql("""
+      SELECT doc_id,
+        graft_token_count(text) AS n_ws_tokens,
+        graft_bpeish_count(text) AS n_bpeish,
+        graft_langid(text) AS pred_lang
+      FROM documents ORDER BY doc_id""")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
@@ -209,6 +225,7 @@ object LlmQueries {
     "doc_fingerprint" -> (docFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
+    "q_sql_functions" -> (sqlFunctions _),
   )
 
   private val enList = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")
@@ -343,6 +360,27 @@ object LlmQueries {
         |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sql_functions" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, text, toks, cjk,
+        |    len(list_filter(toks, x -> x IN ($enList))) AS en,
+        |    len(list_filter(toks, x -> x IN ($deList))) AS de,
+        |    len(list_filter(toks, x -> x IN ($frList))) AS fr,
+        |    len(list_filter(toks, x -> x IN ($esList))) AS es
+        |  FROM t)
+        |SELECT doc_id,
+        |  len(toks) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |       WHEN de >= fr AND de >= es THEN 'de'
+        |       WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang
+        |FROM hits ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS id,
         |  octet_length(encode(text)) AS n_bytes,

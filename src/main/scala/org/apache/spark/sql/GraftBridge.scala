@@ -9,4 +9,20 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** FULL ColumnNode → Catalyst conversion. `expression` wraps complex
+    * column nodes (when-chains, operators) in a lazy ColumnNodeExpression
+    * that only a DataFrame's analyzer unwraps — an expression returned
+    * from a SQL FUNCTION BUILDER never passes through that path, so
+    * convert eagerly there. */
+  def fullExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a SQL function on an EXISTING session (the
+    * `SparkSessionExtensions` path only applies at session build time;
+    * tests and notebooks attach to live sessions). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

