@@ -21,21 +21,29 @@ object CdcQueries {
     * the row's DELETE. */
   private def eventActions(s: SparkSession, dir: String) = {
     import s.implicits._
+    // columnar synthesis: map()/when() expressions instead of a typed
+    // .map building per-row Scala Maps — the stream stays Tungsten all the
+    // way to the compactor's per-group fold
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val op = when(col("rn") === 1, "I")
+      .when(col("rn") === col("n") && col("event_type") === "error", "D")
+      .otherwise("U")
     Tables.events(s, dir)
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
-      .select(col("user_id"), col("event_id"), col("value"), col("event_type"),
-        col("rn"), col("n"))
-      .as[(Long, Long, Double, String, Int, Long)]
-      .map { case (user, eventId, value, eventType, rn, n) =>
-        val op = if (rn == 1) "I" else if (rn == n && eventType == "error") "D" else "U"
-        ChangeAction("users", eventId, 0, op,
-          Map("id" -> user.toString),
-          if (op == "D") Map.empty
-          else Map("id" -> user.toString, "val" -> value.toString),
-          Nil, Nil, rekey = false)
-      }
+      .select(
+        lit("users").as("table"),
+        col("event_id").as("lsn"),
+        lit(0).as("seq"),
+        op.as("op"),
+        map(lit("id"), col("user_id").cast("string")).as("keyBefore"),
+        when(op === "D", map().cast("map<string,string>"))
+          .otherwise(map(lit("id"), col("user_id").cast("string"),
+            lit("val"), col("value").cast("string"))).as("values"),
+        array().cast("array<string>").as("nulls"),
+        array().cast("array<string>").as("unchanged"),
+        lit(false).as("rekey"))
+      .as[ChangeAction]
   }
 
   /** §2.1 #2 — changelog compaction on a synthesized stream. Each user's
@@ -74,16 +82,22 @@ object CdcQueries {
     // stays deterministic on both engines.
     val w = Window.partitionBy(col("l_orderkey"))
       .orderBy(col("l_linenumber"), col("l_extendedprice"))
+    // columnar synthesis (see eventActions)
     val actions = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_extendedprice"),
         row_number().over(w).as("rn"))
-      .as[(Long, Double, Int)]
-      .map { case (order, price, rn) =>
-        ChangeAction("li", rn.toLong, 0, if (rn == 1) "I" else "U",
-          Map("id" -> order.toString),
-          Map("id" -> order.toString, "price" -> price.toString),
-          Nil, Nil, rekey = false)
-      }
+      .select(
+        lit("li").as("table"),
+        col("rn").cast("long").as("lsn"),
+        lit(0).as("seq"),
+        when(col("rn") === 1, "I").otherwise("U").as("op"),
+        map(lit("id"), col("l_orderkey").cast("string")).as("keyBefore"),
+        map(lit("id"), col("l_orderkey").cast("string"),
+          lit("price"), col("l_extendedprice").cast("string")).as("values"),
+        array().cast("array<string>").as("nulls"),
+        array().cast("array<string>").as("unchanged"),
+        lit(false).as("rekey"))
+      .as[ChangeAction]
     orderedSmall(ChangelogCompactor.compact(actions)
       .toDF()
       .select(element_at(col("keyBefore"), "id").cast("long").as("order_id"),
