@@ -111,19 +111,34 @@ object CdcQueries {
     * xid % 97 == 0 have no commit in the batch and are held back. */
   def cdcTxnAssembly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // columnar synthesis (see eventActions)
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("value"))
-      .as[(Long, Long, Double)]
-    val dmls = ev.map { case (eventId, user, value) =>
-      WalMessage(eventId / 5, (eventId % 5).toInt, "INSERT", 0L, "events_t",
-        Map("id" -> eventId.toString),
-        Map("id" -> eventId.toString, "user" -> user.toString, "v" -> value.toString),
-        Nil, Nil, rekey = false)
-    }
-    val commits = ev.map(_._1 / 5).distinct()
-      .filter(xid => xid % 97 != 0)
-      .map(xid => WalMessage(xid, Int.MaxValue, "COMMIT", xid * 1000 + 999, "",
-        Map.empty, Map.empty, Nil, Nil, rekey = false))
+    val emptyMap = map().cast("map<string,string>")
+    val emptyArr = array().cast("array<string>")
+    val dmls = ev.select(
+      expr("event_id div 5").as("xid"),
+      (col("event_id") % 5).cast("int").as("seq"),
+      lit("INSERT").as("msgType"),
+      lit(0L).as("lsn"),
+      lit("events_t").as("table"),
+      map(lit("id"), col("event_id").cast("string")).as("keyBefore"),
+      map(lit("id"), col("event_id").cast("string"),
+        lit("user"), col("user_id").cast("string"),
+        lit("v"), col("value").cast("string")).as("values"),
+      emptyArr.as("nulls"), emptyArr.as("unchanged"),
+      lit(false).as("rekey")).as[WalMessage]
+    val commits = ev.select(expr("event_id div 5").as("xid"))
+      .distinct()
+      .filter(col("xid") % 97 =!= 0)
+      .select(col("xid"),
+        lit(Int.MaxValue).as("seq"),
+        lit("COMMIT").as("msgType"),
+        (col("xid") * 1000 + 999).as("lsn"),
+        lit("").as("table"),
+        emptyMap.as("keyBefore"), emptyMap.as("values"),
+        emptyArr.as("nulls"), emptyArr.as("unchanged"),
+        lit(false).as("rekey")).as[WalMessage]
     // strict=false: this query demonstrates hold-back of the commit-less
     // xids (%97) — a real stream uses StatefulAssembler for those
     orderedSmall(ChangelogAssembler.assemble(dmls.union(commits), strict = false)
@@ -149,20 +164,24 @@ object CdcQueries {
     val snapshot = Tables.customer(s, dir).filter(col("c_custkey") % 3 =!= 0)
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    // columnar synthesis (see eventActions)
+    val isDelete = col("o_custkey") % 10 === 0
     val changelog = Tables.orders(s, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("o_custkey"), col("o_totalprice"))
-      .as[(Long, Double)]
-      .map { case (custkey, total) =>
-        if (custkey % 10 == 0)
-          ChangeAction("customer", custkey, 0, "D", Map("c_custkey" -> custkey.toString),
-            Map.empty, Nil, Nil, rekey = false)
-        else
-          ChangeAction("customer", custkey, 0, "U", Map("c_custkey" -> custkey.toString),
-            Map("c_custkey" -> custkey.toString, "c_acctbal" -> total.toString),
-            Nil, Nil, rekey = false)
-      }
+      .select(
+        lit("customer").as("table"),
+        col("o_custkey").as("lsn"),
+        lit(0).as("seq"),
+        when(isDelete, "D").otherwise("U").as("op"),
+        map(lit("c_custkey"), col("o_custkey").cast("string")).as("keyBefore"),
+        when(isDelete, map().cast("map<string,string>"))
+          .otherwise(map(lit("c_custkey"), col("o_custkey").cast("string"),
+            lit("c_acctbal"), col("o_totalprice").cast("string"))).as("values"),
+        array().cast("array<string>").as("nulls"),
+        array().cast("array<string>").as("unchanged"),
+        lit(false).as("rekey"))
+      .as[ChangeAction]
     MergeInto(snapshot, changelog, rel).orderBy(col("c_custkey"))
   }
 
