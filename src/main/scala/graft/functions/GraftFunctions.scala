@@ -31,7 +31,11 @@ object GraftFunctions {
     "graft_minhash" -> (3, args =>
       Sketches.minhashSig(args(0), litInt(args(1)), litInt(args(2)))),
     "graft_shingles" -> (2, args => Sketches.shingleSet(args(0), litInt(args(1)))),
-    "graft_fingerprint" -> (1, args => Fingerprint.fingerprint64(args(0))))
+    "graft_fingerprint" -> (1, args => Fingerprint.fingerprint64(args(0))),
+    "graft_pg_array" -> (1, args =>
+      graft.cdc.PgValues.castArrayText(args(0), graft.cdc.PgTypes.TextOid)),
+    "graft_hyperplane_bucket" -> (4, args => VectorMath.hyperplaneBucket(
+      args(0), litInt(args(1)), litInt(args(2)), litInt(args(3)))))
 
   private def litInt(c: Column): Int =
     GraftBridge.expression(c) match {

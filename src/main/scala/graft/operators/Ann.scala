@@ -71,21 +71,48 @@ object Ann {
     * inside them. The cluster-scale shape: the corpus is scored against a
     * broadcast centroid table once at build, and query work is
     * `nProbe/nCentroids` of the corpus instead of all of it. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** Deterministic IVF quantizer: seed centroids are the `nCentroids`
+    * corpus rows with the smallest id-hash (reproducible, no RNG), then
+    * `iters` Lloyd rounds — assign every corpus vector to its best cell by
+    * cosine (pure projection against the literal centroid array), compute
+    * per-cell element-wise means distributed (posexplode → groupBy(cell,
+    * dim) avg), collect the nCentroids×dims result. Empty cells keep their
+    * previous centroid. Spherical-k-means-lite: means are not normalized
+    * because cosine scoring is scale-invariant. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int): Array[Seq[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // Deterministic centroid sample: the nCentroids corpus rows with the
-    // smallest id-hash. Collected to the driver — bounded by nCentroids,
-    // exactly like shipping a trained quantizer model to executors — and
-    // baked into the plan as a literal, so cell assignment is a pure
-    // projection: no centroid join, no per-row window.
-    val centVecs: Array[Seq[Double]] = corpus
+    var cents: Array[Seq[Double]] = corpus
       .select(col(idCol).cast("long"), VectorMath.toDouble(col(vecCol)))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCentroids)
       .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2)
-    require(centVecs.nonEmpty, "empty corpus")
+    require(cents.nonEmpty, "empty corpus")
+    for (_ <- 0 until iters) {
+      val centArr = array(cents.map(v => typedLit(v)): _*)
+      val scores = transform(centArr, cv => VectorMath.cosine(col(vecCol), cv))
+      val assigned = corpus.select(
+        VectorMath.toDouble(col(vecCol)).as("__v"),
+        (array_position(scores, array_max(scores)) - 1).cast("int").as("__cid"))
+      val means = assigned
+        .select(col("__cid"), posexplode(col("__v")))
+        .groupBy(col("__cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1)
+        .map { case (cid, rows) => cid -> rows.sortBy(_._2).map(_._3).toSeq }
+      cents = Array.tabulate(cents.length)(c => means.getOrElse(c, cents(c)))
+    }
+    cents
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
+    // The quantizer model is bounded (nCentroids×dims) and baked into the
+    // plan as a literal, so cell assignment is a pure projection: no
+    // centroid join, no per-row window.
+    val centVecs: Array[Seq[Double]] =
+      trainCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
     val centArr = array(centVecs.map(v => typedLit(v)): _*)
 
     // per-row cell scores against every centroid (small: nCentroids entries)

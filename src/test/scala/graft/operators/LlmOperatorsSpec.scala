@@ -143,13 +143,18 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
       bits = 4, tables = 8))
     val ivf = pairs(Ann.ivfTopK(q, c, "vec_id", "embedding", k = 5,
       nCentroids = 16, nProbe = 4))
+    val ivfTrained = pairs(Ann.ivfTopK(q, c, "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 4, trainIters = 3))
     val lshRecall = (exact & lsh).size.toDouble / exact.size
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
-    info(f"recall@5: lsh=$lshRecall%.2f ivf(4/16 probes)=$ivfRecall%.2f")
+    val ivfTrainedRecall = (exact & ivfTrained).size.toDouble / exact.size
+    info(f"recall@5: lsh=$lshRecall%.2f ivf(4/16 probes)=$ivfRecall%.2f " +
+      f"ivf+3 Lloyd iters=$ivfTrainedRecall%.2f")
     // floors pinned ~0.15 under measured values — catch parameter/algorithm
     // regressions, not statistical noise
     lshRecall should be >= 0.5
     ivfRecall should be >= 0.5
+    ivfTrainedRecall should be >= ivfRecall - 0.1 // training must not tank recall
   }
 
   test("cosine fold matches direct computation") {
