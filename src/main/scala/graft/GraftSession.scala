@@ -37,4 +37,14 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Streaming-state scale knob: RocksDB-backed state store instead of the
+    * default in-heap HDFSBackedStateStore. At 100 TB the keyed state of
+    * compaction/as-of/dedup operators (bounded by the watermark window ×
+    * key cardinality) outgrows executor heaps — RocksDB spills it to local
+    * disk with changelog checkpointing. Apply per session:
+    * `GraftSession.useRocksDbState(spark)` before starting streams. */
+  def useRocksDbState(s: SparkSession): Unit =
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }

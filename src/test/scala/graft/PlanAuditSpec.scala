@@ -88,6 +88,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       p.contains("ShuffledHashJoin")) shouldBe true
   }
 
+  test("SQL-text Q6 pushes filters and prunes columns like the DataFrame API") {
+    val p = plan(queries.Analytics.qSqlQ6(spark, dir))
+    p should include("PushedFilters")
+    p should include("l_shipdate")
+    // scan reads only the 4 referenced columns of lineitem's 11
+    val readSchema = p.split("ReadSchema")(1).split("\n")(0)
+    readSchema should include("l_extendedprice")
+    readSchema should not include "l_orderkey"
+    readSchema should not include "l_returnflag"
+  }
+
   test("exact dedup shuffles 24-byte digests, not document text") {
     val p = plan(operators.Dedup.exactGroups(
       sources.Tables.documents(spark, dir), "doc_id", "text"))

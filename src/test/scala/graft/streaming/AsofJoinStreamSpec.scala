@@ -91,6 +91,21 @@ class AsofJoinStreamSpec extends AnyFunSuite with Matchers {
     got shouldBe Set(("A", 12L, 1L, Some(7.0)), ("A", 500L, 2L, None))
   }
 
+  test("runs on the RocksDB state store (scale-path state backend)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.GraftSession.useRocksDbState(spark)
+    try {
+      val got = run(Seq(
+        (Seq(("A", 12L, 1L)), Seq(("A", 10L, 7.0))),
+        (Seq(("A", 40L, 2L)), Nil)),
+        watermark = "1 minute")
+      got shouldBe Set(("A", 12L, 1L, Some(7.0)), ("A", 40L, 2L, Some(7.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("agrees with the batch operator on a random-ish interleaving") {
     val lefts = (1 to 40).map(i => ("K" + (i % 3), (i * 7 % 50).toLong + 1, i.toLong))
     val rights = (1 to 15).map(i => ("K" + (i % 3), (i * 11 % 50).toLong + 1, i * 1.0))
