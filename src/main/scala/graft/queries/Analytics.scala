@@ -443,6 +443,19 @@ object Analytics {
         |WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  lead(o_orderkey, 1, -1) OVER w AS next_order,
+        |  first_value(o_orderkey) OVER w AS first_order
+        |FROM orders WHERE o_custkey % 17 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** §2.2 #30f — as-of (point-in-time) join: each click event picks up the
@@ -529,6 +542,38 @@ object Analytics {
         AND l_quantity < 24""")
   }
 
+  /** §2.2 #21b — wider window-function surface: ntile buckets, lead,
+    * first_value over per-customer order history. All three agree across
+    * engines under a total order within each partition. */
+  def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") % 17 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        lead(col("o_orderkey"), 1, -1L).over(w).as("next_order"),
+        first_value(col("o_orderkey")).over(w).as("first_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** §2.2 #43b — salted two-phase aggregation as a gated query: events'
+    * five event_type keys are EXACTLY the celebrity-key shape (3k rows/key
+    * at sf0.01 on 5 reducers); the salt spreads each key's partials
+    * `factor`-wide before the final per-key fold. The oracle is the plain
+    * GROUP BY — salting must be result-invariant. */
+  def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Skew.saltedTwoPhase(
+        Tables.events(s, dir), "event_type", saltBy = col("event_id"), factor = 8,
+        partials = Seq(
+          sum(dec(col("value"))).as("__psum"),
+          count(lit(1)).as("__pcnt")),
+        finals = Seq(
+          sum(col("__psum")).cast("double").as("total_value"),
+          sum(col("__pcnt")).as("n_events")))
+      .orderBy(col("event_type"))
+  }
+
   /** queries-map fragment for SparkEntry. */
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -554,5 +599,7 @@ object Analytics {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_explode_agg" -> (qExplodeAgg _),
     "q6_sql_revenue" -> (qSqlQ6 _),
+    "q_window_funcs" -> (qWindowFuncs _),
+    "q_salted_agg" -> (qSaltedAgg _),
   )
 }
