@@ -456,6 +456,15 @@ object Analytics {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_set_ops" ->
+      """WITH cust AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer),
+        |supp AS (SELECT DISTINCT CAST(s_nationkey AS INT) AS nationkey FROM supplier)
+        |SELECT nationkey, 'both' AS src FROM (SELECT nationkey FROM cust INTERSECT SELECT nationkey FROM supp)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' FROM (SELECT nationkey FROM cust EXCEPT SELECT nationkey FROM supp)
+        |UNION ALL
+        |SELECT nationkey, 'supp_only' FROM (SELECT nationkey FROM supp EXCEPT SELECT nationkey FROM cust)
+        |ORDER BY src, nationkey""".stripMargin,
   )
 
   /** §2.2 #30f — as-of (point-in-time) join: each click event picks up the
@@ -574,6 +583,19 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** §2.2 #30k — set operations: INTERSECT / EXCEPT (distinct set
+    * semantics) between the customer and supplier nation sets, tagged and
+    * unioned into one frame. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(col("c_nationkey").cast("int").as("nationkey"))
+    val supp = Tables.supplier(s, dir).select(col("s_nationkey").cast("int").as("nationkey"))
+    val both = cust.intersect(supp).withColumn("src", lit("both"))
+    val custOnly = cust.except(supp).withColumn("src", lit("cust_only"))
+    val suppOnly = supp.except(cust).withColumn("src", lit("supp_only"))
+    both.unionByName(custOnly).unionByName(suppOnly)
+      .orderBy(col("src"), col("nationkey"))
+  }
+
   /** queries-map fragment for SparkEntry. */
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -601,5 +623,6 @@ object Analytics {
     "q6_sql_revenue" -> (qSqlQ6 _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_set_ops" -> (qSetOps _),
   )
 }
