@@ -68,6 +68,31 @@ class TemporalJoinSpec extends AnyFunSuite with Matchers {
     got shouldBe expected
   }
 
+  test("asof join matches an in-memory reference on pseudo-random inputs") {
+    // deterministic pseudo-random streams (no Random: seeds via hashing)
+    def h(i: Int, salt: Int): Long = {
+      var x = i.toLong * 0x9E3779B97F4A7C15L + salt
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      math.abs(x % 100)
+    }
+    for (seed <- 0 until 4) {
+      val rights = (0 until 60).map(i =>
+        ("K" + h(i, seed), h(i, seed + 10), i.toDouble))
+        .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (key,ts)
+      val lefts = (0 until 120).map(i =>
+        ("K" + h(i, seed + 20), h(i, seed + 30), i.toLong))
+      val got = AsofJoin(lefts.toDF("k", "ts", "qty"), rights.toDF("k", "ts", "px"),
+          Seq("k"), "ts", Seq("px"))
+        .select("k", "ts", "qty", "px").as[(String, Long, Long, Option[Double])]
+        .collect().toSet
+      val expected = lefts.map { case (k, ts, qty) =>
+        val m = rights.filter(r => r._1 == k && r._2 <= ts)
+        (k, ts, qty, if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+      }.toSet
+      got shouldBe expected
+    }
+  }
+
   test("range join result is bucket-width invariant") {
     val intervals = Seq((1, 3.0, 40.0), (2, 0.5, 1.5), (3, 39.0, 41.0))
       .toDF("iid", "lo", "hi")
