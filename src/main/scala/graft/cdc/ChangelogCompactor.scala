@@ -119,7 +119,13 @@ object ChangelogCompactor extends Serializable {
         Some(ChangeAction(a.table, b.lsn, b.seq, "D", a.keyBefore,
           Map.empty, Nil, Nil, rekey = false))
       case ("D", "I") =>
-        // delete then re-insert → update (multi_row_action.go:169-175)
+        // delete then re-insert → update (multi_row_action.go:169-175).
+        // The reference hardcodes ChangesRowIdentity=false here; that is
+        // sound because a (D,I) merge is only REACHABLE when the insert's
+        // identity equals the deleted row's (the dedup map joins on
+        // b.BeforeActionRowIdentity == a.AfterActionRowIdentity) — our
+        // keyDiffers computes the same false in every reachable state and
+        // stays correct for direct mergeActions callers outside the map.
         Some(ChangeAction(a.table, b.lsn, b.seq, "U", a.keyBefore,
           b.values, b.nulls, b.unchanged, rekey = keyDiffers(a.keyBefore, b.keyAfter)))
       case (x, y) =>
