@@ -17,4 +17,27 @@ object Lsn {
 
   def format(lsn: Long): String =
     f"${lsn >>> 32}%X/${lsn & 0xFFFFFFFFL}%X"
+
+  // ---- column forms (codegen'd StaticInvoke; see LsnImpl) ----
+
+  import org.apache.spark.sql.{Column, GraftBridge}
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  def formatCol(lsn: Column): Column =
+    GraftBridge.column(StaticInvoke(LsnImpl.getClass, StringType, "format",
+      Seq(GraftBridge.expression(lsn.cast(LongType))),
+      inputTypes = Seq(LongType), propagateNull = true, returnNullable = true))
+
+  def parseCol(text: Column): Column =
+    GraftBridge.column(StaticInvoke(LsnImpl.getClass, LongType, "parse",
+      Seq(GraftBridge.expression(text)),
+      inputTypes = Seq(StringType), propagateNull = true, returnNullable = false))
+}
+
+/** UTF8String adapters for Catalyst StaticInvoke (top-level for codegen). */
+object LsnImpl {
+  import org.apache.spark.unsafe.types.UTF8String
+  def format(lsn: Long): UTF8String = UTF8String.fromString(Lsn.format(lsn))
+  def parse(s: UTF8String): Long = Lsn.parse(s.toString)
 }

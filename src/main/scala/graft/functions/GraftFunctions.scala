@@ -34,6 +34,8 @@ object GraftFunctions {
     "graft_fingerprint" -> (1, args => Fingerprint.fingerprint64(args(0))),
     "graft_pg_array" -> (1, args =>
       graft.cdc.PgValues.castArrayText(args(0), graft.cdc.PgTypes.TextOid)),
+    "graft_lsn_format" -> (1, args => graft.cdc.Lsn.formatCol(args(0))),
+    "graft_lsn_parse" -> (1, args => graft.cdc.Lsn.parseCol(args(0))),
     "graft_hyperplane_bucket" -> (4, args => VectorMath.hyperplaneBucket(
       args(0), litInt(args(1)), litInt(args(2)), litInt(args(3)))))
 

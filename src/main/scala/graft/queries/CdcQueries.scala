@@ -249,6 +249,20 @@ object CdcQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** §2.1 #6c — LSN text format as a gated query: 64-bit values spanning
+    * both hex words formatted to "XLOG/OFFSET" (oracle: DuckDB printf) and
+    * round-tripped through the parser in-query. */
+  def cdcLsnFormat(s: SparkSession, dir: String): DataFrame = {
+    val v = col("o_orderkey") * 7000 + 123 // crosses 2^32 at sf0.01+
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 29 === 0)
+      .select(col("o_orderkey"), v.as("lsn_v"))
+      .select(col("o_orderkey"), col("lsn_v"),
+        Lsn.formatCol(col("lsn_v")).as("lsn_text"),
+        (Lsn.parseCol(Lsn.formatCol(col("lsn_v"))) === col("lsn_v")).as("roundtrip_ok"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** §2.1 #6 — backfill: publish the typed snapshot atomically (scratch →
     * rename), then read the live path back. */
   def cdcSnapshotTyped(s: SparkSession, dir: String): DataFrame = {
@@ -348,6 +362,7 @@ object CdcQueries {
     "cdc_typemap" -> (cdcTypemap _),
     "cdc_compact_rekey" -> (cdcCompactRekey _),
     "cdc_json_variant" -> (cdcJsonVariant _),
+    "cdc_lsn_format" -> (cdcLsnFormat _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -380,6 +395,14 @@ object CdcQueries {
         |  ('c_nationkey', 'int', 'both')
         |) t(column_name, data_type, status)
         |ORDER BY column_name, data_type""".stripMargin,
+    "cdc_lsn_format" ->
+      """SELECT o_orderkey,
+        |  o_orderkey * 7000 + 123 AS lsn_v,
+        |  printf('%X/%X', (o_orderkey * 7000 + 123) // 4294967296,
+        |                  (o_orderkey * 7000 + 123) % 4294967296) AS lsn_text,
+        |  true AS roundtrip_ok
+        |FROM orders WHERE o_orderkey % 29 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "cdc_json_variant" ->
       """WITH j AS (
         |  SELECT o_orderkey,
