@@ -28,7 +28,12 @@ final case class SyncConfig(
     tablesBase: String,
     checkpointBase: String,
     batchTimeout: String = "60 seconds", // sync.batchtimeout
-    batchMaxItems: Long = 25000) {       // sync.batchmaxitems → source admission
+    batchMaxItems: Long = 25000,         // sync.batchmaxitems → source admission
+    // set when the source emits full row images with no TOAST-unchanged
+    // columns and no identity-changing updates (REPLICA IDENTITY FULL /
+    // Debezium-style feeds): per-batch compaction then uses the columnar
+    // fast path (ChangelogCompactor.compactSimple)
+    simpleStreams: Boolean = false) {
 
   /** Fail-fast validation, mirroring the reference's config.Validate
     * (config/config.go:86, required-field checks before anything runs). */
@@ -60,7 +65,8 @@ final class GraftSync(spark: SparkSession, cfg0: SyncConfig) {
   // (reference README), so a stream restarted from a fresh checkpoint
   // still dedupes against what the table store has already absorbed.
   private val merge = new StreamingMerge(
-    spark, cfg.tablesBase, cfg.relations, s"${cfg.tablesBase}/_commitlog")
+    spark, cfg.tablesBase, cfg.relations, s"${cfg.tablesBase}/_commitlog",
+    simpleStreams = cfg.simpleStreams)
 
   /** Initial backfill of one relation from any source frame (JDBC
     * partitioned read, parquet, …): typed check + atomic scratch→live
