@@ -21,7 +21,9 @@ class GraftFunctionsSpec extends AnyFunSuite with Matchers {
              graft_langid(text) AS lang,
              graft_cosine(a, b) AS cos,
              graft_simhash(text, 3) AS sh,
-             graft_fingerprint(text) AS fp
+             graft_fingerprint(text) AS fp,
+             graft_lsn_format(id * 4294967296 + 255) AS lsn,
+             graft_lsn_parse(graft_lsn_format(id * 4294967296 + 255)) AS lsn_v
       FROM gfs_t""").collect()(0)
     val expected = spark.table("gfs_t").select(
       TextAnalysis.tokenCount(col("text")),
@@ -29,7 +31,9 @@ class GraftFunctionsSpec extends AnyFunSuite with Matchers {
       TextAnalysis.langId(col("text")),
       VectorMath.cosine(col("a"), col("b")),
       Sketches.simhash64(col("text"), 3),
-      Fingerprint.fingerprint64(col("text"))).collect()(0)
+      Fingerprint.fingerprint64(col("text")),
+      graft.cdc.Lsn.formatCol(col("id") * 4294967296L + 255),
+      lit(1L * 4294967296L + 255)).collect()(0)
     row shouldBe expected
     row.getString(2) shouldBe "en"
   }
