@@ -22,7 +22,15 @@ object Bench {
     // scale) and this VM shows ±2× noisy-neighbor spikes — min-of-2 is
     // the stable steady-state estimate
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // comma-separated allowlist for iterating on one query's plan without
+    // paying for the whole suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces full materialization of every output column

@@ -53,6 +53,11 @@ object MergeInto {
     //   __op, key_before cols (kb_*), after-image state per column
     //   (new value / is-null / is-unchanged / key-after for identity cols).
     val cl = changelog.filter(col("table") === relation.table)
+    // The projected changelog feeds three places (the broadcast build for
+    // the outer join, the semi-join probe, and the anti-join stream side);
+    // without materialization the upstream changelog pipeline re-executes
+    // for each. It is micro-batch-sized by contract, so materializing it
+    // once is bounded and strictly cheaper.
     val clProjected = cl.select(
       col("op").as("__op") +:
       keyCols.map(k =>
@@ -69,7 +74,7 @@ object MergeInto {
           array_contains(col("nulls"), c.name).as(s"__isnull_${c.name}"),
           array_contains(col("unchanged"), c.name).as(s"__isunch_${c.name}"),
           map_contains_key(col("values"), c.name).as(s"__has_${c.name}"))
-      }: _*)
+      }: _*).localCheckpoint(true)
 
     val joinCond = keyCols.map(k => snapshot(k) === clProjected(s"__kb_$k")).reduce(_ && _)
 

@@ -182,7 +182,7 @@ object CdcQueries {
         array().cast("array<string>").as("unchanged"),
         lit(false).as("rekey"))
       .as[ChangeAction]
-    MergeInto(snapshot, changelog, rel).orderBy(col("c_custkey"))
+    orderedSmall(MergeInto(snapshot, changelog, rel), col("c_custkey"))
   }
 
   /** §2.1 #10 — PG text-format decode: strings synthesized from typed
