@@ -16,6 +16,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the graft_* SQL function surface, injected the user-facing way
+      // (static conf, applied when the context is created; harmless no-op
+      // string merge if the caller overrides spark.sql.extensions)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // runtime re-planning: partition coalescing, skew-join splitting,
       // broadcast-join demotion/promotion from real sizes
       .config("spark.sql.adaptive.enabled", "true")

@@ -56,17 +56,23 @@ object VectorMath {
 object VectorMathImpl {
 
   /** Strict left-to-right fold, identical FP-operation order to
-    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`. */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — including its NULL on
+    * mismatched lengths (zip_with pads with nulls): a malformed or
+    * truncated embedding yields NULL, never a plausible-but-wrong
+    * partial product. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
 
-  def cosine(a: ArrayData, b: ArrayData): Double =
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (a.numElements() != b.numElements()) return null
     dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
 
   // splitmix64 finalizer
   private def mix(x0: Long): Long = {

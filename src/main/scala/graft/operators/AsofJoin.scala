@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * Left-join semantics: a left row with no prior right row gets NULLs.
   *
   * Requirements: the right side must be unique per (keys, ts) — pre-aggregate
-  * if not (ambiguous ties have no deterministic winner in any engine); right
-  * value columns that are genuinely NULL are skipped by the carry-forward
-  * (`ignoreNulls`), matching "most recent KNOWN value" semantics.
+  * if not (ambiguous ties have no deterministic winner in any engine). All
+  * value columns come from the SINGLE matched right row (carried as one
+  * struct through the running `last`): a NULL value on the matched row
+  * stays NULL rather than falling back to an older row — matched-row
+  * semantics, exactly DuckDB's `ASOF JOIN`.
   */
 object AsofJoin {
 
@@ -53,20 +55,25 @@ object AsofJoin {
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matchedTs = last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w)
+    // ONE running last over a struct of the whole right row: every value
+    // column (and the tolerance timestamp) is projected from the same
+    // matched row — per-column last(ignoreNulls) would let an older row's
+    // value leak in wherever the matched row is NULL
+    val matched = last(
+      when(col("__side") === 0, struct((tsCol +: valueCols).map(col): _*)),
+      ignoreNulls = true).over(w)
     val withinTol: Column = tolerance match {
       case None      => lit(true)
-      case Some(tol) => col(tsCol) - matchedTs <= tol
+      case Some(tol) => col(tsCol) - col("__match").getField(tsCol) <= tol
     }
     rightProj.unionByName(leftProj)
+      .withColumn("__match", matched)
+      .filter(col("__side") === 1)
       .select(
         (keys :+ tsCol).map(col) ++
           leftOther.map(col) ++
           valueCols.map(c =>
-            when(withinTol, last(col(c), ignoreNulls = true).over(w))
-              .otherwise(lit(null).cast(right.schema(c).dataType)).as(c)) :+
-          col("__side"): _*)
-      .filter(col("__side") === 1)
-      .drop("__side")
+            when(withinTol, col("__match").getField(c))
+              .otherwise(lit(null).cast(right.schema(c).dataType)).as(c)): _*)
   }
 }

@@ -35,6 +35,18 @@ object AsofJoinStream {
       rights: List[(Long, Seq[Any])],
       lefts: List[(Long, Seq[Any])])
 
+  /** Injective state-key encoding for multi-column keys. A plain
+    * separator-join is forgeable — ("ab","c") vs ("a","bc"), or values
+    * containing the separator — and silently cross-contaminates two keys'
+    * as-of state. Length-prefixing each rendered value ("3:abc", nulls as
+    * "n:") parses back unambiguously, so distinct key tuples can never
+    * produce the same state group. */
+  private[streaming] def stateKey(vals: Seq[Any]): String =
+    vals.map {
+      case null => "n:"
+      case v    => val s = String.valueOf(v); s.length.toString + ":" + s
+    }.mkString
+
   /** @param left      streaming frame: key cols + `tsCol` + payload cols
     * @param right     streaming frame: key cols + `tsCol` + `valueCols`
     * @param keys      equi-join key column names (both sides)
@@ -81,7 +93,7 @@ object AsofJoinStream {
     def tsMs(row: Row): Long = row.getTimestamp(tsIdx).getTime
 
     unioned
-      .groupByKey(row => keyIdx.map(i => String.valueOf(row.get(i))).mkString(""))
+      .groupByKey(row => stateKey(keyIdx.map(row.get)))
       .flatMapGroupsWithState[St, Row](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: String, incoming: Iterator[Row], state: GroupState[St]) =>
           val st0 = state.getOption.getOrElse(St(Nil, Nil))

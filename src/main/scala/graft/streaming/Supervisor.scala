@@ -50,13 +50,15 @@ object Supervisor {
           // schema change (restart-intensity pattern), not a non-converging
           // resync loop
           if (ranLongEnough) { consecutive = 0; consecutiveResyncs = 0 }
-          resyncs += 1
           restarts += 1
           consecutive = 0
-          consecutiveResyncs += 1
-          if (consecutiveResyncs > maxResyncs)
+          // bound check BEFORE counting, so the reported number equals the
+          // number of resync() invocations that actually ran
+          if (consecutiveResyncs >= maxResyncs)
             throw new IllegalStateException(
-              s"schema resync did not converge after $resyncs attempts: ${e.getMessage}")
+              s"schema resync did not converge after $resyncs resyncs: ${e.getMessage}")
+          resyncs += 1
+          consecutiveResyncs += 1
           resync()
           Thread.sleep(backoffMs)
         case scala.util.control.NonFatal(_) =>

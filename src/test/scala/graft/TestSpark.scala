@@ -11,6 +11,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // conf-string extension injection, as a user's spark-submit would —
+      // GraftFunctionsSpec asserts the graft_* surface resolves from THIS,
+      // with no manual register() call
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

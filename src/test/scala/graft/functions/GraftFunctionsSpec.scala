@@ -39,23 +39,18 @@ class GraftFunctionsSpec extends AnyFunSuite with Matchers {
   }
 
   test("extension-injected session exposes the same functions") {
-    // a FRESH session built with the extensions class, as a user's
-    // spark.sql.extensions config would
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
-      .withExtensions(new GraftExtensions)
-      .appName("graft-ext-test")
-      .getOrCreate()
-    try {
-      // getOrCreate may return the shared session (extensions then applied
-      // only if it built fresh) — guard by registering the view on s2
-      GraftFunctions.register(s2) // idempotent with injection
-      import s2.implicits._
-      Seq(("hello world foo")).toDF("text").createOrReplaceTempView("gfs_e")
-      s2.sql("SELECT graft_token_count(text) AS n FROM gfs_e")
-        .collect()(0).getInt(0) shouldBe 3
-    } finally ()
+    // The fixture context was created with
+    // spark.sql.extensions=graft.functions.GraftExtensions (a STATIC conf,
+    // appliable only at context creation — the user-facing injection
+    // path). newSession() builds a FRESH SessionState whose function
+    // registry is populated purely from those captured extensions, so this
+    // resolves graft_* with no register() call anywhere and fails if the
+    // GraftExtensions wiring breaks.
+    val s2 = spark.newSession()
+    import s2.implicits._
+    Seq(("hello world foo")).toDF("text").createOrReplaceTempView("gfs_e")
+    s2.sql("SELECT graft_token_count(text) AS n FROM gfs_e")
+      .collect()(0).getInt(0) shouldBe 3
   }
 
   test("arity and literal-argument misuse fail loudly") {

@@ -106,6 +106,50 @@ class AsofJoinStreamSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("multi-column keys: adversarial tuples never share state") {
+    // ("ab","c") and ("a","bc") concatenate identically — a forgeable
+    // state key would let ("a","bc")'s fresher quote (px=9.0, ts=15)
+    // shadow ("ab","c")'s own quote (px=1.0, ts=10)
+    val lMem = MemoryStream[(String, String, java.sql.Timestamp, Long)]
+    val rMem = MemoryStream[(String, String, java.sql.Timestamp, Double)]
+    val out = AsofJoinStream(
+      lMem.toDF().toDF("k1", "k2", "ts", "qty"),
+      rMem.toDF().toDF("k1", "k2", "ts", "px"),
+      keys = Seq("k1", "k2"), tsCol = "ts", valueCols = Seq("px"),
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("asof_multikey")
+      .outputMode("append").start()
+    try {
+      rMem.addData(Seq(("ab", "c", ts(10L), 1.0), ("a", "bc", ts(15L), 9.0)))
+      q.processAllAvailable()
+      lMem.addData(Seq(("ab", "c", ts(20L), 1L), ("a", "bc", ts(20L), 2L)))
+      q.processAllAvailable()
+      lMem.addData(Seq(("__flush", "x", ts(1000000L), 0L)))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("asof_multikey")
+        .filter(col("k1") =!= "__flush")
+        .select(col("k1"), col("k2"), col("qty"), col("px"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+      got shouldBe Set(
+        ("ab", "c", 1L, Some(1.0)),
+        ("a", "bc", 2L, Some(9.0)))
+    } finally q.stop()
+  }
+
+  test("stateKey encoding is injective on adversarial tuples") {
+    AsofJoinStream.stateKey(Seq("ab", "c")) should not be
+      AsofJoinStream.stateKey(Seq("a", "bc"))
+    AsofJoinStream.stateKey(Seq("ab")) should not be
+      AsofJoinStream.stateKey(Seq("a", "b"))
+    AsofJoinStream.stateKey(Seq(null, "x")) should not be
+      AsofJoinStream.stateKey(Seq("null", "x"))
+    AsofJoinStream.stateKey(Seq("3:a", "b")) should not be
+      AsofJoinStream.stateKey(Seq("3:a-b"))
+  }
+
   test("agrees with the batch operator on a random-ish interleaving") {
     val lefts = (1 to 40).map(i => ("K" + (i % 3), (i * 7 % 50).toLong + 1, i.toLong))
     val rights = (1 to 15).map(i => ("K" + (i % 3), (i * 11 % 50).toLong + 1, i * 1.0))
