@@ -150,6 +150,56 @@ object CdcQueries {
         col("op")), col("event_id"))
   }
 
+  /** §2.1 #0 — binary pgoutput wire decode feeding distributed assembly
+    * (the reference's input layer, message_accumulator.go:42-202 over
+    * pglogrepl frames): each customer row is ENCODED into 1-3
+    * self-contained transactions of raw pgoutput frames (insert; %7 a
+    * TOAST-unchanged update; %13 a delete), decoded per partition by ONE
+    * stateful [[PgOutput.Decoder]] (relation cache + xid/seq stamping —
+    * decode is the only sequential step, mirroring the single replication
+    * connection), then assembled distributed on xid. */
+  def cdcPgoutputDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rel = Relation("public", "customer", Seq(
+      RelColumn("c_custkey", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("c_name", PgTypes.TextOid),
+      RelColumn("c_acctbal", PgTypes.Float8Oid)))
+    val relId = 16384
+    val msgs = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .as[(Long, String, Double)]
+      .mapPartitions { it =>
+        import PgOutput._
+        val dec = new Decoder
+        it.flatMap { case (k, name, bal) =>
+          def txn(off: Long, dml: Array[Byte]): Seq[Array[Byte]] =
+            Seq(encodeBegin(k * 10 + off, 0L, k * 4 + off),
+              encodeRelation(relId, rel), dml,
+              encodeCommit(k * 10 + off, k * 10 + off, 0L))
+          val frames =
+            txn(0, encodeInsert(relId,
+              Seq(CellText(k.toString), CellText(name), CellText(bal.toString)))) ++
+            (if (k % 7 == 0) txn(1, encodeUpdate(relId, None,
+              Seq(CellText(k.toString), CellUnchanged, CellText((bal + 100).toString))))
+             else Nil) ++
+            (if (k % 13 == 0) txn(2, encodeDelete(relId, 'K',
+              Seq(CellText(k.toString), CellNull, CellNull)))
+             else Nil)
+          frames.flatMap(dec.feed)
+        }
+      }
+    orderedSmall(ChangelogAssembler.assemble(msgs)
+      .toDF()
+      .select(
+        element_at(col("keyBefore"), "c_custkey").cast("long").as("c_custkey"),
+        col("op"),
+        element_at(col("values"), "c_acctbal").cast("double").as("bal"),
+        element_at(col("values"), "c_name").as("name"),
+        array_contains(col("unchanged"), "c_name").as("name_unchanged"),
+        col("lsn")),
+      col("c_custkey"), col("lsn"))
+  }
+
   /** §2.1 #3 — MERGE a compacted changelog into a snapshot: per-custkey
     * latest order updates the balance; custkey%10==0 is a delete; custkeys
     * missing from the snapshot (custkey%3==0) become inserts. */
@@ -352,6 +402,7 @@ object CdcQueries {
     "cdc_compact_fast" -> (cdcCompactFast _),
     "cdc_compact_lineitem" -> (cdcCompactLineitem _),
     "cdc_txn_assembly" -> (cdcTxnAssembly _),
+    "cdc_pgoutput_decode" -> (cdcPgoutputDecode _),
     "cdc_merge_into" -> (cdcMergeInto _),
     "cdc_text_cast" -> (cdcTextCast _),
     "pg_array_parse" -> (pgArrayParse _),
@@ -452,6 +503,21 @@ object CdcQueries {
         |  l_extendedprice AS val, CAST(n AS BIGINT) AS lsn
         |FROM ranked WHERE rn = n
         |ORDER BY order_id""".stripMargin,
+    // closed form of the synthesized wire stream: every row inserts at
+    // lsn k*10; %7 rows update (TOAST-unchanged name) at k*10+1; %13 rows
+    // delete at k*10+2
+    "cdc_pgoutput_decode" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, 'I' AS op, c_acctbal AS bal, c_name AS name,
+        |         false AS name_unchanged, c_custkey * 10 AS lsn
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'U', c_acctbal + 100, NULL, true, c_custkey * 10 + 1
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'D', NULL, NULL, false, c_custkey * 10 + 2
+        |  FROM customer WHERE c_custkey % 13 = 0
+        |) ORDER BY c_custkey, lsn""".stripMargin,
     "cdc_txn_assembly" ->
       """SELECT event_id, user_id,
         |  (event_id // 5) * 1000 + 999 AS commit_lsn,
