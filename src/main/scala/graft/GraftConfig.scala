@@ -1,0 +1,259 @@
+package graft
+
+import scala.collection.mutable
+
+import graft.cdc.Relation
+
+/** `config.yml` → [[SyncConfig]] — the engine's analogue of the
+  * reference's configuration layer (config/config.go:1-140 +
+  * `default-config.yml`): the same section/field shape, the same defaults,
+  * the same required-field validation, and viper's environment-variable
+  * override convention (`sync.batchmaxitems` ← `SYNC_BATCHMAXITEMS`).
+  *
+  * The file format is the reference's own YAML subset (two-level
+  * sections, scalars, inline `[a, b]` and block `- item` lists, quotes,
+  * comments) parsed with a ~50-line reader — the full YAML spec buys
+  * nothing here and this sandbox has no YAML dependency to resolve.
+  *
+  * Reference `snowflake.connection` (the warehouse DSN) maps to the graft
+  * target-store URI: a parquet table-store base directory, or any URI a
+  * Spark sink accepts. Go durations (`1m0s`) are accepted anywhere a
+  * Spark trigger interval is expected. */
+object GraftConfig {
+
+  final case class SyncSection(
+      batchMaxItems: Int = 25000,
+      batchTimeout: String = "60 seconds",
+      skipAcknowledge: Boolean = false,
+      prohibitDropSlot: Boolean = false,
+      tables: Seq[String] = Nil)
+
+  final case class PostgresSection(
+      connection: String = "",
+      slotName: String = "mammoth",
+      standbyMessageInterval: String = "10 seconds")
+
+  /** YAML section name stays `snowflake` for file-compatibility with the
+    * reference; semantically it is the sync target. */
+  final case class TargetSection(
+      connection: String = "",
+      database: String = "",
+      schema: String = "")
+
+  final case class LoggerSection(level: String = "info", json: Boolean = false)
+
+  final case class FileConfig(
+      sync: SyncSection = SyncSection(),
+      postgres: PostgresSection = PostgresSection(),
+      target: TargetSection = TargetSection(),
+      logger: LoggerSection = LoggerSection()) {
+
+    /** Required-field checks, mirroring config.Validate (config.go:86 via
+      * govalidator `valid:"required"` tags). */
+    def validate(): FileConfig = {
+      require(sync.batchMaxItems > 0, "sync.batchmaxitems is required")
+      require(sync.batchTimeout.nonEmpty && parseDuration(sync.batchTimeout).isDefined,
+        s"sync.batchtimeout is required (got '${sync.batchTimeout}')")
+      require(sync.tables.nonEmpty, "sync.tables is required")
+      require(postgres.connection.nonEmpty, "postgres.connection is required")
+      require(postgres.slotName.nonEmpty, "postgres.slotname is required")
+      require(parseDuration(postgres.standbyMessageInterval).isDefined,
+        "postgres.standbymessageinterval is required")
+      require(target.connection.nonEmpty, "snowflake.connection is required")
+      this
+    }
+
+    /** Bind to introspected relations → a validated [[SyncConfig]]. The
+      * file lists table NAMES only; column schemas come from source
+      * introspection exactly as the reference queries the Postgres
+      * catalog at startup. */
+    def toSyncConfig(relations: Seq[Relation]): SyncConfig = {
+      val byName = relations.flatMap(r => Seq(r.table -> r, r.qualifiedName -> r)).toMap
+      val resolved = sync.tables.map { t =>
+        byName.getOrElse(t, throw new IllegalArgumentException(
+          s"configured table '$t' has no introspected relation"))
+      }
+      val trigger =
+        if (sync.batchTimeout.contains(" ")) sync.batchTimeout // Spark interval
+        else s"${parseDuration(sync.batchTimeout).get} milliseconds"
+      SyncConfig(
+        relations = resolved,
+        tablesBase = target.connection,
+        checkpointBase = s"${target.connection}/_checkpoints",
+        batchTimeout = trigger,
+        batchMaxItems = sync.batchMaxItems.toLong).validate()
+    }
+  }
+
+  /** Go `time.Duration` text (`1m0s`, `10s`, `1h2m`, `500ms`) → millis;
+    * Spark-style interval strings (`60 seconds`) pass through unchanged. */
+  def parseDuration(s: String): Option[Long] = {
+    val t = s.trim
+    if (t.isEmpty) return None
+    if (t.contains(" ")) // Spark interval string: let Trigger parse it
+      return scala.util.Try(
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(t)).toOption.map(_ => -1L)
+    val re = """^(?:(\d+)h)?(?:(\d+)m)?(?:(\d+)s)?(?:(\d+)ms)?$""".r
+    t match {
+      case re(h, m, sec, ms) if Seq(h, m, sec, ms).exists(_ != null) =>
+        def v(x: String) = if (x == null) 0L else x.toLong
+        Some(v(h) * 3600000L + v(m) * 60000L + v(sec) * 1000L + v(ms))
+      case _ => None
+    }
+  }
+
+  /** Parse config text with viper-style env overrides: key path
+    * `section.field` ← env `SECTION_FIELD` (config.go bindEnvs). */
+  def parse(text: String, env: Map[String, String] = sys.env): FileConfig = {
+    val root = parseYaml(text)
+    def sec(name: String): Map[String, Any] =
+      root.getOrElse(name, Map.empty[String, Any]) match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        case _            => Map.empty
+      }
+    def get(section: String, key: String): Option[String] =
+      env.get(s"${section.toUpperCase}_${key.toUpperCase}")
+        .orElse(sec(section).get(key).collect { case s: String => s })
+    def getList(section: String, key: String): Option[Seq[String]] =
+      env.get(s"${section.toUpperCase}_${key.toUpperCase}")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .orElse(sec(section).get(key).collect { case l: Seq[_] => l.map(_.toString) })
+    def bool(section: String, key: String, dflt: Boolean) =
+      get(section, key).map(_.trim.equalsIgnoreCase("true")).getOrElse(dflt)
+
+    val d = FileConfig()
+    FileConfig(
+      sync = SyncSection(
+        batchMaxItems = get("sync", "batchmaxitems").map(_.trim.toInt)
+          .getOrElse(d.sync.batchMaxItems),
+        batchTimeout = get("sync", "batchtimeout").getOrElse(d.sync.batchTimeout),
+        skipAcknowledge = bool("sync", "skipacknowledge", d.sync.skipAcknowledge),
+        prohibitDropSlot = bool("sync", "prohibitdropslot", d.sync.prohibitDropSlot),
+        tables = getList("sync", "tables").getOrElse(Nil)),
+      postgres = PostgresSection(
+        connection = get("postgres", "connection").getOrElse(""),
+        slotName = get("postgres", "slotname").getOrElse(d.postgres.slotName),
+        standbyMessageInterval = get("postgres", "standbymessageinterval")
+          .getOrElse(d.postgres.standbyMessageInterval)),
+      target = TargetSection(
+        connection = get("snowflake", "connection").getOrElse(""),
+        database = get("snowflake", "database").getOrElse(""),
+        schema = get("snowflake", "schema").getOrElse("")),
+      logger = LoggerSection(
+        level = get("logger", "level").getOrElse(d.logger.level),
+        json = bool("logger", "json", d.logger.json)))
+  }
+
+  def load(path: String, env: Map[String, String] = sys.env): FileConfig = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val text = try src.mkString finally src.close()
+    parse(text, env)
+  }
+
+  /** The reference's `initconfig` (config.go WriteExampleConfig): dump the
+    * defaults in the exact default-config.yml shape. */
+  def exampleYaml: String =
+    """sync:
+      |  batchmaxitems: 25000
+      |  batchtimeout: 1m0s
+      |  skipacknowledge: false
+      |  prohibitdropslot: false
+      |  tables: []
+      |postgres:
+      |  connection: ""
+      |  slotname: mammoth
+      |  standbymessageinterval: 10s
+      |snowflake:
+      |  connection: ""
+      |  database: ""
+      |  schema: ""
+      |logger:
+      |  level: info
+      |  json: false
+      |""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Minimal YAML subset reader: two-level maps, scalars, inline lists,
+  // block lists, quotes, comments. Exactly the shape config.go emits.
+  // ------------------------------------------------------------------
+  private[graft] def parseYaml(text: String): Map[String, Any] = {
+    val root = mutable.LinkedHashMap.empty[String, Any]
+    var section: Option[mutable.LinkedHashMap[String, Any]] = None
+    var listKey: Option[String] = None
+    text.linesIterator.foreach { raw =>
+      val noComment = stripComment(raw)
+      val line = noComment.trim
+      if (line.nonEmpty) {
+        val indented = noComment.startsWith(" ") || noComment.startsWith("\t")
+        if (line.startsWith("- ") || line == "-") {
+          val item = scalar(line.drop(1).trim)
+          (section, listKey) match {
+            case (Some(s), Some(k)) =>
+              s(k) = s.getOrElse(k, Seq.empty[Any]).asInstanceOf[Seq[Any]] :+ item
+            case _ => throw new IllegalArgumentException(s"stray list item: $raw")
+          }
+        } else {
+          val idx = line.indexOf(':')
+          require(idx > 0, s"unparseable config line: $raw")
+          val key = line.substring(0, idx).trim
+          val value = line.substring(idx + 1).trim
+          if (!indented) {
+            if (value.isEmpty) { // section header
+              val m = mutable.LinkedHashMap.empty[String, Any]
+              root(key) = m
+              section = Some(m)
+              listKey = None
+            } else {
+              root(key) = scalar(value)
+              section = None
+              listKey = None
+            }
+          } else {
+            val s = section.getOrElse(throw new IllegalArgumentException(
+              s"indented key outside a section: $raw"))
+            if (value.isEmpty) { // block list follows
+              s(key) = Seq.empty[Any]
+              listKey = Some(key)
+            } else {
+              s(key) = scalar(value)
+              listKey = None
+            }
+          }
+        }
+      }
+    }
+    root.map { case (k, v) =>
+      k -> (v match {
+        case m: mutable.LinkedHashMap[_, _] => m.toMap
+        case other                          => other
+      })
+    }.toMap
+  }
+
+  private def stripComment(line: String): String = {
+    var inQuote = false
+    val sb = new StringBuilder
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '"') inQuote = !inQuote
+      if (c == '#' && !inQuote) return sb.toString
+      sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def scalar(v: String): Any =
+    if (v.startsWith("[") && v.endsWith("]")) {
+      val inner = v.substring(1, v.length - 1).trim
+      if (inner.isEmpty) Seq.empty[Any]
+      else inner.split(",").map(x => unquote(x.trim)).toSeq
+    } else unquote(v)
+
+  private def unquote(v: String): String =
+    if (v.length >= 2 &&
+      ((v.head == '"' && v.last == '"') || (v.head == '\'' && v.last == '\'')))
+      v.substring(1, v.length - 1)
+    else v
+}

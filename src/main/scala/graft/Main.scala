@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+
+import graft.cdc.{Relation, WalMessage}
+import graft.sources.Jdbc
+
+/** spark-submit entrypoint — the engine's `cmd/mammoth/main.go`:
+  *
+  * {{{
+  *   spark-submit --class graft.Main graft.jar initconfig [config.yml]
+  *   spark-submit --class graft.Main graft.jar run [config.yml]
+  * }}}
+  *
+  * `run` wires the whole service from the config file exactly as the
+  * reference's supervisor does: load + validate config → introspect the
+  * configured tables over JDBC (`postgres.connection`) → backfill any
+  * table whose live snapshot is missing or schema-mismatched → stream
+  * change messages into the supervised merge loop. The change source is a
+  * file stream of WAL-style JSON messages under `<target>/_messages` —
+  * the sandbox substitute for a live replication connection (the inverse
+  * of the reference's `streamtofile` mode); a live deployment swaps in
+  * any `Dataset[WalMessage]` source (e.g. Kafka + [[cdc.PgOutput]]
+  * decode) without touching the rest of the wiring. */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val (cmd, rest) = args.headOption match {
+      case Some(c) if !c.startsWith("-") => (c, args.drop(1))
+      case _                             => ("run", args)
+    }
+    val configPath = rest.headOption.getOrElse("config.yml")
+    cmd match {
+      case "initconfig" =>
+        val w = new java.io.FileWriter(configPath)
+        try w.write(GraftConfig.exampleYaml) finally w.close()
+        println(s"wrote example config to $configPath")
+      case "run" =>
+        val fc = GraftConfig.load(configPath).validate()
+        // under spark-submit the master comes from the submit conf; the
+        // GraftSession tuning knobs still apply
+        val master = sys.props.getOrElse("spark.master",
+          s"local[${Runtime.getRuntime.availableProcessors}]")
+        val spark = GraftSession.builder(master = master).getOrCreate()
+        spark.sparkContext.setLogLevel(fc.logger.level.toUpperCase match {
+          case "DEBUG" => "DEBUG"; case "WARN" | "WARNING" => "WARN"
+          case "ERROR" => "ERROR"; case _ => "INFO"
+        })
+        run(spark, fc)
+      case other =>
+        System.err.println(s"unknown command '$other' (expected run | initconfig)")
+        sys.exit(2)
+    }
+  }
+
+  /** Introspect the configured tables from the source database. */
+  def introspectRelations(fc: GraftConfig.FileConfig): Seq[Relation] =
+    fc.sync.tables.map { t =>
+      val (schema, table) = t.split('.') match {
+        case Array(s, n) => (Some(s), n)
+        case Array(n)    => (None, n)
+        case _ => throw new IllegalArgumentException(s"bad table name: $t")
+      }
+      Jdbc.introspect(fc.postgres.connection, schema, table)
+    }
+
+  /** Build the sync service from a validated file config: introspect,
+    * backfill missing/mismatched tables, return the facade. Separated
+    * from `main` so tests (and the E2E lifecycle spec) drive the exact
+    * startup path without a JVM boundary. */
+  def buildSync(spark: SparkSession, fc: GraftConfig.FileConfig): (GraftSync, Seq[Relation]) = {
+    val relations = introspectRelations(fc)
+    val sync = new GraftSync(spark, fc.toSyncConfig(relations))
+    relations.foreach { rel =>
+      if (!sync.verifyRelation(rel)) {
+        // reference InitializeRelation: snapshot the source table
+        val src = Jdbc.ReadConf(fc.postgres.connection, rel.table).load(spark)
+        sync.backfill(rel, src)
+      }
+    }
+    (sync, relations)
+  }
+
+  /** The supervised service loop (reference supervisor.Run): backfill,
+    * stream, resync-on-schema-change. Blocks until the stream ends. */
+  def run(spark: SparkSession, fc: GraftConfig.FileConfig): Unit = {
+    val messagesDir = s"${fc.target.connection}/_messages"
+    new java.io.File(messagesDir).mkdirs()
+    val (sync0, _) = buildSync(spark, fc)
+    var sync = sync0
+    sync.runSupervised(
+      body = () => {
+        val messages: Dataset[WalMessage] = spark.readStream
+          .schema(Encoders.product[WalMessage].schema)
+          .option("maxFilesPerTrigger", math.max(1, fc.sync.batchMaxItems / 1000))
+          .json(messagesDir)
+          .as(Encoders.product[WalMessage])
+        val q = sync.startFromMessages(messages)
+        q.awaitTermination()
+      },
+      resnapshot = () => {
+        // schema changed: drop the streaming checkpoint (its state no
+        // longer matches) and rebuild from a fresh introspection +
+        // snapshot, as the reference drops the slot and re-backfills
+        val ckpt = new org.apache.hadoop.fs.Path(s"${fc.target.connection}/_checkpoints")
+        val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(ckpt)) fs.delete(ckpt, true)
+        val (fresh, _) = buildSync(spark, fc)
+        sync = fresh
+      })
+    ()
+  }
+}

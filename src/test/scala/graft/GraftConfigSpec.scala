@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.cdc.{PgTypes, RelColumn, Relation}
+
+class GraftConfigSpec extends AnyFunSuite with Matchers {
+
+  // the reference's default-config.yml, verbatim (what its `initconfig`
+  // command emits from config.go DefaultConfig)
+  private val referenceDefaultYaml =
+    """sync:
+      |  batchmaxitems: 25000
+      |  batchtimeout: 1m0s
+      |  skipacknowledge: false
+      |  prohibitdropslot: false
+      |  tables: []
+      |postgres:
+      |  connection: ""
+      |  slotname: mammoth
+      |  standbymessageinterval: 10s
+      |snowflake:
+      |  connection: ""
+      |  database: ""
+      |  schema: ""
+      |logger:
+      |  level: info
+      |  json: false
+      |""".stripMargin
+
+  test("parses the reference default-config.yml field-for-field") {
+    val fc = GraftConfig.parse(referenceDefaultYaml, env = Map.empty)
+    fc.sync.batchMaxItems shouldBe 25000
+    fc.sync.batchTimeout shouldBe "1m0s"
+    GraftConfig.parseDuration(fc.sync.batchTimeout) shouldBe Some(60000L)
+    fc.sync.skipAcknowledge shouldBe false
+    fc.sync.prohibitDropSlot shouldBe false
+    fc.sync.tables shouldBe empty
+    fc.postgres.connection shouldBe ""
+    fc.postgres.slotName shouldBe "mammoth"
+    GraftConfig.parseDuration(fc.postgres.standbyMessageInterval) shouldBe Some(10000L)
+    fc.target.connection shouldBe ""
+    fc.target.database shouldBe ""
+    fc.target.schema shouldBe ""
+    fc.logger.level shouldBe "info"
+    fc.logger.json shouldBe false
+    // our example emitter reproduces it byte-for-byte
+    GraftConfig.exampleYaml shouldBe referenceDefaultYaml
+  }
+
+  test("defaults require filling before they validate (reference required tags)") {
+    val fc = GraftConfig.parse(referenceDefaultYaml, env = Map.empty)
+    val ex = intercept[IllegalArgumentException](fc.validate())
+    ex.getMessage should include("sync.tables")
+  }
+
+  private val filledYaml =
+    """sync:
+      |  batchmaxitems: 5000
+      |  batchtimeout: 1m30s   # comment survives
+      |  tables:
+      |    - public.users
+      |    - public.orders
+      |postgres:
+      |  connection: "jdbc:derby:memory:cfg;create=true"
+      |  slotname: graft
+      |  standbymessageinterval: 10s
+      |snowflake:
+      |  connection: "/tmp/graft_cfg_tables"
+      |""".stripMargin
+
+  test("a filled config validates and maps onto SyncConfig") {
+    val fc = GraftConfig.parse(filledYaml, env = Map.empty).validate()
+    fc.sync.tables shouldBe Seq("public.users", "public.orders")
+    val rels = Seq(
+      Relation("public", "users", Seq(RelColumn("id", PgTypes.Int8Oid, isIdentity = true))),
+      Relation("public", "orders", Seq(RelColumn("id", PgTypes.Int8Oid, isIdentity = true))))
+    val sc = fc.toSyncConfig(rels)
+    sc.relations.map(_.table) shouldBe Seq("users", "orders")
+    sc.tablesBase shouldBe "/tmp/graft_cfg_tables"
+    sc.checkpointBase shouldBe "/tmp/graft_cfg_tables/_checkpoints"
+    sc.batchTimeout shouldBe "90000 milliseconds"
+    sc.batchMaxItems shouldBe 5000L
+  }
+
+  test("a configured table without an introspected relation fails loudly") {
+    val fc = GraftConfig.parse(filledYaml, env = Map.empty).validate()
+    an[IllegalArgumentException] should be thrownBy fc.toSyncConfig(Seq(
+      Relation("public", "users", Seq(RelColumn("id", PgTypes.Int8Oid, isIdentity = true)))))
+  }
+
+  test("environment variables override file values (viper convention)") {
+    val fc = GraftConfig.parse(filledYaml, env = Map(
+      "SYNC_BATCHMAXITEMS" -> "123",
+      "POSTGRES_SLOTNAME" -> "other",
+      "SYNC_TABLES" -> "public.events",
+      "LOGGER_JSON" -> "true"))
+    fc.sync.batchMaxItems shouldBe 123
+    fc.postgres.slotName shouldBe "other"
+    fc.sync.tables shouldBe Seq("public.events")
+    fc.logger.json shouldBe true
+  }
+
+  test("go durations parse; garbage does not") {
+    GraftConfig.parseDuration("1h2m3s") shouldBe Some(3723000L)
+    GraftConfig.parseDuration("500ms") shouldBe Some(500L)
+    GraftConfig.parseDuration("2m") shouldBe Some(120000L)
+    GraftConfig.parseDuration("") shouldBe None
+    GraftConfig.parseDuration("soon") shouldBe None
+  }
+
+  test("yaml subset: inline lists, quotes and comments") {
+    val m = GraftConfig.parseYaml(
+      """a:
+        |  xs: [1, "two", three]  # inline
+        |  s: "a # not-comment"
+        |top: plain
+        |""".stripMargin)
+    m("a").asInstanceOf[Map[String, Any]]("xs") shouldBe Seq("1", "two", "three")
+    m("a").asInstanceOf[Map[String, Any]]("s") shouldBe "a # not-comment"
+    m("top") shouldBe "plain"
+  }
+
+  test("initconfig round-trips through the parser") {
+    val fc = GraftConfig.parse(GraftConfig.exampleYaml, env = Map.empty)
+    fc shouldBe GraftConfig.parse(referenceDefaultYaml, env = Map.empty)
+  }
+}
