@@ -105,6 +105,20 @@ object Ann {
     cents
   }
 
+  /** The DOCUMENTED partial-probe operating point, decided on a measured
+    * recall/latency tradeoff (`IvfOperatingPointSpec`): at 4/16 probes,
+    * 3 Lloyd iterations lift recall@5 over hash-sampled seed centroids by
+    * an amount that depends on how clustered the corpus is (+0.10 on the
+    * sf0.01 embeddings, +0.01 on sf0.1) and never measurably hurt, for a
+    * build-time-only cost (a few distributed assignment+mean passes) that
+    * amortizes to zero over a static corpus — which is exactly what a
+    * training-data pipeline queries. Probe-all (`nProbe = nCentroids`)
+    * remains the EXACT configuration and needs no training (cell shapes
+    * cannot change an exhaustive search, so the `ann_ivf` correctness
+    * gate runs full-probe untrained). */
+  final case class IvfConfig(nCentroids: Int, nProbe: Int, trainIters: Int)
+  val RecommendedIvf: IvfConfig = IvfConfig(nCentroids = 16, nProbe = 4, trainIters = 3)
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
@@ -133,8 +147,23 @@ object Ann {
       transform(slice(reverse(ranked), 1, nProbe), e => e("i").cast("int"))
     }
 
-    val corpusCells = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv"), bestCell(col(vecCol)).as("__cid"))
+    // Two quirks in this projection are load-bearing when queries and
+    // corpus filter the SAME frame (a self-join):
+    //  - two-step select: the cell lambdas must reference the fresh __cv
+    //    alias, not the caller's raw vector attribute — self-join dedup
+    //    renumbers one branch and lambda-captured references to the
+    //    original attribute are what it fails to rewrite;
+    //  - the `+ rand*0` no-op taints __cid as nondeterministic, which
+    //    stops InferFiltersFromConstraints from expanding the alias into
+    //    a join-key not-null filter: that inferred filter lands on the
+    //    RENUMBERED branch still referencing the original vector
+    //    attribute → runtime [INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND]. (The
+    //    LSH path is immune only because posexplode blocks constraint
+    //    propagation on both sides.)
+    val corpusCells = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .select(col("neighbor_id"), col("__cv"),
+        (bestCell(col("__cv")) + (rand(0) * 0).cast("int")).as("__cid"))
     // explode gets its own projection: a generator whose child expression
     // nests lambdas breaks self-join attribute dedup
     val queryCells = broadcast(
