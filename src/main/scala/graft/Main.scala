@@ -47,10 +47,42 @@ object Main {
           case "ERROR" => "ERROR"; case _ => "INFO"
         })
         run(spark, fc)
+      case "streamtofile" =>
+        // the reference's diagnostic mode (supervisor.StreamToFile): dump
+        // the decoded change stream to JSONL without applying it. Input is
+        // an offline capture (length-prefixed CopyData frames) instead of
+        // a live socket; acknowledge is skipped so the slot retains WAL.
+        val capture = rest.headOption.getOrElse {
+          System.err.println("usage: streamtofile <captureFileOrDir> [out.jsonl]")
+          sys.exit(2)
+        }
+        val out = rest.drop(1).headOption.getOrElse("out.jsonl")
+        val spark = GraftSession.local()
+        val n = streamToFile(spark, capture, out)
+        println(s"wrote $n messages to $out")
       case other =>
-        System.err.println(s"unknown command '$other' (expected run | initconfig)")
+        System.err.println(s"unknown command '$other' (expected run | initconfig | streamtofile)")
         sys.exit(2)
     }
+  }
+
+  /** Decode a replication capture → JSONL of [[WalMessage]]s. Decode is
+    * sequential (one replication stream, one [[cdc.PgReplication.Session]]);
+    * the write fans out through Spark. */
+  def streamToFile(spark: SparkSession, capturePath: String, out: String): Long = {
+    val f = new java.io.File(capturePath)
+    val files =
+      if (f.isDirectory)
+        f.listFiles().filter(_.getName.endsWith(".bin")).sortBy(_.getName).map(_.getPath).toSeq
+      else Seq(capturePath)
+    val session = new graft.cdc.PgReplication.Session(skipAcknowledge = true)
+    val msgs = files.iterator
+      .flatMap(graft.cdc.PgReplication.readFrameFile)
+      .flatMap(fr => session.feed(fr, System.currentTimeMillis() * 1000L).messages)
+      .toSeq
+    spark.createDataset(msgs)(Encoders.product[WalMessage])
+      .write.mode("overwrite").json(out)
+    msgs.size.toLong
   }
 
   /** Introspect the configured tables from the source database. */
