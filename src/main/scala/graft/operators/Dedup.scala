@@ -113,6 +113,63 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected near-dup pair graph — the
+    * step that turns PAIRS into duplicate CLUSTERS, because pairs alone
+    * cannot dedup transitively (A~B and B~C without an (A,C) pair must
+    * still collapse to one survivor).
+    *
+    * Algorithm: iterative min-label propagation. State is one (id, label)
+    * row per node; each round every node adopts the minimum label among
+    * itself and its neighbors (one join + one aggregation), until a fixed
+    * point — the distributed-graph standard when the cluster diameter is
+    * small, which near-dup graphs are (copies of one source document).
+    * Rounds = longest chain; every round local-checkpoints its state so
+    * iteration N+1's lineage does not replay rounds 1..N. Non-convergence
+    * within `maxIters` THROWS — silently stopping early would under-merge
+    * clusters and ship duplicates into a training set.
+    *
+    * Output: (id, label) for every node appearing in `pairs`, label = the
+    * minimum id of the node's component. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // reused every round
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < maxIters) {
+      val neighbor = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = neighbor.union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count() > 0
+      labels = next
+      if (!changed) return labels
+      iter += 1
+    }
+    throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(pathological chain length — raise maxIters)")
+  }
+
+  /** Canonical-document selection: given near-dup pairs, keep ONE doc per
+    * duplicate cluster (the minimum id) and every unpaired doc. The
+    * cluster map is |nodes-in-pairs| rows — tiny next to the corpus — so
+    * the survivor join broadcasts; the corpus is never shuffled. */
+  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = broadcast(connectedComponents(pairs))
+    docs.join(cc, docs(idCol) === cc("id"), "left_outer")
+      .filter(col("label").isNull || col("label") === docs(idCol))
+      .drop("id", "label")
+  }
+
   /** Embedding near-duplicate pairs: exact cosine over LSH-bucketed
     * candidates (random-hyperplane signature). For corpora small enough to
     * broadcast, pass `bucketBits = 0` to verify all pairs. */

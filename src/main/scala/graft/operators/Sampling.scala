@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset assignment for training pipelines: stable
+  * train/val/test splits and hash-fraction sampling that never change
+  * across runs, engines, partitionings, or cluster sizes — `rand()`-based
+  * splits reshuffle documents between sets on every materialization,
+  * which silently leaks validation data into training.
+  *
+  * Mechanism: the first 4 hex digits of `md5(salt || key)` compared
+  * against fraction thresholds AS STRINGS. md5 produces identical
+  * lowercase hex everywhere (verified against DuckDB by the driver
+  * oracle), hex-string order is value order, and 4 digits give 1/65536
+  * granularity — so the same row lands in the same split on any engine.
+  * Changing `salt` re-draws the assignment wholesale (e.g. per epoch or
+  * per experiment). */
+object Sampling {
+
+  private def hexPrefix(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 4)
+
+  private def threshold(frac: Double): String =
+    f"${math.min(65535, math.max(0, math.round(frac * 65536))).toInt}%04x"
+
+  /** Split label per row. `fractions` are (label, fraction) with
+    * fractions summing to ≤ 1; rows beyond the sum get the last label
+    * (i.e. the last fraction may be given as the remainder). */
+  def splitLabel(key: Column, salt: String, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty, "at least one split")
+    val sums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    require(sums.last <= 1.0 + 1e-9, s"fractions sum to ${sums.last} > 1")
+    val h = hexPrefix(key, salt)
+    fractions.init.zip(sums.init)
+      .foldRight(lit(fractions.last._1): Column) { case (((label, _), cum), rest) =>
+        when(h < lit(threshold(cum)), lit(label)).otherwise(rest)
+      }
+  }
+
+  /** Keep-predicate for a deterministic `frac` sample. */
+  def sampledBy(key: Column, salt: String, frac: Double): Column =
+    hexPrefix(key, salt) < lit(threshold(frac))
+}

@@ -85,6 +85,42 @@ object LlmQueries {
       col("id_a"))
   }
 
+  /** §2.3 #31c — near-dup pairs → duplicate CLUSTERS → canonical
+    * survivors. The planted pairs are CONSECUTIVE-generation only
+    * ((orig, v1) and (v1, v2), never (orig, v2)), so the original and v2
+    * connect ONLY through transitive closure — exactly what pair-level
+    * dedup cannot do and [[Dedup.connectedComponents]] exists for. */
+  def dedupClusterKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def gen(offset: Int, tail: String) =
+      docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + offset).as("doc_id"),
+          concat(col("text"), lit(tail)).as("text"))
+    val corpus = docs.unionByName(gen(100000, " v1")).unionByName(gen(200000, " v2"))
+    val base = docs.filter(col("doc_id") % 20 === 0).select(col("doc_id"))
+    val pairs = base.select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      .unionByName(base.select((col("doc_id") + 100000).as("id_a"),
+        (col("doc_id") + 200000).as("id_b")))
+    val cc = Dedup.connectedComponents(pairs)
+    orderedSmall(corpus.join(cc, corpus("doc_id") === cc("id"), "left_outer")
+      .select(corpus("doc_id"),
+        coalesce(col("label"), corpus("doc_id")).as("cluster"),
+        (col("label").isNull || col("label") === corpus("doc_id")).as("kept")),
+      col("doc_id"))
+  }
+
+  /** §2.3 #43c — deterministic hash split + hash sampling: the same row
+    * lands in the same set on every run, engine and partitioning (a
+    * rand() split re-draws per materialization and leaks val into
+    * train). Oracled cross-engine through md5-hex string compare. */
+  def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"),
+        graft.operators.Sampling.splitLabel(col("doc_id"), "graft",
+          Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))).as("split"),
+        graft.operators.Sampling.sampledBy(col("doc_id"), "s2", 0.25).as("in_quarter"))
+
   /** §2.3 #35 — embedding near-dup: top-50 all-pairs cosine on a bounded
     * id range (bucketed LSH variant gated separately in ann_lsh). */
   def embedNeardup(s: SparkSession, dir: String): DataFrame = {
@@ -215,6 +251,8 @@ object LlmQueries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_cluster_keep" -> (dedupClusterKeep _),
+    "q_hash_split" -> (qHashSplit _),
     "embed_neardup" -> (embedNeardup _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
@@ -234,6 +272,25 @@ object LlmQueries {
   private val esList = TextAnalysis.stopwords("es").map(w => s"'$w'").mkString(",")
 
   val oracle: Map[String, String] = Map(
+    // closed form of the planted chain: originals keep themselves; both
+    // copy generations collapse (transitively) onto the original's cluster
+    "dedup_cluster_keep" ->
+      """SELECT doc_id, cluster, kept FROM (
+        |  SELECT doc_id, doc_id AS cluster, true AS kept FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, doc_id, false FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, doc_id, false FROM documents WHERE doc_id % 20 = 0
+        |) t ORDER BY doc_id""".stripMargin,
+    // same md5-hex-prefix string compare, fraction thresholds in hex:
+    // 0.9 -> e666, 0.95 -> f333, 0.25 -> 4000
+    "q_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+        |       WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  substr(md5('s2' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000' AS in_quarter
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

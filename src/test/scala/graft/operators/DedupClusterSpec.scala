@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class DedupClusterSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(pairs: (Long, Long)*): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connected components: chains merge transitively, components stay apart") {
+    // chain 1-2-3-4 (no shortcut edges) + separate pair 10-11
+    val m = cc((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    m shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+  }
+
+  test("connected components: min label wins regardless of edge direction/order") {
+    val m = cc((9L, 5L), (5L, 7L), (7L, 2L))
+    m.values.toSet shouldBe Set(2L)
+  }
+
+  test("connected components: refuses to under-merge on iteration exhaustion") {
+    val longChain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+    an[IllegalStateException] should be thrownBy
+      Dedup.connectedComponents(longChain.toDF("id_a", "id_b"), maxIters = 2)
+  }
+
+  test("keepCanonical keeps min id per cluster and every unpaired doc") {
+    val docs = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (5L, "b"), (9L, "c"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select(col("doc_id")).as[Long].collect().toSet
+    kept shouldBe Set(1L, 5L, 9L)
+  }
+
+  test("hash split is deterministic, disjoint-complete, and near the fractions") {
+    val df = spark.range(0, 4000).toDF("id")
+      .select(col("id"),
+        Sampling.splitLabel(col("id"), "salt1",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))).as("split"),
+        Sampling.sampledBy(col("id"), "salt1", 0.5).as("half"))
+    val counts = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.values.sum shouldBe 4000L // every row gets exactly one label
+    counts("train").toDouble shouldBe 3200.0 +- 150.0
+    counts("val").toDouble shouldBe 400.0 +- 80.0
+    counts("test").toDouble shouldBe 400.0 +- 80.0
+    // determinism: identical assignment on re-materialization
+    val a = df.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = df.orderBy(rand(7)).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    a shouldBe b
+    // a different salt re-draws
+    val other = spark.range(0, 4000).toDF("id")
+      .select(Sampling.splitLabel(col("id"), "salt2",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))).as("s2"))
+      .collect().map(_.getString(0))
+    other.zip((0L until 4000L).map(a)).count { case (x, y) => x != y } should be > 0
+  }
+
+  test("sampledBy fraction tracks the requested rate") {
+    val n = spark.range(0, 8000).toDF("id")
+      .filter(Sampling.sampledBy(col("id"), "s", 0.25)).count()
+    n.toDouble shouldBe 2000.0 +- 200.0
+  }
+}
