@@ -40,5 +40,17 @@ object Sampling {
 
   /** Keep-predicate for a deterministic `frac` sample. */
   def sampledBy(key: Column, salt: String, frac: Double): Column =
-    hexPrefix(key, salt) < lit(threshold(frac))
+    if (frac >= 1.0) lit(true)
+    else if (frac <= 0.0) lit(false)
+    else hexPrefix(key, salt) < lit(threshold(frac))
+
+  /** Per-stratum deterministic sampling — the dataset-MIXING primitive:
+    * each source keeps its own rate (downsample the crawl, keep all of
+    * the curated set), stable across runs like [[sampledBy]]. Strata
+    * absent from `fractions` use `defaultFrac`. */
+  def stratifiedSampleBy(key: Column, stratum: Column, salt: String,
+      fractions: Map[String, Double], defaultFrac: Double): Column =
+    fractions.toSeq.sortBy(_._1).foldRight(sampledBy(key, salt, defaultFrac)) {
+      case ((s, f), rest) => when(stratum === s, sampledBy(key, salt, f)).otherwise(rest)
+    }
 }

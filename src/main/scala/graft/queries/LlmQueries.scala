@@ -121,6 +121,16 @@ object LlmQueries {
           Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))).as("split"),
         graft.operators.Sampling.sampledBy(col("doc_id"), "s2", 0.25).as("in_quarter"))
 
+  /** §2.3 #43d — dataset mixing: per-stratum deterministic sampling
+    * (keep 50% of English, all of French, 10% of everything else). */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(graft.operators.Sampling.stratifiedSampleBy(
+        col("doc_id"), col("lang"), "mix",
+        Map("en" -> 0.5, "fr" -> 1.0), defaultFrac = 0.1))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** §2.3 #35 — embedding near-dup: top-50 all-pairs cosine on a bounded
     * id range (bucketed LSH variant gated separately in ann_lsh). */
   def embedNeardup(s: SparkSession, dir: String): DataFrame = {
@@ -253,6 +263,7 @@ object LlmQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_cluster_keep" -> (dedupClusterKeep _),
     "q_hash_split" -> (qHashSplit _),
+    "q_stratified_sample" -> (qStratifiedSample _),
     "embed_neardup" -> (embedNeardup _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
@@ -282,6 +293,15 @@ object LlmQueries {
         |  UNION ALL
         |  SELECT doc_id + 200000, doc_id, false FROM documents WHERE doc_id % 20 = 0
         |) t ORDER BY doc_id""".stripMargin,
+    // per-stratum rates: en 0.5 -> '8000', fr 1.0 -> always, rest 0.1 -> '199a'
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE lang
+        |  WHEN 'en' THEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |  WHEN 'fr' THEN true
+        |  ELSE substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+        |END
+        |ORDER BY doc_id""".stripMargin,
     // same md5-hex-prefix string compare, fraction thresholds in hex:
     // 0.9 -> e666, 0.95 -> f333, 0.25 -> 4000
     "q_hash_split" ->

@@ -64,6 +64,18 @@ class DedupClusterSpec extends AnyFunSuite with Matchers {
     other.zip((0L until 4000L).map(a)).count { case (x, y) => x != y } should be > 0
   }
 
+  test("stratified sampling applies per-stratum rates (1.0 keeps everything)") {
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("src", when(col("id") % 3 === 0, "curated")
+        .when(col("id") % 3 === 1, "crawl").otherwise("other"))
+    val kept = df.filter(Sampling.stratifiedSampleBy(col("id"), col("src"), "m",
+      Map("curated" -> 1.0, "crawl" -> 0.2), defaultFrac = 0.5))
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept("curated") shouldBe 1000L // frac 1.0 must not lose the 'ffff' sliver
+    kept("crawl").toDouble shouldBe 200.0 +- 60.0
+    kept("other").toDouble shouldBe 500.0 +- 90.0
+  }
+
   test("sampledBy fraction tracks the requested rate") {
     val n = spark.range(0, 8000).toDF("id")
       .filter(Sampling.sampledBy(col("id"), "s", 0.25)).count()
