@@ -157,6 +157,61 @@ final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty)
     tryExec(s"DROP TABLE $stageTable")
   }
 
+  /** Last batch LSN this target acknowledged (reads the in-database
+    * record, so "all state is in the source and target"). */
+  def appliedLsn(): Long = {
+    ensureLsnTable()
+    withConnection { c =>
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery("SELECT LSN FROM GRAFT_APPLIED_LSN")
+        try { rs.next(); rs.getLong(1) } finally rs.close()
+      } finally st.close()
+    }
+  }
+
+  private def ensureLsnTable(): Unit = {
+    try {
+      exec("CREATE TABLE GRAFT_APPLIED_LSN (LSN BIGINT)")
+      exec("INSERT INTO GRAFT_APPLIED_LSN VALUES (-9223372036854775808)")
+    } catch { case _: java.sql.SQLException => () } // exists
+  }
+
+  /** Apply one MULTI-TABLE batch in ONE database transaction — the
+    * reference's one-warehouse-transaction-per-batch
+    * (snowflake_target.go:283-340: a single Postgres transaction can
+    * touch several tables, so their merges must become visible
+    * together). Staging happens outside the transaction (the reference's
+    * temp-stage uploads are too — Snowflake ends transactions on DDL);
+    * the transaction covers every MERGE plus the applied-LSN update, so
+    * a crash mid-batch rolls the target back to the previous consistent
+    * state and a replayed batch is skipped by the LSN check.
+    *
+    * @return false when the batch was already applied (replay). */
+  def applyBatchTransactional(rels: Seq[Relation], actions: Dataset[ChangeAction],
+      maxLsn: Long): Boolean = {
+    if (maxLsn <= appliedLsn()) return false
+    val compacted = ChangelogCompactor.compact(actions)
+    val staged = rels.map(r => r -> stage(r, compacted))
+    withConnection { c =>
+      c.setAutoCommit(false)
+      try {
+        val st = c.createStatement()
+        try {
+          staged.foreach { case (r, _) => st.execute(mergeSql(r)) }
+          st.execute(s"UPDATE GRAFT_APPLIED_LSN SET LSN = $maxLsn")
+        } finally st.close()
+        c.commit()
+      } catch {
+        case e: Throwable =>
+          try c.rollback() catch { case _: java.sql.SQLException => () }
+          throw e
+      }
+    }
+    staged.foreach { case (_, s) => tryExec(s"DROP TABLE $s") }
+    true
+  }
+
   /** Read a table back (key-ordered read is the caller's concern). */
   def read(spark: SparkSession, table: String): DataFrame =
     Jdbc.ReadConf(url, up(table), properties = properties).load(spark)

@@ -104,6 +104,49 @@ class JdbcTargetSpec extends AnyFunSuite with Matchers {
     st(404L) shouldBe ("dave2", Some(44.0))
   }
 
+  test("multi-table batch applies in one transaction; failure rolls back everything") {
+    val rel2 = Relation("public", "orders_t", Seq(
+      RelColumn("o_id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("o_total", PgTypes.Float8Oid)))
+    target.initialize(rel2, Seq((100L, 5.0)).toDF("o_id", "o_total"))
+
+    def batch(lsn: Long, bal: String, total: String) = Seq(
+      action(lsn, "U", 1,
+        values = Map("c_custkey" -> "1", "c_acctbal" -> bal),
+        unchanged = Seq("c_name")),
+      ChangeAction("orders_t", lsn, 1, "U", Map("o_id" -> "100"),
+        Map("o_id" -> "100", "o_total" -> total), Nil, Nil, rekey = false))
+
+    target.applyBatchTransactional(Seq(rel, rel2), batch(100, "77.0", "7.5").toDS(),
+      maxLsn = 100) shouldBe true
+    stateByKey()(1L) shouldBe ("alice", Some(77.0))
+    target.read(spark, "orders_t").collect()(0).getDouble(1) shouldBe 7.5
+    target.appliedLsn() shouldBe 100L
+
+    // replay of an applied batch is skipped by the in-database LSN record
+    target.applyBatchTransactional(Seq(rel, rel2), batch(100, "88.0", "8.5").toDS(),
+      maxLsn = 100) shouldBe false
+    stateByKey()(1L)._2 shouldBe Some(77.0)
+
+    // a failure on the SECOND table (dropped out from under the batch)
+    // must roll back the first table's merge and the LSN update
+    target.withConnection { c =>
+      val st = c.createStatement(); try st.execute("DROP TABLE ORDERS_T") finally st.close()
+    }
+    an[Exception] should be thrownBy
+      target.applyBatchTransactional(Seq(rel, rel2), batch(200, "99.0", "9.5").toDS(),
+        maxLsn = 200)
+    stateByKey()(1L)._2 shouldBe Some(77.0) // customer merge rolled back
+    target.appliedLsn() shouldBe 100L
+
+    // restore the table; the same batch then applies cleanly
+    target.initialize(rel2, Seq((100L, 7.5)).toDF("o_id", "o_total"))
+    target.applyBatchTransactional(Seq(rel, rel2), batch(200, "99.0", "9.5").toDS(),
+      maxLsn = 200) shouldBe true
+    stateByKey()(1L)._2 shouldBe Some(99.0)
+    target.read(spark, "orders_t").collect()(0).getDouble(1) shouldBe 9.5
+  }
+
   test("the generated MERGE mirrors the reference template") {
     val sql = target.mergeSql(rel)
     sql should include("MERGE INTO CUSTOMERS T USING CUSTOMERS__STAGE S ON T.C_CUSTKEY = S.K_C_CUSTKEY")
