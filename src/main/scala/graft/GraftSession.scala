@@ -17,9 +17,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the graft_* SQL function surface, injected the user-facing way
-      // (static conf, applied when the context is created; harmless no-op
-      // string merge if the caller overrides spark.sql.extensions)
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // (static conf, applied when the context is created). The conf accepts
+      // a comma-separated list and Builder.config is last-write-wins, so any
+      // extensions the caller already passed via spark-submit --conf (which
+      // arrive as system properties) are APPENDED to, not replaced.
+      .config("spark.sql.extensions", mergedExtensions())
       // runtime re-planning: partition coalescing, skew-join splitting,
       // broadcast-join demotion/promotion from real sizes
       .config("spark.sql.adaptive.enabled", "true")
@@ -35,6 +37,19 @@ object GraftSession {
       // of silently nulling; per-column opt-outs go through
       // PgTypes.NumericMode / PgValues.castText permissive modes
       .config("spark.sql.ansi.enabled", "true")
+
+  private val GraftExt = "graft.functions.GraftExtensions"
+
+  /** GraftExtensions plus whatever spark.sql.extensions the launch
+    * environment already carries (spark-submit --conf values surface as
+    * system properties). Visible for the injection spec. */
+  private[graft] def mergedExtensions(
+      existing: Option[String] = sys.props.get("spark.sql.extensions")): String =
+    existing.map(_.trim).filter(_.nonEmpty) match {
+      case Some(e) if e.split(",").map(_.trim).contains(GraftExt) => e
+      case Some(e) => s"$e,$GraftExt"
+      case None    => GraftExt
+    }
 
   def local(): SparkSession = {
     val s = builder().getOrCreate()

@@ -164,10 +164,14 @@ object Dedup {
     * cluster map is |nodes-in-pairs| rows — tiny next to the corpus — so
     * the survivor join broadcasts; the corpus is never shuffled. */
   def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val cc = broadcast(connectedComponents(pairs))
-    docs.join(cc, docs(idCol) === cc("id"), "left_outer")
-      .filter(col("label").isNull || col("label") === docs(idCol))
-      .drop("id", "label")
+    // collision-proof internal names: drop-by-name after a join removes ALL
+    // columns with that name, so a corpus column literally called "id" or
+    // "label" would otherwise be silently dropped from the output
+    val cc = broadcast(connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("label").as("__cc_label")))
+    docs.join(cc, docs(idCol) === cc("__cc_id"), "left_outer")
+      .filter(col("__cc_label").isNull || col("__cc_label") === docs(idCol))
+      .drop("__cc_id", "__cc_label")
   }
 
   /** Embedding near-duplicate pairs: exact cosine over LSH-bucketed

@@ -70,7 +70,20 @@ final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty)
       case _                                        => "VARCHAR(32000)"
     }
 
-  private def up(name: String): String = name.toUpperCase(java.util.Locale.ROOT)
+  /** Uppercase-normalize an identifier for generated DDL/MERGE SQL, after
+    * validating it against a safe pattern. Identifiers come from
+    * source-database metadata and are emitted unquoted (see class doc), so
+    * anything outside [A-Za-z0-9_] would break the statement — or worse, be
+    * an injection surface into the target warehouse. The reference quotes
+    * identifiers in its templates (snowflake_target.go); here quoting would
+    * make the Spark-staged table unreferenceable, so unsafe names fail fast
+    * instead. */
+  private def up(name: String): String = {
+    require(JdbcTarget.SafeIdentifier.pattern.matcher(name).matches(),
+      s"unsafe SQL identifier '$name': only [A-Za-z_][A-Za-z0-9_]* can be " +
+        "emitted into generated MERGE/DDL statements")
+    name.toUpperCase(java.util.Locale.ROOT)
+  }
 
   /** Typed staging value for one column: PG text → the column's type
     * (arrays keep their text literal, see [[sqlType]]). */
@@ -165,16 +178,28 @@ final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty)
       val st = c.createStatement()
       try {
         val rs = st.executeQuery("SELECT LSN FROM GRAFT_APPLIED_LSN")
-        try { rs.next(); rs.getLong(1) } finally rs.close()
+        // empty table (create succeeded but the seed insert once failed)
+        // reads as "nothing applied" rather than a cursor exception
+        try { if (rs.next()) rs.getLong(1) else Long.MinValue } finally rs.close()
       } finally st.close()
     }
   }
 
+  /** CREATE and seed are handled separately: a CREATE failure just means
+    * the table exists, but the seed INSERT is re-attempted whenever the
+    * table is empty, so one transient insert failure can't leave
+    * GRAFT_APPLIED_LSN permanently unseeded. */
   private def ensureLsnTable(): Unit = {
-    try {
-      exec("CREATE TABLE GRAFT_APPLIED_LSN (LSN BIGINT)")
-      exec("INSERT INTO GRAFT_APPLIED_LSN VALUES (-9223372036854775808)")
-    } catch { case _: java.sql.SQLException => () } // exists
+    tryExec("CREATE TABLE GRAFT_APPLIED_LSN (LSN BIGINT)")
+    withConnection { c =>
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery("SELECT COUNT(*) FROM GRAFT_APPLIED_LSN")
+        val empty = try { rs.next(); rs.getLong(1) == 0L } finally rs.close()
+        if (empty)
+          st.execute(s"INSERT INTO GRAFT_APPLIED_LSN VALUES (${Long.MinValue})")
+      } finally st.close()
+    }
   }
 
   /** Apply one MULTI-TABLE batch in ONE database transaction — the
@@ -191,8 +216,15 @@ final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty)
   def applyBatchTransactional(rels: Seq[Relation], actions: Dataset[ChangeAction],
       maxLsn: Long): Boolean = {
     if (maxLsn <= appliedLsn()) return false
-    val compacted = ChangelogCompactor.compact(actions)
-    val staged = rels.map(r => r -> stage(r, compacted))
+    // materialize the compaction ONCE: each stage() call executes its input,
+    // so a multi-table batch would otherwise re-run the whole compaction
+    // (probe + shuffle + fold) per relation
+    val compactedPlan = ChangelogCompactor.compact(actions)
+    val compacted =
+      if (rels.sizeIs > 1) compactedPlan.persist() else compactedPlan
+    val staged =
+      try rels.map(r => r -> stage(r, compacted))
+      finally if (rels.sizeIs > 1) compacted.unpersist(blocking = false)
     withConnection { c =>
       c.setAutoCommit(false)
       try {
@@ -218,6 +250,9 @@ final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty)
 }
 
 object JdbcTarget {
+
+  /** Identifiers safe to emit unquoted into generated SQL (see [[JdbcTarget.up]]). */
+  val SafeIdentifier: scala.util.matching.Regex = "[A-Za-z_][A-Za-z0-9_]*".r
 
   /** Spark's built-in Derby dialect maps StringType → CLOB, and Derby
     * refuses CLOB-typed null parameters against VARCHAR columns (and CLOB

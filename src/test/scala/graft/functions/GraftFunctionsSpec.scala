@@ -53,6 +53,17 @@ class GraftFunctionsSpec extends AnyFunSuite with Matchers {
       .collect()(0).getInt(0) shouldBe 3
   }
 
+  test("builder appends to, never replaces, caller-supplied extensions") {
+    import graft.GraftSession.mergedExtensions
+    mergedExtensions(None) shouldBe "graft.functions.GraftExtensions"
+    mergedExtensions(Some("their.Ext")) shouldBe
+      "their.Ext,graft.functions.GraftExtensions"
+    // already present (any position, whitespace-tolerant) → unchanged
+    mergedExtensions(Some("a.B, graft.functions.GraftExtensions ,c.D")) shouldBe
+      "a.B, graft.functions.GraftExtensions ,c.D"
+    mergedExtensions(Some("  ")) shouldBe "graft.functions.GraftExtensions"
+  }
+
   test("arity and literal-argument misuse fail loudly") {
     GraftFunctions.register(spark)
     Seq(("x")).toDF("text").createOrReplaceTempView("gfs_b")

@@ -40,6 +40,19 @@ class DedupClusterSpec extends AnyFunSuite with Matchers {
     kept shouldBe Set(1L, 5L, 9L)
   }
 
+  test("keepCanonical preserves corpus columns literally named id/label") {
+    // drop-by-name after a join removes every column with that name — the
+    // cluster-map columns use internal names so these survive
+    val docs = Seq((1L, "x", 7), (2L, "y", 8), (5L, "z", 9))
+      .toDF("doc_id", "id", "label")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+    kept.columns.toSeq shouldBe Seq("doc_id", "id", "label")
+    kept.select(col("doc_id"), col("id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSet shouldBe Set((1L, "x", 7), (5L, "z", 9))
+  }
+
   test("hash split is deterministic, disjoint-complete, and near the fractions") {
     val df = spark.range(0, 4000).toDF("id")
       .select(col("id"),

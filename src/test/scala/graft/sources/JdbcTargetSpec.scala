@@ -147,6 +147,25 @@ class JdbcTargetSpec extends AnyFunSuite with Matchers {
     target.read(spark, "orders_t").collect()(0).getDouble(1) shouldBe 9.5
   }
 
+  test("unsafe identifiers are rejected before reaching generated SQL") {
+    val evil = Relation("public", "cust; DROP TABLE CUSTOMERS--", Seq(
+      RelColumn("c_custkey", PgTypes.Int8Oid, isIdentity = true)))
+    an[IllegalArgumentException] should be thrownBy target.mergeSql(evil)
+    val evilCol = Relation("public", "ok_table", Seq(
+      RelColumn("""k" BIGINT); --""", PgTypes.Int8Oid, isIdentity = true)))
+    an[IllegalArgumentException] should be thrownBy target.mergeSql(evilCol)
+  }
+
+  test("an emptied LSN record re-seeds instead of failing forever") {
+    target.appliedLsn() // ensures the table exists
+    target.withConnection { c =>
+      val st = c.createStatement()
+      try st.execute("DELETE FROM GRAFT_APPLIED_LSN") finally st.close()
+    }
+    // re-seeded on the next read: reads as "nothing applied", no exception
+    target.appliedLsn() shouldBe Long.MinValue
+  }
+
   test("the generated MERGE mirrors the reference template") {
     val sql = target.mergeSql(rel)
     sql should include("MERGE INTO CUSTOMERS T USING CUSTOMERS__STAGE S ON T.C_CUSTKEY = S.K_C_CUSTKEY")
