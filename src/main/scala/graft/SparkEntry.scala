@@ -11,11 +11,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.entries ++ graft.queries.CdcQueries.entries ++
-      graft.queries.LlmQueries.entries
+      graft.queries.LlmQueries.entries ++ graft.queries.SourceQueries.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracle ++ graft.queries.CdcQueries.oracle ++
-      graft.queries.LlmQueries.oracle
+      graft.queries.LlmQueries.oracle ++ graft.queries.SourceQueries.oracle
 }

@@ -118,6 +118,27 @@ object TextAnalysis {
     * Single-pass static call — the `transform(sequence, substr)`
     * formulation re-scans the string per position (O(len²)/doc). */
   def shingles(text: Column, k: Int): Column = Sketches.shingleSet(text, k)
+
+  /** PII patterns, restricted to syntax Java regex and RE2 (DuckDB)
+    * interpret identically, so the redaction is oracle-checkable
+    * cross-engine. Public so oracle SQL can interpolate the same
+    * strings. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII scrubbing for training corpora: emails, IPv4 addresses, and
+    * NANP-style phone numbers → typed placeholder tokens. Pure codegen'd
+    * `regexp_replace` chain — no UDF, stays inside whole-stage codegen.
+    * Email runs first (its local-part could contain digits a later
+    * pattern would chew up); IP before phone so dotted quads are never
+    * half-matched as phone fragments. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        IpRe, "<IP>"),
+      PhoneRe, "<PHONE>")
 }
 
 /** Single-pass implementations behind [[TextAnalysis]]'s StaticInvoke

@@ -144,6 +144,42 @@ object Analytics {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  /** §2.2 #26b — full cube over the same grouping columns: every grouping
+    * set (both, each alone, grand total) in one pass — Spark expands the
+    * sets map-side, so it's still a single shuffle. */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** §2.2 #28b — time-series gap filling + forward fill (resample): build
+    * each user's full day grid with `sequence`/`explode` (partition-local
+    * fan-out, no shuffle beyond the daily aggregation), left-join the
+    * observed daily totals, and carry the last observation forward with an
+    * ignore-nulls window. The grid is |users| × days — generated, never
+    * materialized driver-side — and every window partitions by user_id, so
+    * the pattern holds at any user count. */
+  def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" && col("user_id") < 50)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(dec(col("value"))).as("dv"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("user_id"),
+        explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left_outer")
+      .select(col("user_id"), col("day"), col("dv").isNull.as("was_gap"),
+        last(col("dv"), ignoreNulls = true)
+          .over(Window.partitionBy(col("user_id")).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("filled_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** §2.2 #27 — pivot as conditional aggregation over the events stream. */
   def qPivot(s: SparkSession, dir: String): DataFrame = {
     def cnt(t: String) = count(when(col("event_type") === t, 1)).as(s"n_$t")
@@ -330,6 +366,29 @@ object Analytics {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS dv
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 50
+        |  GROUP BY user_id, date_trunc('day', ts)),
+        |bounds AS (SELECT user_id, min(day) AS mn, max(day) AS mx
+        |  FROM daily GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        |  FROM bounds)
+        |SELECT g.user_id, g.day, d.dv IS NULL AS was_gap,
+        |  CAST(last_value(d.dv IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day) AS DOUBLE) AS filled_value
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS n_click,
@@ -608,6 +667,8 @@ object Analytics {
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_gapfill" -> (qGapfill _),
     "q_pivot" -> (qPivot _),
     "q_sessionize" -> (qSessionize _),
     "q_percentiles" -> (qPercentiles _),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Fingerprint, TextAnalysis}
+import graft.functions.{Fingerprint, TextAnalysis, VecAgg}
 import graft.operators.{Ann, Dedup, Multimodal}
 import graft.sources.Tables
 
@@ -238,6 +238,71 @@ object LlmQueries {
       .orderBy(col("id"), col("frame_idx"))
   }
 
+  /** §2.3 #45 — PII redaction: scrub emails / IPv4 / phone numbers from a
+    * corpus before training. PII is planted deterministically in-query
+    * (the synthetic corpus has none), redacted with the codegen'd
+    * `regexp_replace` chain, and the counts come from `regexp_count` so
+    * the oracle can assert both the rewritten text and how much was
+    * removed. Row-local → embarrassingly parallel at any scale. */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir)
+      .orderBy(col("doc_id")) // sort-first: see textLangid
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or admin@test.org now")))
+        .when(col("doc_id") % 3 === 1,
+          lit(" call 555-123-4567 or 555-999-0000 today"))
+        .otherwise(lit(" server at 10.0.0.7 and 192.168.1.42 responded")))
+        .as("text"))
+    planted.select(col("doc_id"),
+      TextAnalysis.redactPii(col("text")).as("redacted"),
+      regexp_count(col("text"), lit(TextAnalysis.EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(TextAnalysis.IpRe)).cast("long").as("n_ips"),
+      regexp_count(col("text"), lit(TextAnalysis.PhoneRe)).cast("long").as("n_phones"))
+  }
+
+  /** §2.3 #46 — repetition signals (Gopher-style quality filters): distinct
+    * word fraction and the most-repeated bigram, as exact counts (ratios
+    * divide downstream — keeps the output integer-exact cross-engine).
+    * Word stats are array ops inside the scan; the bigram top-count is one
+    * explode + two-level aggregation keyed by doc_id, so the shuffle is
+    * (doc_id, bigram)-partitioned and skew-free at corpus scale. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val base = words.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
+      col("w"))
+    val bigramCounts = words
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val top = bigramCounts.groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    base.drop("w").join(top, Seq("doc_id")).orderBy(col("doc_id"))
+  }
+
+  /** §2.3 #47 — per-cluster embedding centroids via the typed
+    * [[graft.functions.VecAgg.ScaledVecSum]] Aggregator: one fixed-size
+    * buffer per group folded map-side, instead of a 64× posexplode
+    * fan-out before the shuffle. Output is the exact scaled-long sum per
+    * dimension (the mean is sum/n downstream), exploded to rows only for
+    * the oracle compare. */
+  def embedCentroid(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir)
+      .groupBy(col("label"))
+      .agg(VecAgg.sumScaled(col("embedding"), dims = 64).as("vsum"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("n_vecs"), posexplode(col("vsum")).as(Seq("dim", "sum_scaled")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("sum_scaled"), col("n_vecs"))
+      .orderBy(col("label"), col("dim"))
+  }
+
   /** §2.3 #44b — the SQL-function surface: graft kernels called from SQL
     * TEXT (`graft_token_count`, `graft_langid`, `graft_fingerprint`)
     * through the runtime-registered function registry
@@ -275,6 +340,9 @@ object LlmQueries {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
     "q_sql_functions" -> (sqlFunctions _),
+    "text_redact" -> (textRedact _),
+    "text_repetition" -> (textRepetition _),
+    "embed_centroid" -> (embedCentroid _),
   )
 
   private val enList = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")
@@ -475,5 +543,48 @@ object LlmQueries {
         |FROM m, generate_series(0, 7) s(i)
         |WHERE i * 512 + 256 <= n
         |ORDER BY id, frame_idx""".stripMargin,
+    "text_redact" ->
+      s"""WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |           THEN ' contact user' || doc_id || '@example.com or admin@test.org now'
+        |         WHEN doc_id % 3 = 1
+        |           THEN ' call 555-123-4567 or 555-999-0000 today'
+        |         ELSE ' server at 10.0.0.7 and 192.168.1.42 responded' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+        |    '${TextAnalysis.IpRe}', '<IP>', 'g'),
+        |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.IpRe}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones
+        |FROM planted ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS b
+        |  FROM w),
+        |cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        |top AS (SELECT doc_id, max(c) AS top_bigram_n,
+        |    count(*) AS n_distinct_bigrams FROM cnt GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(l) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct_words,
+        |  top_bigram_n, n_distinct_bigrams
+        |FROM w JOIN top ON w.doc_id = top.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+    // exact scaled-long element-wise sums (float -> round(v*1e6) as BIGINT)
+    // so the distributed fold is order-independent on both engines
+    "embed_centroid" ->
+      """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS ord,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS se
+        |  FROM embeddings),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label),
+        |s AS (SELECT label, CAST(ord - 1 AS BIGINT) AS dim,
+        |    CAST(sum(se) AS BIGINT) AS sum_scaled FROM e GROUP BY label, ord)
+        |SELECT s.label, s.dim, s.sum_scaled, n.n_vecs
+        |FROM s JOIN n ON s.label = n.label
+        |ORDER BY s.label, s.dim""".stripMargin,
   )
 }
