@@ -99,6 +99,52 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     readSchema should not include "l_returnflag"
   }
 
+  test("embed_centroid partially aggregates vectors map-side before the exchange") {
+    val p = plan(queries.LlmQueries.embedCentroid(spark, dir))
+    // the typed Aggregator must fold into per-group buffers BEFORE the
+    // shuffle — only |labels| fixed-size buffers cross the wire, never the
+    // 64×-exploded corpus
+    p should include("partial_scaledvecsum")
+    // the posexplode fan-out happens strictly AFTER the final aggregate
+    p.indexOf("posexplode") should be > p.indexOf("partial_scaledvecsum")
+  }
+
+  test("gap fill generates the day grid executor-side; windows partition by user") {
+    val p = plan(queries.Analytics.qGapfill(spark, dir))
+    // sequence+explode = partition-local generation, no driver materialization
+    p should include("Generate")
+    p should include("sequence(")
+    p should include("hashpartitioning(user_id")
+  }
+
+  test("a selective dim filter injects a runtime bloom filter into the fact scan") {
+    // runtime row-level filtering: at 100 TB the lineitem scan discards
+    // non-matching rows BEFORE the join shuffle. Thresholds are lowered to
+    // make the optimizer fire at test scale; on a cluster the defaults
+    // (10 MB build side / 10 GB application side) gate the same rewrite.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join so the filter pays
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val ord = sources.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = sources.Tables.lineitem(spark, dir)
+      val p = plan(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count())
+      p.toLowerCase should include("bloomfilter")
+      p should include("might_contain")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("exact dedup shuffles 24-byte digests, not document text") {
     val p = plan(operators.Dedup.exactGroups(
       sources.Tables.documents(spark, dir), "doc_id", "text"))
