@@ -204,6 +204,15 @@ object CdcQueries {
     * latest order updates the balance; custkey%10==0 is a delete; custkeys
     * missing from the snapshot (custkey%3==0) become inserts. */
   def cdcMergeInto(s: SparkSession, dir: String): DataFrame = {
+    val (rel, snapshot, changelog) = mergeScenario(s, dir)
+    orderedSmall(MergeInto(snapshot, changelog, rel), col("c_custkey"))
+  }
+
+  /** Shared merge fixture (also drives `cdc_incremental_agg`): snapshot =
+    * customers with custkey % 3 ≠ 0; changelog = one compacted action per
+    * ordering customer (latest order sets c_acctbal; custkey % 10 = 0
+    * deletes). */
+  private def mergeScenario(s: SparkSession, dir: String) = {
     import s.implicits._
     val rel = Relation("public", "customer", Seq(
       RelColumn("c_custkey", PgTypes.Int8Oid, isIdentity = true),
@@ -232,7 +241,25 @@ object CdcQueries {
         array().cast("array<string>").as("unchanged"),
         lit(false).as("rekey"))
       .as[ChangeAction]
-    orderedSmall(MergeInto(snapshot, changelog, rel), col("c_custkey"))
+    (rel, snapshot, changelog)
+  }
+
+  /** §2.1 #3b — incremental aggregate maintenance: the per-nation balance
+    * aggregate stays current through the same changelog WITHOUT
+    * re-aggregating the snapshot ([[IncrementalAgg]]: retract old
+    * contributions of affected keys, add merged new ones; snapshot
+    * touched only by a broadcast semi-join). Oracle = the aggregate over
+    * the fully merged end state. */
+  def cdcIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val (rel, snapshot, changelog) = mergeScenario(s, dir)
+    val agg0 = IncrementalAgg.initialAgg(snapshot, "c_nationkey", "c_acctbal",
+      sumName = "sum_bal", cntName = "n_rows")
+    IncrementalAgg.maintainSum(agg0, snapshot, changelog, rel,
+        groupCol = "c_nationkey", valueCol = "c_acctbal",
+        sumName = "sum_bal", cntName = "n_rows")
+      .select(col("c_nationkey"), col("sum_bal").cast("double").as("sum_bal"),
+        col("n_rows"))
+      .orderBy(col("c_nationkey").asc_nulls_first)
   }
 
   /** §2.1 #10 — PG text-format decode: strings synthesized from typed
@@ -404,6 +431,7 @@ object CdcQueries {
     "cdc_txn_assembly" -> (cdcTxnAssembly _),
     "cdc_pgoutput_decode" -> (cdcPgoutputDecode _),
     "cdc_merge_into" -> (cdcMergeInto _),
+    "cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "cdc_text_cast" -> (cdcTextCast _),
     "pg_array_parse" -> (pgArrayParse _),
     "cdc_snapshot_typed" -> (cdcSnapshotTyped _),
@@ -545,6 +573,30 @@ object CdcQueries {
         |FROM snap s FULL OUTER JOIN cl c ON s.c_custkey = c.key
         |WHERE c.op IS NULL OR c.op <> 'D'
         |ORDER BY c_custkey""".stripMargin,
+    // the aggregate over the fully merged end state (same CTEs as
+    // cdc_merge_into) — what delta maintenance must reproduce exactly
+    "cdc_incremental_agg" ->
+      """WITH latest AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |cl AS (
+        |  SELECT o_custkey AS key,
+        |    CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice
+        |  FROM latest WHERE rn = 1),
+        |snap AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
+        |merged AS (
+        |  SELECT s.c_nationkey AS c_nationkey,
+        |    CASE WHEN c.key IS NOT NULL THEN c.o_totalprice ELSE s.c_acctbal END AS c_acctbal
+        |  FROM snap s FULL OUTER JOIN cl c ON s.c_custkey = c.key
+        |  WHERE c.op IS NULL OR c.op <> 'D')
+        |SELECT c_nationkey,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |  count(*) AS n_rows
+        |FROM merged GROUP BY c_nationkey
+        |ORDER BY c_nationkey NULLS FIRST""".stripMargin,
     "cdc_text_cast" ->
       """SELECT l_orderkey, l_linenumber,
         |  CASE WHEN (CASE WHEN l_returnflag = 'R' THEN 't' ELSE 'f' END) = 't'

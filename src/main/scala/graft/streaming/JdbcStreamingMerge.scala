@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.cdc.{ChangeAction, Relation}
+import graft.sources.JdbcTarget
+
+/** Continuous sync INTO a JDBC warehouse — the reference's actual
+  * topology (replication stream → accumulate → one Snowflake transaction
+  * per batch → acknowledge, sync/stream/stream.go +
+  * target/snowflake/snowflake_target.go), with the warehouse side played
+  * by [[JdbcTarget]]'s staged server-side MERGE.
+  *
+  * Exactly-once contract: delivery is at-least-once (foreachBatch replays
+  * after a crash), and [[JdbcTarget.applyBatchTransactional]] makes the
+  * apply idempotent — every MERGE plus the applied-LSN update commit in
+  * ONE database transaction, and a replayed batch is skipped by the
+  * in-database LSN record. All progress state lives in the source
+  * (replication slot) and the target (applied LSN), exactly the
+  * reference's "no state of our own" rule — the streaming checkpoint is
+  * only an optimization, never the source of truth, so wiping it cannot
+  * double-apply.
+  *
+  * Scale shape: per batch, only the micro-batch travels — compacted once
+  * (persisted across the per-table stage loop), staged via partitioned
+  * JDBC inserts, merged server-side. The Spark-side snapshot never
+  * exists; the warehouse owns the table.
+  */
+final class JdbcStreamingMerge(
+    targetUrl: String,
+    properties: Map[String, String],
+    relations: Seq[Relation]) extends Serializable {
+
+  private val known = relations.map(_.table).toSet
+  @transient lazy val target = new JdbcTarget(targetUrl, properties)
+
+  /** Apply one micro-batch. Public so tests and backfills drive the exact
+    * code `foreachBatch` runs. */
+  def applyBatch(batch: Dataset[ChangeAction], batchId: Long): Unit = {
+    import batch.sparkSession.implicits._
+    val rows = batch.persist()
+    try {
+      val touched = rows.map(_.table).distinct().collect().toSet
+      if (touched.isEmpty) return
+      val unknown = touched -- known
+      if (unknown.nonEmpty) // supervisor reacts with resync, as the
+        // reference drops the slot on ErrRelationChanged
+        throw new SchemaChangedException(
+          s"unknown relation(s) in stream: ${unknown.toSeq.sorted.mkString(", ")}")
+      val maxLsn = rows.map(_.lsn).reduce(math.max(_, _))
+      target.applyBatchTransactional(
+        relations.filter(r => touched(r.table)), rows, maxLsn)
+    } finally rows.unpersist()
+  }
+
+  def writer(stream: Dataset[ChangeAction], trigger: Trigger,
+      checkpoint: String): DataStreamWriter[ChangeAction] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[ChangeAction], batchId: Long) =>
+        applyBatch(batch, batchId)
+      }
+
+  def start(stream: Dataset[ChangeAction], checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    writer(stream, trigger, checkpoint).start()
+}
