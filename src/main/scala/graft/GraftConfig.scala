@@ -16,9 +16,11 @@ import graft.cdc.Relation
   * nothing here and this sandbox has no YAML dependency to resolve.
   *
   * Reference `snowflake.connection` (the warehouse DSN) maps to the graft
-  * target-store URI: a parquet table-store base directory, or any URI a
-  * Spark sink accepts. Go durations (`1m0s`) are accepted anywhere a
-  * Spark trigger interval is expected. */
+  * target-store URI: a `jdbc:` URL routes applies through the server-side
+  * staged MERGE target ([[graft.streaming.JdbcStreamingMerge]] — the
+  * reference's warehouse topology), anything else is a parquet
+  * table-store base directory. Go durations (`1m0s`) are accepted
+  * anywhere a Spark trigger interval is expected. */
 object GraftConfig {
 
   final case class SyncSection(

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.cdc._
-import graft.streaming.{StreamingMerge, Supervisor}
+import graft.sources.JdbcTarget
+import graft.streaming.{JdbcStreamingMerge, StreamingMerge, Supervisor}
 
 /** High-level synchronization facade — the engine's equivalent of running
   * the reference binary (cmd/mammoth/main.go + sync/service/sync_service.go
@@ -60,11 +61,19 @@ final class GraftSync(spark: SparkSession, cfg0: SyncConfig) {
 
   private val cfg = cfg0.validate()
 
+  /** `tablesBase` selects the target: a `jdbc:` URI routes every apply
+    * through [[JdbcStreamingMerge]] (server-side staged MERGE, applied-LSN
+    * in the database — the reference's warehouse topology); anything else
+    * is a parquet table-store base directory. */
+  private val jdbcMode = cfg.tablesBase.startsWith("jdbc:")
+  private lazy val jdbcTarget = new JdbcTarget(cfg.tablesBase)
+  private lazy val jdbcMerge = new JdbcStreamingMerge(cfg.tablesBase, Map.empty, cfg.relations)
+
   // The applied-LSN commit log lives WITH the target tables, not the
   // streaming checkpoint — "all state is in the source and target"
   // (reference README), so a stream restarted from a fresh checkpoint
   // still dedupes against what the table store has already absorbed.
-  private val merge = new StreamingMerge(
+  private lazy val merge = new StreamingMerge(
     spark, cfg.tablesBase, cfg.relations, s"${cfg.tablesBase}/_commitlog",
     simpleStreams = cfg.simpleStreams)
 
@@ -74,29 +83,43 @@ final class GraftSync(spark: SparkSession, cfg0: SyncConfig) {
     * co-partitioned (reference: InitializeRelation + snapshotToTarget). */
   def backfill(rel: Relation, source: DataFrame): String = {
     require(cfg.relations.exists(_.table == rel.table), s"${rel.table} not configured")
-    SnapshotWriter.publish(source, cfg.tablesBase, rel.table,
+    if (jdbcMode) { jdbcTarget.initialize(rel, source); rel.table }
+    else SnapshotWriter.publish(source, cfg.tablesBase, rel.table,
       repartitionKeys = rel.identityColumnNames)
   }
 
   /** Schema verification before streaming starts (reference:
     * verifyRelations): source relation vs live table schema. */
-  def verifyRelation(rel: Relation): Boolean = {
-    SnapshotWriter.recover(spark, cfg.tablesBase, rel.table)
-    val live = SnapshotWriter.livePath(cfg.tablesBase, rel.table)
-    val fs = new org.apache.hadoop.fs.Path(cfg.tablesBase)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new org.apache.hadoop.fs.Path(live)) &&
-      SchemaVerify.matches(rel.toStructType, spark.read.parquet(live).schema)
-  }
+  def verifyRelation(rel: Relation): Boolean =
+    if (jdbcMode) {
+      // JDBC engines fold identifier case and widen types through their
+      // own dialect, so verification is name-based (case-insensitive),
+      // like the reference's column-list check against the warehouse
+      // (snowflake_target.go:219-273)
+      scala.util.Try(jdbcTarget.read(spark, rel.table).schema).toOption.exists { s =>
+        s.fields.map(_.name.toLowerCase).sorted.sameElements(
+          rel.columns.map(_.name.toLowerCase).sorted)
+      }
+    } else {
+      SnapshotWriter.recover(spark, cfg.tablesBase, rel.table)
+      val live = SnapshotWriter.livePath(cfg.tablesBase, rel.table)
+      val fs = new org.apache.hadoop.fs.Path(cfg.tablesBase)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(new org.apache.hadoop.fs.Path(live)) &&
+        SchemaVerify.matches(rel.toStructType, spark.read.parquet(live).schema)
+    }
 
   /** Apply one batch of already-assembled change actions (batch mode /
     * tests — the exact code the stream runs). */
   def applyBatch(actions: Dataset[ChangeAction], batchId: Long): Unit =
-    merge.applyBatch(actions, batchId)
+    if (jdbcMode) jdbcMerge.applyBatch(actions, batchId)
+    else merge.applyBatch(actions, batchId)
 
   /** Continuous sync from a change-action stream. */
   def start(changes: Dataset[ChangeAction]): StreamingQuery =
-    merge.start(changes, Trigger.ProcessingTime(cfg.batchTimeout))
+    if (jdbcMode) jdbcMerge.start(changes, s"${cfg.checkpointBase}/changes",
+      Trigger.ProcessingTime(cfg.batchTimeout))
+    else merge.start(changes, Trigger.ProcessingTime(cfg.batchTimeout))
 
   /** Continuous sync from raw WAL-style messages. Assembly is STATEFUL
     * (`StatefulAssembler.assembleStream`): a transaction whose messages
@@ -119,7 +142,7 @@ final class GraftSync(spark: SparkSession, cfg0: SyncConfig) {
       .option("checkpointLocation", s"${cfg.checkpointBase}/$streamName")
       .trigger(Trigger.ProcessingTime(cfg.batchTimeout))
       .foreachBatch { (batch: Dataset[ChangeAction], batchId: Long) =>
-        merge.applyBatch(batch, batchId)
+        applyBatch(batch, batchId)
       }
       .start()
 
@@ -130,8 +153,10 @@ final class GraftSync(spark: SparkSession, cfg0: SyncConfig) {
     Supervisor.runForever(body, resnapshot, maxRestarts)
 
   /** Read the current live state of a synced table. */
-  def table(name: String): DataFrame = {
-    SnapshotWriter.recover(spark, cfg.tablesBase, name)
-    spark.read.parquet(SnapshotWriter.livePath(cfg.tablesBase, name))
-  }
+  def table(name: String): DataFrame =
+    if (jdbcMode) jdbcTarget.read(spark, name)
+    else {
+      SnapshotWriter.recover(spark, cfg.tablesBase, name)
+      spark.read.parquet(SnapshotWriter.livePath(cfg.tablesBase, name))
+    }
 }

@@ -62,6 +62,41 @@ class GraftSyncSpec extends AnyFunSuite with Matchers {
       Set((1L, 150.0), (3L, 300.0))
   }
 
+  test("a jdbc: tablesBase routes the same lifecycle through the warehouse target") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sync-jdbc").toString
+    val cfg = SyncConfig(Seq(rel), "jdbc:derby:memory:graftsyncjdbc;create=true",
+      s"$base/ckpt", batchTimeout = "1 seconds")
+    val sync = new GraftSync(spark, cfg)
+
+    sync.backfill(rel, Seq((1L, 100.0), (2L, 200.0)).toDF("id", "balance"))
+    sync.verifyRelation(rel) shouldBe true
+    sync.verifyRelation(Relation("public", "accounts", Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("other_col", PgTypes.Float8Oid)))) shouldBe false
+
+    def action(lsn: Long, op: String, id: Long, bal: Option[Double]) =
+      ChangeAction("accounts", lsn, 0, op, Map("id" -> id.toString),
+        bal.map(b => Map("id" -> id.toString, "balance" -> b.toString))
+          .getOrElse(Map("id" -> id.toString)), Nil, Nil, rekey = false)
+
+    val mem = MemoryStream[ChangeAction]
+    mem.addData(
+      action(100, "U", 1, Some(150.0)),
+      action(101, "I", 3, Some(300.0)),
+      action(102, "D", 2, None))
+    val q = sync.start(mem.toDS())
+    try q.processAllAvailable() finally q.stop()
+
+    sync.table("accounts").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSet shouldBe
+      Set(1L -> 150.0, 3L -> 300.0)
+
+    // replayed batch through the facade is skipped by the in-database LSN
+    sync.applyBatch(Seq(action(100, "U", 1, Some(999.0))).toDS(), 99L)
+    sync.table("accounts").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSet should contain(1L -> 150.0)
+  }
+
   test("transaction straddling a micro-batch boundary applies whole") {
     val base = java.nio.file.Files.createTempDirectory("graft-sync3").toString
     val cfg = SyncConfig(Seq(rel), s"$base/tables", s"$base/ckpt",
