@@ -275,15 +275,26 @@ object LlmQueries {
       size(col("w")).cast("long").as("n_words"),
       size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
       col("w"))
+    // the <2-word guard matters under ANSI mode: sequence(0, -1) yields a
+    // DESCENDING [0,-1], whose indices make element_at throw — a single
+    // one-token document would otherwise kill the whole job
     val bigramCounts = words
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-2), i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))"))
+        """CASE WHEN size(w) < 2 THEN array()
+          |ELSE transform(sequence(0, size(w)-2),
+          |  i -> concat(element_at(w, i+1), ' ', element_at(w, i+2))) END"""
+          .stripMargin))
         .as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
     val top = bigramCounts.groupBy(col("doc_id"))
       .agg(max(col("c")).as("top_bigram_n"),
         count(lit(1)).as("n_distinct_bigrams"))
-    base.drop("w").join(top, Seq("doc_id")).orderBy(col("doc_id"))
+    // left join + 0-fill: a bigram-less doc still appears in the output
+    base.drop("w").join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"))
+      .orderBy(col("doc_id"))
   }
 
   /** §2.3 #47 — per-cluster embedding centroids via the typed

@@ -163,4 +163,24 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
       .select(VectorMath.cosine(col("a"), col("b"))).head().getDouble(0)
     r shouldBe (10.0 / (math.sqrt(14.0) * math.sqrt(14.0))) +- 1e-12
   }
+
+  test("text_repetition survives 1-word and empty docs under ANSI mode") {
+    // sequence(0, -1) is DESCENDING in Spark, so an unguarded bigram
+    // transform evaluates element_at(w, 0) and throws under ANSI — this
+    // spec pins the guard with the degenerate docs the corpus lacks
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (1L, "single"),
+      (2L, ""),
+      (3L, "a b a b a b"),
+      (4L, "x y"),
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.LlmQueries.textRepetition(TestSpark.spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows shouldBe Array(
+      (1L, 1L, 1L, 0L, 0L), // one word: no bigrams, still present
+      (2L, 1L, 1L, 0L, 0L), // split("") = [""] — one empty token
+      (3L, 6L, 2L, 3L, 2L), // "a b" x3, "b a" x2
+      (4L, 2L, 2L, 1L, 1L))
+  }
 }
