@@ -1,57 +1,247 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main. Prints ONE JSON line `{"metric":"total",...}`.
+  *
+  * Methodology (the measurement, not the code, is the artifact here):
+  *   - median-of-N (N>=5) per query, with min/median/max dispersion
+  *     reported — this VM shows up-to-20x noisy-neighbor CPU-steal
+  *     spikes, so a min-of-2 cannot separate plan regressions from
+  *     neighbor noise (two rounds of phantom-regression triage proved it);
+  *   - query order is rotated across repetitions so a neighbor spike
+  *     lands on different queries each pass instead of clustering;
+  *   - a [[SparkListener]] accumulates per-query total task CPU time and
+  *     shuffle read/write bytes: those are noise-IMMUNE plan signals — a
+  *     plan change moves shuffle bytes, a noisy neighbor cannot;
+  *   - a scale ladder re-times the heavy families on a key-shifted 10x
+  *     copy of the input (sf0.1 -> "sf1") and reports time ratios: the
+  *     concrete does-it-survive-100x evidence a single-SF run can't give.
+  */
 object Bench {
+
+  /** Wall-clock-free plan metrics, accumulated across all tasks. */
+  private final class TaskMetricsListener extends SparkListener {
+    val cpuNs       = new AtomicLong
+    val shufReadB   = new AtomicLong
+    val shufWriteB  = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def snapshot: (Long, Long, Long) = (cpuNs.get, shufReadB.get, shufWriteB.get)
+  }
+
+  /** Flush the async listener bus so per-query metric deltas are exact.
+    * `listenerBus`/`waitUntilEmpty` are private[spark] (public in
+    * bytecode); a short sleep is the fallback if the internals move. */
+  private def drainListeners(sc: SparkContext): Unit =
+    try {
+      val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").get.invoke(sc)
+      val ms  = bus.getClass.getMethods.filter(_.getName == "waitUntilEmpty")
+      ms.find(_.getParameterCount == 0) match {
+        case Some(m) => m.invoke(bus)
+        case None => ms.find(_.getParameterCount == 1)
+          .foreach(_.invoke(bus, java.lang.Long.valueOf(5000L)))
+      }
+    } catch { case _: Throwable => Thread.sleep(300) }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  private def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // N>=5: the median survives two simultaneous neighbor spikes
+    val runs  = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
     // untimed warmup: JVM/codegen/classloader startup otherwise lands on
-    // whichever query happens to run first (~4s of noise on one entry)
+    // whichever query happens to run first
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => () }
+
     var failed = List.empty[String]
-    // best of two runs per query: the first run carries the one-time
-    // codegen/JIT compile (irrelevant to steady-state throughput at
-    // scale) and this VM shows ±2× noisy-neighbor spikes — min-of-2 is
-    // the stable steady-state estimate
-    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     // comma-separated allowlist for iterating on one query's plan without
     // paying for the whole suite
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
+    val selected = (only match {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None        => SparkEntry.queries
-    }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runsPerQuery).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink: forces full materialization of every output column
-        // (a bare count() would let Catalyst prune the projection and
-        // under-report the real query cost)
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
-          case e: Throwable =>
-            // a failing query must be loud: a swallowed exception reads as
-            // a suspiciously fast query in the benchmark output
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            if (!failed.contains(name)) failed ::= name
-        }
-        (System.nanoTime() - t0) / 1e9
+    }).toVector
+
+    /** One timed execution; returns (wallSec, cpuSec, shufReadB, shufWriteB).
+      * The noop sink forces full materialization of every output column
+      * (a bare count() would let Catalyst prune the projection and
+      * under-report the real query cost). */
+    def timed(name: String, fn: (SparkSession, String) => DataFrame,
+              dir: String): (Double, Double, Long, Long) = {
+      drainListeners(spark.sparkContext)
+      val (c0, r0, w0) = listener.snapshot
+      val t0 = System.nanoTime()
+      try { fn(spark, dir).write.format("noop").mode("overwrite").save() } catch {
+        case e: Throwable =>
+          // a failing query must be loud: a swallowed exception reads as
+          // a suspiciously fast query in the benchmark output
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          if (!failed.contains(name)) failed ::= name
       }
-      name -> times.min
+      val wall = (System.nanoTime() - t0) / 1e9
+      drainListeners(spark.sparkContext)
+      val (c1, r1, w1) = listener.snapshot
+      (wall, (c1 - c0) / 1e9, r1 - r0, w1 - w0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val samples = collection.mutable.Map.empty[String,
+      collection.mutable.ArrayBuffer[(Double, Double, Long, Long)]]
+    for (rep <- 0 until runs) {
+      // rotate by a stride coprime-ish with the suite size: each query
+      // gets different neighbors each pass, so a sustained host spike
+      // spreads across the suite instead of burying one family
+      val rot = (rep * 13) % math.max(selected.size, 1)
+      val order = selected.drop(rot) ++ selected.take(rot)
+      order.foreach { case (name, fn) =>
+        samples.getOrElseUpdate(name, collection.mutable.ArrayBuffer.empty) +=
+          timed(name, fn, sfDir)
+      }
+    }
+
+    val medianSec = samples.view.mapValues(v => median(v.map(_._1).toSeq)).toMap
+    val qs = selected.map { case (name, _) =>
+      s"\"$name\":${r4(medianSec(name))}" }.mkString("{", ",", "}")
+    val disp = selected.map { case (name, _) =>
+      val t = samples(name).map(_._1)
+      s"\"$name\":[${r4(t.min)},${r4(median(t.toSeq))},${r4(t.max)}]"
+    }.mkString("{", ",", "}")
+    val cpu = selected.map { case (name, _) =>
+      s"\"$name\":${r4(median(samples(name).map(_._2).toSeq))}" }.mkString("{", ",", "}")
+    // shuffle bytes are a deterministic property of the plan: identical
+    // across reps up to AQE rounding, so the median is exact
+    val srd = selected.map { case (name, _) =>
+      s"\"$name\":${median(samples(name).map(_._3.toDouble).toSeq).toLong}" }
       .mkString("{", ",", "}")
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val swr = selected.map { case (name, _) =>
+      s"\"$name\":${median(samples(name).map(_._4.toDouble).toSeq).toLong}" }
+      .mkString("{", ",", "}")
+
+    // ---- scale ladder: heavy families on a key-shifted scaleN x input ----
+    val ladder =
+      if (scaleN <= 1 || only.isDefined) "{}"
+      else {
+        val dir = ScaleLadder.materialize(spark, sfDir, scaleN)
+        ScaleLadder.queries.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            val (wall, cpuS, rdB, wrB) = timed(s"scale:$name", fn, dir)
+            val ratio = if (medianSec.getOrElse(name, 0.0) > 0)
+              r4(wall / medianSec(name)) else -1.0
+            s"""\"$name\":{\"sec\":${r4(wall)},\"ratio_vs_sf\":$ratio,\"cpu_sec\":${r4(cpuS)},\"shuffle_read\":$rdB,\"shuffle_write\":$wrB}"""
+          }
+        }.mkString(s"""{\"factor\":$scaleN,\"note\":\"key-shifted copies of $sfDir\",\"queries\":{""", ",", "}}")
+      }
+
+    val errs  = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = r4(selected.map { case (n, _) => medianSec(n) }.sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"dispersion":$disp,"task_cpu_sec":$cpu,"shuffle_read_bytes":$srd,"shuffle_write_bytes":$swr,"scale_ladder":$ladder,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+}
+
+/** Synthesizes a `factor`x copy of the bench input by unioning key-shifted
+  * copies of the big tables (entity keys shifted by a copy-index stride so
+  * copy k of `orders` still joins copy k of `customer`), writes it to a
+  * temp dir laid out like a testdata SF dir, and names the queries heavy
+  * enough to be worth re-timing there. Bench-harness-only data: the
+  * correctness oracle never sees it. */
+object ScaleLadder {
+  /** The families whose cost is dominated by the scaled tables: per-key
+    * compaction fold, snapshot MERGE, incremental agg, dedup sketches,
+    * ANN. Near-linear `ratio_vs_sf` here is the survives-100x evidence. */
+  val queries: Seq[String] = Seq(
+    "cdc_compact_lineitem", "cdc_compact", "cdc_compact_fast",
+    "cdc_merge_into", "cdc_incremental_agg",
+    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "ann_topk", "ann_ivf")
+
+  private val Stride = 1_000_000_000L
+
+  private def shifted(df: DataFrame, n: Int, idCols: Seq[String]): DataFrame = {
+    val withK = df.withColumn("__k", explode(expr(s"sequence(0L, ${n - 1}L)")))
+    idCols.foldLeft(withK) { (d, c) =>
+      d.withColumn(c, col(c) + col("__k") * Stride)
+    }.drop("__k")
+  }
+
+  /** Key-shifted copies would make every document near-identical to its 9
+    * siblings and plant a quadratic 45-candidate-pairs-per-doc structure
+    * the real corpus doesn't have (measured: 22.8x time at 10x data).
+    * Instead, copy k>0 of doc i splices the first half of doc i onto the
+    * second half of doc (i + k*131 mod N): cross-copy Jaccard lands
+    * around 1/3 — below the near-dup threshold — so the scaled corpus is
+    * 10x MORE text, not 10x copies of the same text. */
+  private def remixedDocuments(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ids = docs.agg(min("doc_id"), count(lit(1))).head()
+    val (minId, total) = (ids.getLong(0), ids.getLong(1))
+    val halves = docs.select(col("doc_id").as("__pid"),
+      expr("substring(text, length(text) div 2 + 1)").as("__hb"))
+    docs.withColumn("__k", explode(expr(s"sequence(0L, ${n - 1}L)")))
+      .withColumn("__pid",
+        (col("doc_id") - minId + col("__k") * 131L) % total + minId)
+      .join(halves, Seq("__pid"))
+      .select(
+        (col("doc_id") + col("__k") * Stride).as("doc_id"),
+        when(col("__k") === 0, col("text"))
+          .otherwise(concat(
+            expr("substring(text, 1, length(text) div 2)"), col("__hb")))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def materialize(spark: SparkSession, sfDir: String, n: Int): String = {
+    val out = s"/tmp/graft_bench_scale_x$n"
+    // events is TIMESTAMP(NANOS): read ts as raw long so the scaled copy
+    // round-trips through Tables.events' nanos path unchanged
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val plans: Seq[(String, Seq[String])] = Seq(
+      "lineitem"   -> Seq("l_orderkey"),
+      "events"     -> Seq("event_id", "user_id"),
+      "customer"   -> Seq("c_custkey"),
+      "orders"     -> Seq("o_orderkey", "o_custkey"),
+      "embeddings" -> Seq("vec_id"))
+    plans.foreach { case (name, ids) =>
+      val src = spark.read.parquet(s"$sfDir/$name.parquet")
+      shifted(src, n, ids).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+    }
+    remixedDocuments(spark, sfDir, n).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    out
   }
 }

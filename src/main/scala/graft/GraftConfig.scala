@@ -36,11 +36,19 @@ object GraftConfig {
       standbyMessageInterval: String = "10 seconds")
 
   /** YAML section name stays `snowflake` for file-compatibility with the
-    * reference; semantically it is the sync target. */
+    * reference; semantically it is the sync target.
+    *
+    * The reference embeds warehouse credentials inside its DSN
+    * (`Snowflake.Connection`); a JDBC target instead takes them as driver
+    * properties. `user`/`password` keys and a free-form `properties`
+    * list of `k=v` entries all land in [[SyncConfig.targetProperties]],
+    * with the same `SNOWFLAKE_USER`-style env overrides as every other
+    * field. */
   final case class TargetSection(
       connection: String = "",
       database: String = "",
-      schema: String = "")
+      schema: String = "",
+      properties: Map[String, String] = Map.empty)
 
   final case class LoggerSection(level: String = "info", json: Boolean = false)
 
@@ -83,7 +91,10 @@ object GraftConfig {
         tablesBase = target.connection,
         checkpointBase = s"${target.connection}/_checkpoints",
         batchTimeout = trigger,
-        batchMaxItems = sync.batchMaxItems.toLong).validate()
+        batchMaxItems = sync.batchMaxItems.toLong,
+        targetProperties = target.properties,
+        slotName = postgres.slotName,
+        prohibitDropSlot = sync.prohibitDropSlot).validate()
     }
   }
 
@@ -140,7 +151,19 @@ object GraftConfig {
       target = TargetSection(
         connection = get("snowflake", "connection").getOrElse(""),
         database = get("snowflake", "database").getOrElse(""),
-        schema = get("snowflake", "schema").getOrElse("")),
+        schema = get("snowflake", "schema").getOrElse(""),
+        properties = {
+          val kv = getList("snowflake", "properties").getOrElse(Nil).flatMap { e =>
+            e.split("=", 2) match {
+              case Array(k, v) if k.trim.nonEmpty => Some(k.trim -> v.trim)
+              case _ => throw new IllegalArgumentException(
+                s"snowflake.properties entries must be key=value (got '$e')")
+            }
+          }
+          val named = Seq("user", "password")
+            .flatMap(k => get("snowflake", k).map(k -> _))
+          (kv ++ named).toMap
+        }),
       logger = LoggerSection(
         level = get("logger", "level").getOrElse(d.logger.level),
         json = bool("logger", "json", d.logger.json)))

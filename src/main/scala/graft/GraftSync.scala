@@ -34,7 +34,17 @@ final case class SyncConfig(
     // columns and no identity-changing updates (REPLICA IDENTITY FULL /
     // Debezium-style feeds): per-batch compaction then uses the columnar
     // fast path (ChangelogCompactor.compactSimple)
-    simpleStreams: Boolean = false) {
+    simpleStreams: Boolean = false,
+    // JDBC connection properties for a jdbc: tablesBase (credentials, TLS,
+    // fetch size, …) — the reference carries these inside its warehouse
+    // DSN; here they ride the java.sql DriverManager properties map
+    targetProperties: Map[String, String] = Map.empty,
+    // postgres.slotname — names both the replication slot and the
+    // publication, like the reference
+    slotName: String = "mammoth",
+    // sync.prohibitdropslot — publication/schema drift then errors out
+    // instead of resyncing
+    prohibitDropSlot: Boolean = false) {
 
   /** Fail-fast validation, mirroring the reference's config.Validate
     * (config/config.go:86, required-field checks before anything runs). */
@@ -66,8 +76,9 @@ final class GraftSync(spark: SparkSession, cfg0: SyncConfig) {
     * in the database — the reference's warehouse topology); anything else
     * is a parquet table-store base directory. */
   private val jdbcMode = cfg.tablesBase.startsWith("jdbc:")
-  private lazy val jdbcTarget = new JdbcTarget(cfg.tablesBase)
-  private lazy val jdbcMerge = new JdbcStreamingMerge(cfg.tablesBase, Map.empty, cfg.relations)
+  private lazy val jdbcTarget = new JdbcTarget(cfg.tablesBase, cfg.targetProperties)
+  private lazy val jdbcMerge =
+    new JdbcStreamingMerge(cfg.tablesBase, cfg.targetProperties, cfg.relations)
 
   // The applied-LSN commit log lives WITH the target tables, not the
   // streaming checkpoint — "all state is in the source and target"
@@ -76,6 +87,19 @@ final class GraftSync(spark: SparkSession, cfg0: SyncConfig) {
   private lazy val merge = new StreamingMerge(
     spark, cfg.tablesBase, cfg.relations, s"${cfg.tablesBase}/_commitlog",
     simpleStreams = cfg.simpleStreams)
+
+  /** Reconcile publication + replication slot against the source catalog
+    * BEFORE anything moves — the reference `Run` prologue
+    * (sync_service.go:60-93). Returns either the fresh slot's exported
+    * snapshot (backfill from it, then stream from its consistent point)
+    * or the existing slot's restart LSN to resume from. */
+  def prepareReplication(catalog: SlotLifecycle.Catalog): SlotLifecycle.Decision =
+    SlotLifecycle.run(catalog, cfg.slotName, cfg.relations, cfg.prohibitDropSlot)
+
+  /** Schema drift after the slot exists: drop it so the next supervised
+    * run recreates slot + snapshot (sync_service.go:95-110). */
+  def resyncReplication(catalog: SlotLifecycle.Catalog): Unit =
+    SlotLifecycle.resync(catalog, cfg.slotName, cfg.prohibitDropSlot)
 
   /** Initial backfill of one relation from any source frame (JDBC
     * partitioned read, parquet, …): typed check + atomic scratch→live

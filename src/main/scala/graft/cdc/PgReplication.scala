@@ -82,6 +82,13 @@ object PgReplication {
       buf.get() != 0)
   }
 
+  /** Frontend CopyDone message ('c', Int32 length 4, no body): ends COPY
+    * BOTH mode, returning the connection to the normal command cycle so
+    * e.g. `pg_drop_replication_slot` can run on it (the resync path needs
+    * the replication connection closed/quiesced first —
+    * sync_service.go:95-103). */
+  val CopyDoneFrame: Array[Byte] = Array('c'.toByte, 0, 0, 0, 4)
+
   /** What one fed frame produced.
     *
     * @param messages    decoded logical messages (empty for keepalives)
@@ -113,9 +120,12 @@ object PgReplication {
     val decoder = new PgOutput.Decoder(typeIsArray)
     private var committed: Long = startLsn
     private var lastStatusMicros: Long = Long.MinValue
+    private var closedFlag = false
 
     /** Last acknowledged (applied) position. */
     def committedLsn: Long = committed
+
+    def isClosed: Boolean = closedFlag
 
     /** The target applied a batch up to `lsn` — the reference's
       * `committed.Set` after a successful write. No-op when
@@ -129,9 +139,26 @@ object PgReplication {
         PgOutput.toPgMicros(nowMicros), replyRequested))
     }
 
+    /** Graceful close handshake (the reference's stop path: a last
+      * standby-status update carrying everything applied so far, then
+      * CopyDone — stream.go:94-105 + the supervisor Stop at
+      * sync_service.go:224-237). Returns the frames to write to the
+      * socket, in order; after the server answers with its own CopyDone
+      * the connection is back in command mode. Idempotent: a second
+      * close emits nothing. Feeding a closed session throws — the owner
+      * must not interleave a drain with new traffic. */
+    def close(nowMicros: Long): Seq[Array[Byte]] =
+      if (closedFlag) Nil
+      else {
+        closedFlag = true
+        Seq(status(nowMicros, replyRequested = false), CopyDoneFrame)
+      }
+
     /** Feed one CopyData frame. `nowMicros` is the wall clock (unix µs),
       * injected so the heartbeat schedule is deterministic in tests. */
     def feed(frame: Array[Byte], nowMicros: Long): FeedResult = {
+      if (closedFlag)
+        throw new IllegalStateException("session closed: CopyDone already sent")
       val due = lastStatusMicros != Long.MinValue &&
         nowMicros - lastStatusMicros >= standbyIntervalMicros
       decodeCopyData(frame) match {

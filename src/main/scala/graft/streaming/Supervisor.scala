@@ -10,6 +10,15 @@ object Supervisor {
 
   final case class Result(restarts: Int, resyncs: Int)
 
+  /** Cooperative shutdown: a body that observes a stop request (operator
+    * signal, deployment drain) throws this AFTER finishing its close
+    * handshake (final standby status + CopyDone —
+    * [[graft.cdc.PgReplication.Session.close]]); supervision then ends
+    * NORMALLY — no restart, no backoff, no resync — mirroring the
+    * reference's `Stop` (sync_service.go:224-237), where closing the
+    * stream is a clean exit, not a failure. */
+  final class StopRequested extends RuntimeException("stop requested")
+
   /** @param body       one full run of the pipeline; returning normally ends
     *                    supervision (stream finished / test drained)
     * @param resync     invoked when `body` raises [[SchemaChangedException]]
@@ -45,6 +54,8 @@ object Supervisor {
         body()
         done = true
       } catch {
+        case _: StopRequested =>
+          done = true // drained: clean exit, not a restartable failure
         case e: SchemaChangedException =>
           // a body that ran for a while made progress: this is a FRESH
           // schema change (restart-intensity pattern), not a non-converging

@@ -126,4 +126,28 @@ class GraftConfigSpec extends AnyFunSuite with Matchers {
     val fc = GraftConfig.parse(GraftConfig.exampleYaml, env = Map.empty)
     fc shouldBe GraftConfig.parse(referenceDefaultYaml, env = Map.empty)
   }
+
+  test("target credentials and properties reach SyncConfig.targetProperties") {
+    val fc = GraftConfig.parse(
+      """sync:
+        |  tables: [accounts]
+        |postgres:
+        |  connection: "host=db"
+        |snowflake:
+        |  connection: "jdbc:derby:memory:x"
+        |  user: app
+        |  properties: [ssl=true, fetchsize=1000]
+        |""".stripMargin,
+      env = Map("SNOWFLAKE_PASSWORD" -> "s3cret")) // env override convention
+    fc.target.properties shouldBe Map(
+      "user" -> "app", "password" -> "s3cret",
+      "ssl" -> "true", "fetchsize" -> "1000")
+    val rel = graft.cdc.Relation("public", "accounts", Seq(
+      graft.cdc.RelColumn("id", graft.cdc.PgTypes.Int8Oid, isIdentity = true)))
+    fc.validate().toSyncConfig(Seq(rel)).targetProperties("password") shouldBe "s3cret"
+    intercept[IllegalArgumentException] {
+      GraftConfig.parse(
+        "snowflake:\n  properties: [no-equals-here]\n", env = Map.empty)
+    }
+  }
 }

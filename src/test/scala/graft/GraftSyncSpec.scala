@@ -97,6 +97,40 @@ class GraftSyncSpec extends AnyFunSuite with Matchers {
       .map(r => r.getLong(0) -> r.getDouble(1)).toSet should contain(1L -> 150.0)
   }
 
+  test("jdbc-mode connection properties from config reach the warehouse") {
+    // Derby resolves unqualified names against the connecting user's
+    // schema, so a `user=` property that actually reaches the driver
+    // puts the synced table in GRAFTUSER, not the default APP schema —
+    // a property silently dropped anywhere along
+    // config → SyncConfig → JdbcTarget/Spark-JDBC would fail both asserts
+    val cfg = SyncConfig(Seq(rel), "jdbc:derby:memory:graftsyncprops;create=true",
+      java.nio.file.Files.createTempDirectory("graft-sync-props").toString,
+      batchTimeout = "1 seconds",
+      targetProperties = Map("user" -> "GRAFTUSER"))
+    val sync = new GraftSync(spark, cfg)
+    sync.backfill(rel, Seq((1L, 100.0)).toDF("id", "balance"))
+    def action(lsn: Long, op: String, id: Long, bal: Double) =
+      ChangeAction("accounts", lsn, 0, op, Map("id" -> id.toString),
+        Map("id" -> id.toString, "balance" -> bal.toString), Nil, Nil, rekey = false)
+    sync.applyBatch(Seq(action(10, "I", 2, 200.0)).toDS(), 1L)
+    sync.table("accounts").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSet shouldBe
+      Set(1L -> 100.0, 2L -> 200.0)
+
+    val props = new java.util.Properties() // default user APP
+    val c = java.sql.DriverManager.getConnection(
+      "jdbc:derby:memory:graftsyncprops", props)
+    try {
+      val st = c.createStatement()
+      intercept[java.sql.SQLException] { // not visible unqualified from APP
+        st.executeQuery("SELECT * FROM ACCOUNTS")
+      }
+      val rs = st.executeQuery("SELECT COUNT(*) FROM GRAFTUSER.ACCOUNTS")
+      rs.next() shouldBe true
+      rs.getLong(1) shouldBe 2L
+    } finally c.close()
+  }
+
   test("transaction straddling a micro-batch boundary applies whole") {
     val base = java.nio.file.Files.createTempDirectory("graft-sync3").toString
     val cfg = SyncConfig(Seq(rel), s"$base/tables", s"$base/ckpt",

@@ -86,6 +86,47 @@ class PgReplicationSpec extends AnyFunSuite with Matchers {
     decodeStandbyStatus(r.reply.get).walWrite shouldBe 5L
   }
 
+  test("graceful close: final standby status at applied LSN, then CopyDone") {
+    val s = new Session(startLsn = 100L)
+    txnFrames(7, 1000).zipWithIndex.foreach { case (p, i) =>
+      s.feed(encodeXLogData(1000L + i, 2000L, 0L, p), nowMicros = 0L)
+    }
+    s.commit(1000L)
+    s.isClosed shouldBe false
+
+    val frames = s.close(nowMicros = 42L)
+    frames should have size 2
+    // golden frame 1: standby status acknowledging everything applied
+    val st = decodeStandbyStatus(frames.head)
+    st.walWrite shouldBe 1000L
+    st.walFlush shouldBe 1000L
+    st.walApply shouldBe 1000L
+    st.replyRequested shouldBe false
+    // golden frame 2: frontend CopyDone — 'c' + Int32 length 4, no body
+    frames(1).toSeq shouldBe Seq[Byte]('c'.toByte, 0, 0, 0, 4)
+
+    s.isClosed shouldBe true
+    s.close(43L) shouldBe empty // idempotent
+    an[IllegalStateException] should be thrownBy
+      s.feed(encodePrimaryKeepalive(5000L, 0L, replyRequested = true), 44L)
+  }
+
+  test("a drain stop ends supervision cleanly: close handshake, no restart") {
+    val sent = collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var bodies = 0
+    val res = graft.streaming.Supervisor.runForever(body = () => {
+      bodies += 1
+      val s = new Session(startLsn = 5L)
+      s.commit(77L)
+      sent ++= s.close(nowMicros = 0L) // drain: handshake THEN stop
+      throw new graft.streaming.Supervisor.StopRequested
+    }, backoffMs = 1L)
+    bodies shouldBe 1 // not restarted
+    res shouldBe graft.streaming.Supervisor.Result(restarts = 0, resyncs = 0)
+    decodeStandbyStatus(sent.head).walApply shouldBe 77L
+    sent(1).toSeq shouldBe CopyDoneFrame.toSeq
+  }
+
   test("capture files round-trip length-prefixed frames in order") {
     val path = java.nio.file.Files.createTempFile("graft-capture", ".bin").toString
     val frames = txnFrames(3, 300).map(p => encodeXLogData(1, 2, 0, p)) :+
