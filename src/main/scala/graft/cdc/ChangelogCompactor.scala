@@ -252,83 +252,123 @@ object ChangelogCompactor extends Serializable {
   def compactSimple(actions: Dataset[ChangeAction]): Dataset[ChangeAction] = {
     val spark = actions.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    // group on the sorted entries ARRAY (not a string rendering — see
-    // foldGroups for the forgery hazard)
-    val keyed = actions.toDF()
-      .withColumn("__key", array_sort(map_entries(col("keyBefore"))))
-      .withColumn("__ord", struct(col("lsn"), col("seq")))
-    keyed
-      .groupBy(col("table"), col("__key"))
-      .agg(
-        min_by(col("op"), col("__ord")).as("first_op"),
-        max_by(struct(col("lsn"), col("seq"), col("op"), col("keyBefore"),
-          col("values"), col("nulls")), col("__ord")).as("last"))
-      .filter(!(col("first_op") === "I" && col("last.op") === "D"))
-      .select(
-        col("table"),
-        col("last.lsn").as("lsn"),
-        col("last.seq").as("seq"),
-        when(col("last.op") === "D", "D")
-          .when(col("first_op") === "I", "I")
-          .otherwise("U").as("op"),
-        col("last.keyBefore").as("keyBefore"),
-        when(col("last.op") === "D", map().cast("map<string,string>"))
-          .otherwise(col("last.values")).as("values"),
-        when(col("last.op") === "D", array().cast("array<string>"))
-          .otherwise(col("last.nulls")).as("nulls"),
-        array().cast("array<string>").as("unchanged"),
-        lit(false).as("rekey"))
-      .as[ChangeAction]
+    clusterByKey(actions).mapPartitions(foldSimpleRuns)
   }
 
-  /** Cold-path grouped fold, columnar shuffle: rows travel the exchange as
-    * Tungsten structs inside a `collect_list` aggregation (ObjectHashAgg)
-    * and are materialized as objects only once per group for the fold.
-    * Re-measured round 3 under the driver's bench heap (8g, 600k actions /
-    * 150k keys): within ±5% of `groupByKey(...).flatMapGroups` once the
-    * input is materialized — the round-2 "6× regression" was repeated
-    * upstream executions, not this fold. Identical semantics
+  /** First/last bookkeeping over one partition of key-clustered,
+    * (lsn,seq)-ordered actions: O(1) state per group, no value-state merge
+    * (the full-row-image invariant makes column-wise merging unnecessary). */
+  private def foldSimpleRuns(rows: Iterator[ChangeAction]): Iterator[ChangeAction] =
+    new GroupRunIterator(rows, { (first, it) =>
+      val firstOp = first.op
+      var last = first
+      while (it.hasNext) last = it.next()
+      if (firstOp == "I" && last.op == "D") None
+      else {
+        val op = if (last.op == "D") "D" else if (firstOp == "I") "I" else "U"
+        Some(
+          if (op == "D")
+            ChangeAction(last.table, last.lsn, last.seq, "D", last.keyBefore,
+              Map.empty, Nil, Nil, rekey = false)
+          else
+            ChangeAction(last.table, last.lsn, last.seq, op, last.keyBefore,
+              last.values, last.nulls, Nil, rekey = false))
+      }
+    })
+
+  /** Cold-path fold, sort-based and streaming: one shuffle on the row
+    * identity, an in-partition sort on `(key, lsn, seq)`, then a
+    * constant-memory running fold per key. No per-group array is ever
+    * materialized — the earlier `collect_list`-per-key shape was CPU-linear
+    * at sf0.1 but collapsed under allocation/GC pressure at millions of
+    * keys (round-5 ladder: 10× data → 34× wall, 13× CPU per row), because
+    * every key's actions were copied into an aggregation-buffer array of
+    * map-typed structs before the fold could run. Here the exchange and the
+    * external sorter stream Tungsten rows, and exactly one `ChangeAction`
+    * accumulator per in-flight group lives on the heap. Identical semantics
     * (property-tested against `sequentialDedup`).
     *
-    * The grouping key is the SORTED ENTRIES ARRAY of the row identity, not
-    * a string rendering of it — `cast(map_entries(...) as string)` would
-    * let a crafted value like `"x}, {b, y"` forge another key's rendering
-    * and merge two distinct rows. */
+    * The shuffle/sort key is the SORTED ENTRIES ARRAY of the row identity,
+    * not a string rendering of it — `cast(map_entries(...) as string)`
+    * would let a crafted value like `"x}, {b, y"` forge another key's
+    * rendering and merge two distinct rows. (Group *boundaries* inside a
+    * partition are detected with [[keyStr]], whose control-character
+    * framing is injective, so the detection is forgery-safe too.) */
   private def foldGroups(actions: Dataset[ChangeAction]): Dataset[ChangeAction] = {
+    val spark = actions.sparkSession
+    import spark.implicits._
+    clusterByKey(actions).mapPartitions(foldRuns)
+  }
+
+  /** Hash-partition on `(table, row identity)` and sort each partition by
+    * `(table, key, lsn, seq)` so every key's actions form one contiguous,
+    * WAL-ordered run. The sort column is dropped before the typed view; the
+    * in-partition ordering survives projection. */
+  private def clusterByKey(actions: Dataset[ChangeAction]): Dataset[ChangeAction] = {
     val spark = actions.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
     actions.toDF()
-      .groupBy(col("table"), array_sort(map_entries(col("keyBefore"))).as("__key"))
-      .agg(collect_list(struct(col("lsn"), col("seq"), col("op"),
-        col("keyBefore"), col("values"), col("nulls"), col("unchanged"),
-        col("rekey"))).as("acts"))
-      .select(col("table"), col("acts"))
-      .as[(String, Seq[CompactActRow])]
-      .flatMap { case (table, acts) =>
-        foldSameKey(acts.map(a => ChangeAction(table, a.lsn, a.seq, a.op,
-          a.keyBefore, a.values, a.nulls, a.unchanged, a.rekey)))
-      }
+      .withColumn("__key", array_sort(map_entries(col("keyBefore"))))
+      .repartition(col("table"), col("__key"))
+      .sortWithinPartitions(col("table"), col("__key"), col("lsn"), col("seq"))
+      .drop("__key")
+      .as[ChangeAction]
   }
 
-  /** In-order fold of one key's actions; the degenerate single-key form of
-    * `sequentialDedup` (no rekeys can appear here). */
-  private def foldSameKey(group: Seq[ChangeAction]): Iterator[ChangeAction] = {
-    val sorted = group.sortBy(a => (a.lsn, a.seq))
-    var acc: Option[ChangeAction] = None
-    sorted.foreach { action =>
-      acc = acc match {
-        case None           => Some(action)
-        case Some(existing) => mergeActions(existing, action)
+  private def foldRuns(rows: Iterator[ChangeAction]): Iterator[ChangeAction] =
+    new GroupRunIterator(rows, { (first, it) =>
+      var acc: Option[ChangeAction] = Some(first)
+      while (it.hasNext) {
+        val nxt = it.next()
+        acc = acc match {
+          case None           => Some(nxt)
+          case Some(existing) => mergeActions(existing, nxt)
+        }
+      }
+      acc
+    })
+
+  /** Streams one partition of key-clustered actions as per-group folds.
+    * `foldGroup` receives the group's first action plus an iterator of the
+    * rest (valid only until it returns) and yields the surviving action, if
+    * any. Groups whose fold elides (insert→delete) produce nothing. */
+  private final class GroupRunIterator(
+      rows: Iterator[ChangeAction],
+      foldGroup: (ChangeAction, Iterator[ChangeAction]) => Option[ChangeAction])
+    extends Iterator[ChangeAction] {
+
+    private val buf = rows.buffered
+    private var out: ChangeAction = _
+    private var ready = false
+
+    private def advance(): Unit = {
+      while (!ready && buf.hasNext) {
+        val first = buf.next()
+        val table = first.table
+        val key = keyStr(first.keyBefore)
+        val rest: Iterator[ChangeAction] = new Iterator[ChangeAction] {
+          def hasNext: Boolean = buf.hasNext &&
+            buf.head.table == table && keyStr(buf.head.keyBefore) == key
+          def next(): ChangeAction =
+            if (hasNext) buf.next() else throw new NoSuchElementException
+        }
+        foldGroup(first, rest) match {
+          case Some(a) =>
+            while (rest.hasNext) rest.next() // foldGroup may stop early
+            out = a
+            ready = true
+          case None =>
+            while (rest.hasNext) rest.next()
+        }
       }
     }
-    acc.iterator
+
+    override def hasNext: Boolean = { if (!ready) advance(); ready }
+    override def next(): ChangeAction = {
+      if (!hasNext) throw new NoSuchElementException
+      ready = false
+      out
+    }
   }
 }
-
-/** Row mirror of the collect_list struct in `ChangelogCompactor.foldGroups`
-  * (top-level so encoder codegen can reach it). */
-final case class CompactActRow(lsn: Long, seq: Int, op: String,
-    keyBefore: Map[String, String], values: Map[String, String],
-    nulls: Seq[String], unchanged: Seq[String], rekey: Boolean)

@@ -50,12 +50,21 @@ class CompactFastAndBucketSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("fast-path plan is one hash aggregation, no typed fold") {
+  test("fast-path plan is one shuffle + in-partition sort + streaming fold") {
+    // ≥2 rows: a single-row probe lets OptimizeOneRowPlan legitimately
+    // drop the Sort and would vacuously pass/fail the shape assertions
     val p = ChangelogCompactor.compactSimple(
-      Seq(act(1, "I", "k", "v")).toDS()).queryExecution
+      (1 to 5).map(i => act(i.toLong, "I", s"k$i", "v")).toDS()).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
-    p should include("Aggregate") // SortAggregate: map-typed buffers can't hash-agg
-    p should not include "MapGroups" // flatMapGroups would mean the typed fold
+    // sort-based streaming shape: hash exchange on the key, external sort
+    // within partitions, constant-memory fold — no aggregation buffers
+    // holding map-typed structs (the shape that GC-collapsed at 1.5M keys)
+    p should include("Exchange")
+    p should include("hashpartitioning") // in the node arguments block
+    p should include("Sort")
+    p should not include "Aggregate"
+    p should not include "collect_list"
+    p should not include "MapGroups" // flatMapGroups would mean the typed per-group fold
   }
 
   test("bucketed snapshot + non-broadcast merge: no exchange on the snapshot side") {
