@@ -74,9 +74,19 @@ final case class ChangeAction(
   */
 object ChangelogCompactor extends Serializable {
 
-  /** Canonical grouping key for a row identity. */
+  /** Canonical grouping key for a row identity. Injective: the framing
+    * characters \u0001/\u0002 (and null values) are escaped with \u0000,
+    * so no key/value content can forge another identity's rendering \u2014
+    * {"a"\u2192"x\u0002b\u0001y"} and {"a"\u2192"x","b"\u2192"y"} render differently. */
   private[cdc] def keyStr(m: Map[String, String]): String =
-    m.toSeq.sortBy(_._1).map { case (k, v) => k + "\u0001" + v }.mkString("\u0002")
+    m.toSeq.sortBy(_._1).map { case (k, v) => esc(k) + "\u0001" + esc(v) }.mkString("\u0002")
+
+  /** Escape \u0000 \u0001 \u0002 so [[keyStr]] is injective; null (legal in a
+    * parsed identity map) gets its own code point pair. */
+  private def esc(s: String): String =
+    if (s == null) "\u0000n"
+    else s.replace("\u0000", "\u0000\u0000")
+      .replace("\u0001", "\u00001").replace("\u0002", "\u00002")
 
   /** Merge two consecutive actions for the same row
     * (multi_row_action.go:103-180 `mergeActions`). `None` = the pair is a
@@ -135,7 +145,7 @@ object ChangelogCompactor extends Serializable {
   }
 
   private def keyDiffers(a: Map[String, String], b: Map[String, String]): Boolean =
-    keyStr(a) != keyStr(b)
+    a != b
 
   /** The reference's sequential `deduplicateActions`
     * (multi_row_action.go:69-101): a map keyed on *current* row identity,
@@ -291,9 +301,11 @@ object ChangelogCompactor extends Serializable {
     * The shuffle/sort key is the SORTED ENTRIES ARRAY of the row identity,
     * not a string rendering of it — `cast(map_entries(...) as string)`
     * would let a crafted value like `"x}, {b, y"` forge another key's
-    * rendering and merge two distinct rows. (Group *boundaries* inside a
-    * partition are detected with [[keyStr]], whose control-character
-    * framing is injective, so the detection is forgery-safe too.) */
+    * rendering and merge two distinct rows. Group *boundaries* inside a
+    * partition are detected by structural `Map` equality (injective by
+    * definition, and it agrees with the sorted-entries sort key: two
+    * identity maps are equal iff their sorted entry arrays are), so the
+    * detection is forgery-safe too. */
   private def foldGroups(actions: Dataset[ChangeAction]): Dataset[ChangeAction] = {
     val spark = actions.sparkSession
     import spark.implicits._
@@ -346,10 +358,10 @@ object ChangelogCompactor extends Serializable {
       while (!ready && buf.hasNext) {
         val first = buf.next()
         val table = first.table
-        val key = keyStr(first.keyBefore)
+        val key = first.keyBefore
         val rest: Iterator[ChangeAction] = new Iterator[ChangeAction] {
           def hasNext: Boolean = buf.hasNext &&
-            buf.head.table == table && keyStr(buf.head.keyBefore) == key
+            buf.head.table == table && buf.head.keyBefore == key
           def next(): ChangeAction =
             if (hasNext) buf.next() else throw new NoSuchElementException
         }

@@ -52,8 +52,10 @@ object MergeInto {
     * takes over. */
   private val BroadcastMaxRows = 400_000L
 
-  /** Size-adaptive entry: measures the compacted changelog (it is
-    * materialized once regardless) and picks the regime. */
+  /** Size-adaptive entry: measures the compacted changelog (materialized
+    * once via localCheckpoint, which the broadcast build needs anyway) and
+    * picks the regime: ≤ [[BroadcastMaxRows]] actions → broadcast,
+    * else full-outer sort-merge. */
   def apply(snapshot: DataFrame, changelog: Dataset[ChangeAction],
       relation: Relation): DataFrame =
     merge(snapshot, changelog, relation, None)
@@ -80,12 +82,7 @@ object MergeInto {
     //   __op, key_before cols (kb_*), after-image state per column
     //   (new value / is-null / is-unchanged / key-after for identity cols).
     val cl = changelog.filter(col("table") === relation.table)
-    // The projected changelog feeds three places (the broadcast build for
-    // the outer join, the semi-join probe, and the anti-join stream side);
-    // without materialization the upstream changelog pipeline re-executes
-    // for each. It is micro-batch-sized by contract, so materializing it
-    // once is bounded and strictly cheaper.
-    val clProjected = cl.select(
+    val clRaw = cl.select(
       col("op").as("__op") +:
       keyCols.map(k =>
         PgValues.castText(element_at(col("keyBefore"), k),
@@ -101,13 +98,37 @@ object MergeInto {
           array_contains(col("nulls"), c.name).as(s"__isnull_${c.name}"),
           array_contains(col("unchanged"), c.name).as(s"__isunch_${c.name}"),
           map_contains_key(col("values"), c.name).as(s"__has_${c.name}"))
-      }: _*).localCheckpoint(true)
+      }: _*)
+
+    // Regime selection. In the broadcast regime the projected changelog
+    // feeds three places (the broadcast build for the outer join, the
+    // semi-join probe, and the anti-join stream side); without
+    // materialization the upstream changelog pipeline re-executes for each,
+    // so it is localCheckpoint'd (micro-batch-sized by contract, bounded).
+    // When the caller pins the big-batch regime the changelog feeds exactly
+    // one join and is left unmaterialized — at backfill scale caching it
+    // would only burn executor memory. When nothing is pinned, the
+    // checkpoint doubles as the measurement: count it (free, already
+    // materialized) and compare to BroadcastMaxRows.
+    val (clProjected, useBroadcast) = broadcastChangelog match {
+      case Some(true)  => (clRaw.localCheckpoint(true), true)
+      case Some(false) => (clRaw, false)
+      case None =>
+        val ckpt = clRaw.localCheckpoint(true)
+        (ckpt, ckpt.count() <= BroadcastMaxRows)
+    }
 
     val joinCond = keyCols.map(k => snapshot(k) === clProjected(s"__kb_$k")).reduce(_ && _)
 
-    // 1) updates/deletes/keeps: snapshot ⟕ broadcast(changelog)
-    val joined = snapshot.join(maybeBcast(clProjected), joinCond, "left_outer")
-    val updated = joined
+    // Shared row-merge: works on any (snapshot ⟗ changelog) join shape.
+    //   left-only  (__op NULL)     → untouched snapshot row, kept as-is
+    //   matched, op = D            → filtered out (delete)
+    //   matched, op ≠ D            → per-column CASE merge
+    //   right-only (snapshot NULL) → insert: `keep` is NULL, so
+    //     TOAST-unchanged / explicit-NULL / unspecified all land NULL and
+    //     identity columns take the after-image key — exactly the insert
+    //     semantics, row-for-row (see object Scaladoc).
+    def applyActions(joined: DataFrame): DataFrame = joined
       .filter(col("__op").isNull || col("__op") =!= "D")
       .select(relation.columns.map { c =>
         val keep = snapshot(c.name)
@@ -125,25 +146,40 @@ object MergeInto {
         out.cast(snapshot.schema(c.name).dataType).as(c.name)
       }: _*)
 
-    // 2) inserts: changelog keys that matched nothing in the snapshot
-    val matchedKeys = snapshot
-      .select(keyCols.map(snapshot(_)): _*)
-      .join(maybeBcast(clProjected), joinCond, "left_semi")
-    val inserts = clProjected
-      .filter(col("__op") =!= "D")
-      .join(maybeBcast(matchedKeys),
-        keyCols.map(k => clProjected(s"__kb_$k") === matchedKeys(k)).reduce(_ && _),
-        "left_anti")
-      .select(relation.columns.map { c =>
-        val v =
-          if (c.isIdentity) col(s"__ka_${c.name}")
-          else when(col(s"__isnull_${c.name}") || col(s"__isunch_${c.name}") ||
-            !col(s"__has_${c.name}"), lit(null))
-            .otherwise(col(s"__new_${c.name}"))
-        v.cast(snapshot.schema(c.name).dataType).as(c.name)
-      }: _*)
+    if (useBroadcast) {
+      // Micro-batch regime: snapshot is never shuffled. Spark cannot
+      // broadcast the build side of a FULL OUTER hash join, hence the
+      // two-branch shape (left-outer for updates/deletes + anti-join for
+      // inserts), each side broadcasting only changelog-sized inputs.
+      val joined = snapshot.join(broadcast(clProjected), joinCond, "left_outer")
+      val updated = applyActions(joined)
 
-    updated.unionByName(inserts)
+      // inserts: changelog keys that matched nothing in the snapshot
+      val matchedKeys = snapshot
+        .select(keyCols.map(snapshot(_)): _*)
+        .join(broadcast(clProjected), joinCond, "left_semi")
+      val inserts = clProjected
+        .filter(col("__op") =!= "D")
+        .join(broadcast(matchedKeys),
+          keyCols.map(k => clProjected(s"__kb_$k") === matchedKeys(k)).reduce(_ && _),
+          "left_anti")
+        .select(relation.columns.map { c =>
+          val v =
+            if (c.isIdentity) col(s"__ka_${c.name}")
+            else when(col(s"__isnull_${c.name}") || col(s"__isunch_${c.name}") ||
+              !col(s"__has_${c.name}"), lit(null))
+              .otherwise(col(s"__new_${c.name}"))
+          v.cast(snapshot.schema(c.name).dataType).as(c.name)
+        }: _*)
+
+      updated.unionByName(inserts)
+    } else {
+      // Big-batch regime: ONE full-outer sort-merge join — a single
+      // snapshot scan, fully distributed, nothing driver-sized. With the
+      // snapshot bucketed on the key (SnapshotWriter.publishBucketed) the
+      // snapshot side reads bucket-local and only the changelog exchanges.
+      applyActions(snapshot.join(clProjected, joinCond, "full_outer"))
+    }
   }
 
   /** keyAfter for one identity column, columnar: before-value when not

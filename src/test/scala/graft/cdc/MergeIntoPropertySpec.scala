@@ -100,4 +100,19 @@ class MergeIntoPropertySpec extends AnyFunSuite with Matchers {
       got shouldBe referenceMerge(snap, acts)
     }
   }
+
+  test("big-batch full-outer regime ≡ broadcast regime ≡ reference, row-for-row") {
+    samples(Gen.zip(genSnap, genActions), 25).foreach { case (snap, acts) =>
+      val snapDf = snap.map(r => (r.id, r.a.orNull, r.b.map(Integer.valueOf).orNull))
+        .toDF("id", "a", "b")
+      def run(pin: Boolean) = MergeInto(snapDf, acts.toDS(), rel, broadcastChangelog = pin)
+        .collect()
+        .map(r => SnapRow(r.getLong(0), Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getInt(2))))
+        .toSet
+      val expected = referenceMerge(snap, acts)
+      run(false) shouldBe expected
+      run(true) shouldBe expected
+    }
+  }
 }
