@@ -85,6 +85,19 @@ object Main {
     msgs.size.toLong
   }
 
+  /** Decoder session for a LIVE replication source: scans the source's
+    * `pg_type` catalog first (reference stream.go:435-460 runs the same
+    * scan at stream start) so array-typed columns route through the
+    * array-literal parser instead of silently decoding as plain text.
+    * Offline capture replay ([[streamToFile]]) has no source connection
+    * to introspect and keeps the empty map. */
+  def replicationSession(fc: GraftConfig.FileConfig, startLsn: Long = 0L,
+      skipAcknowledge: Boolean = false): graft.cdc.PgReplication.Session =
+    new graft.cdc.PgReplication.Session(
+      startLsn = startLsn,
+      typeIsArray = Jdbc.introspectArrayTypes(fc.postgres.connection),
+      skipAcknowledge = skipAcknowledge)
+
   /** Introspect the configured tables from the source database. */
   def introspectRelations(fc: GraftConfig.FileConfig): Seq[Relation] =
     fc.sync.tables.map { t =>

@@ -94,7 +94,16 @@ object Jdbc {
         val b = Seq.newBuilder[RelColumn]
         try while (rs.next()) {
           val name = rs.getString("COLUMN_NAME")
-          b += RelColumn(name, oidOf(rs.getInt("DATA_TYPE")), pks.contains(name))
+          val jdbcType = rs.getInt("DATA_TYPE")
+          // Array columns: JDBC reports Types.ARRAY with the PG element
+          // type recoverable from TYPE_NAME ("_int4" → int4[]). The OID
+          // recorded is the ELEMENT type's, as the pgoutput tuple data
+          // carries element-typed array literals (PgValues.pgArrayParse).
+          if (jdbcType == java.sql.Types.ARRAY)
+            b += RelColumn(name, oidOfTypeName(rs.getString("TYPE_NAME")),
+              pks.contains(name), isArray = true)
+          else
+            b += RelColumn(name, oidOf(jdbcType), pks.contains(name))
         } finally rs.close()
         b.result()
       }
@@ -102,6 +111,35 @@ object Jdbc {
       Relation(schema.getOrElse(""), table, cols)
     } finally conn.close()
   }
+
+  /** Catalog scan → PG type OID → is-array, the map [[graft.cdc.PgOutput.Decoder]]
+    * needs to route wire values through the array-literal parser (reference:
+    * sync/stream/stream.go:435-460 `introspectArrayTypes`, `pgt.typcategory
+    * = 'A'`). Runs against a live Postgres; any source whose catalog can
+    * answer `(oid int, is_array bool)` rows works (the spec drives it
+    * through an embedded-Derby mock of the same shape). */
+  def introspectArrayTypes(url: String,
+      properties: Map[String, String] = Map.empty,
+      catalogSql: String = PgArrayTypesSql): Map[Int, Boolean] = {
+    val props = new java.util.Properties()
+    properties.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(catalogSql)
+        val b = Map.newBuilder[Int, Boolean]
+        try while (rs.next()) b += rs.getInt(1) -> rs.getBoolean(2)
+        finally rs.close()
+        b.result()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** The reference's catalog query, minus its unused enum column. */
+  val PgArrayTypesSql: String =
+    "select pgt.oid as data_type_oid, pgt.typcategory = 'A' as is_array " +
+      "from pg_type as pgt order by data_type_oid"
 
   /** java.sql.Types → the engine's PG OID vocabulary (inverse direction
     * of PgTypes.toSpark / the reference's getSfType). */
@@ -121,6 +159,28 @@ object Jdbc {
       case T.TIMESTAMP_WITH_TIMEZONE         => TimestamptzOid
       case T.BINARY | T.VARBINARY | T.LONGVARBINARY | T.BLOB => ByteaOid
       case _                                 => TextOid
+    }
+  }
+
+  /** PG type NAME → element OID, for array columns where JDBC only exposes
+    * the internal array type name (`_int4`, `_text`, ...). Unknown names
+    * degrade to text, matching the reference's text-passthrough default. */
+  private[sources] def oidOfTypeName(typeName: String): Int = {
+    import graft.cdc.PgTypes._
+    val elem = Option(typeName).getOrElse("").stripPrefix("_").toLowerCase
+    elem match {
+      case "bool" | "boolean"                   => BoolOid
+      case "int2" | "smallint"                  => Int2Oid
+      case "int4" | "int" | "integer" | "serial" => Int4Oid
+      case "int8" | "bigint" | "bigserial"      => Int8Oid
+      case "float4" | "real"                    => Float4Oid
+      case "float8" | "double precision"        => Float8Oid
+      case "numeric" | "decimal"                => NumericOid
+      case "date"                               => DateOid
+      case "timestamp"                          => TimestampOid
+      case "timestamptz"                        => TimestamptzOid
+      case "bytea"                              => ByteaOid
+      case _                                    => TextOid
     }
   }
 }

@@ -31,7 +31,8 @@ import graft.cdc.{ChangeAction, ChangelogCompactor, PgTypes, PgValues, RelColumn
   * uppercase-normalized: quoted lowercase identifiers would make the
   * Spark-staged table unreferenceable from generated SQL.
   */
-final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty) {
+final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty,
+    schema: Option[String] = None) {
 
   JdbcTarget.ensureDialect(url)
 
@@ -48,6 +49,29 @@ final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty)
 
   private def tryExec(sql: String): Unit =
     try exec(sql) catch { case _: java.sql.SQLException => () }
+
+  /** Target-side bootstrap (reference `setupSchema`,
+    * snowflake_target.go:106-134): a first run against a fresh warehouse
+    * must create its namespace, not fail on the first CREATE TABLE. With
+    * `schema = None` every object lands in the connection's current/default
+    * schema, mirroring the reference's use-the-session-schema branch. */
+  schema.foreach { s =>
+    val name = up(s)
+    val exists = withConnection { c =>
+      val rs = c.getMetaData.getSchemas
+      try {
+        var found = false
+        while (!found && rs.next())
+          found = name.equalsIgnoreCase(rs.getString("TABLE_SCHEM"))
+        found
+      } finally rs.close()
+    }
+    if (!exists) exec(s"CREATE SCHEMA $name")
+  }
+
+  /** Schema-qualified identifier for generated DDL/MERGE/staging SQL. */
+  private def qual(name: String): String =
+    schema.map(s => up(s) + ".").getOrElse("") + up(name)
 
   /** PG type OID → portable SQL DDL type — the reference's `getSfType`
     * (snowflake_target.go:675-714) re-targeted from Snowflake types to
@@ -95,7 +119,7 @@ final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty)
     * snowflake_target.go:139-217) and load the snapshot through the JDBC
     * writer (partitioned inserts = the reference's CSV chunk loop). */
   def initialize(rel: Relation, snapshot: DataFrame): Unit = {
-    val t = up(rel.table)
+    val t = qual(rel.table)
     tryExec(s"DROP TABLE $t")
     val cols = rel.columns.map(c => s"${up(c.name)} ${sqlType(c)}").mkString(", ")
     exec(s"CREATE TABLE $t ($cols)")
@@ -109,7 +133,7 @@ final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty)
     * reference's `_IDENTITY_*`, `_DELETE_ROW`, `_IS_NULL_*`,
     * `_IS_UNCHANGED_*` staging columns (snowflake_target.go:342-420). */
   def stage(rel: Relation, compacted: Dataset[ChangeAction]): String = {
-    val stageTable = up(rel.table) + "__STAGE"
+    val stageTable = qual(rel.table) + "__STAGE"
     val keyCols = rel.columns.filter(_.isIdentity)
     tryExec(s"DROP TABLE $stageTable")
     val ddl = (Seq("DEL BOOLEAN") ++
@@ -139,7 +163,7 @@ final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty)
   /** The per-table MERGE statement — the reference's template at
     * snowflake_target.go:536-602, ANSI-fied. */
   def mergeSql(rel: Relation): String = {
-    val t = up(rel.table)
+    val t = qual(rel.table)
     val s = t + "__STAGE"
     val on = rel.columns.filter(_.isIdentity)
       .map(c => s"T.${up(c.name)} = S.K_${up(c.name)}").mkString(" AND ")
@@ -170,6 +194,8 @@ final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty)
     tryExec(s"DROP TABLE $stageTable")
   }
 
+  private def lsnTable: String = qual("GRAFT_APPLIED_LSN")
+
   /** Last batch LSN this target acknowledged (reads the in-database
     * record, so "all state is in the source and target"). */
   def appliedLsn(): Long = {
@@ -177,7 +203,7 @@ final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty)
     withConnection { c =>
       val st = c.createStatement()
       try {
-        val rs = st.executeQuery("SELECT LSN FROM GRAFT_APPLIED_LSN")
+        val rs = st.executeQuery(s"SELECT LSN FROM $lsnTable")
         // empty table (create succeeded but the seed insert once failed)
         // reads as "nothing applied" rather than a cursor exception
         try { if (rs.next()) rs.getLong(1) else Long.MinValue } finally rs.close()
@@ -190,14 +216,14 @@ final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty)
     * table is empty, so one transient insert failure can't leave
     * GRAFT_APPLIED_LSN permanently unseeded. */
   private def ensureLsnTable(): Unit = {
-    tryExec("CREATE TABLE GRAFT_APPLIED_LSN (LSN BIGINT)")
+    tryExec(s"CREATE TABLE $lsnTable (LSN BIGINT)")
     withConnection { c =>
       val st = c.createStatement()
       try {
-        val rs = st.executeQuery("SELECT COUNT(*) FROM GRAFT_APPLIED_LSN")
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM $lsnTable")
         val empty = try { rs.next(); rs.getLong(1) == 0L } finally rs.close()
         if (empty)
-          st.execute(s"INSERT INTO GRAFT_APPLIED_LSN VALUES (${Long.MinValue})")
+          st.execute(s"INSERT INTO $lsnTable VALUES (${Long.MinValue})")
       } finally st.close()
     }
   }
@@ -231,7 +257,7 @@ final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty)
         val st = c.createStatement()
         try {
           staged.foreach { case (r, _) => st.execute(mergeSql(r)) }
-          st.execute(s"UPDATE GRAFT_APPLIED_LSN SET LSN = $maxLsn")
+          st.execute(s"UPDATE $lsnTable SET LSN = $maxLsn")
         } finally st.close()
         c.commit()
       } catch {
@@ -246,7 +272,7 @@ final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty)
 
   /** Read a table back (key-ordered read is the caller's concern). */
   def read(spark: SparkSession, table: String): DataFrame =
-    Jdbc.ReadConf(url, up(table), properties = properties).load(spark)
+    Jdbc.ReadConf(url, qual(table), properties = properties).load(spark)
 }
 
 object JdbcTarget {

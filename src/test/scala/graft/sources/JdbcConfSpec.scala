@@ -27,4 +27,38 @@ class JdbcConfSpec extends AnyFunSuite with Matchers {
     o("batchsize") shouldBe "5000"
     o("isolationLevel") shouldBe "READ_COMMITTED"
   }
+
+  test("introspectArrayTypes builds the OID → is-array map from a catalog scan") {
+    // embedded-Derby mock of the pg_type scan's (oid int, is_array bool)
+    // result shape — the PG-specific SQL itself needs a live Postgres
+    val url = "jdbc:derby:memory:jdbcarr;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE pgt_mock(data_type_oid INT, is_array BOOLEAN)")
+      st.execute("INSERT INTO pgt_mock VALUES (23, false), (25, false), " +
+        "(1007, true), (1009, true)") // int4, text, _int4, _text
+      st.close()
+    } finally conn.close()
+    val m = Jdbc.introspectArrayTypes(url,
+      catalogSql = "SELECT data_type_oid, is_array FROM pgt_mock")
+    m shouldBe Map(23 -> false, 25 -> false, 1007 -> true, 1009 -> true)
+  }
+
+  test("default catalog SQL is the reference's pg_type scan") {
+    Jdbc.PgArrayTypesSql should include("pg_type")
+    Jdbc.PgArrayTypesSql should include("typcategory = 'A'")
+  }
+
+  test("PG array type names map to element OIDs (unknown degrades to text)") {
+    import graft.cdc.PgTypes._
+    Jdbc.oidOfTypeName("_int4") shouldBe Int4Oid
+    Jdbc.oidOfTypeName("_int8") shouldBe Int8Oid
+    Jdbc.oidOfTypeName("_text") shouldBe TextOid
+    Jdbc.oidOfTypeName("_numeric") shouldBe NumericOid
+    Jdbc.oidOfTypeName("_timestamptz") shouldBe TimestamptzOid
+    Jdbc.oidOfTypeName("_bytea") shouldBe ByteaOid
+    Jdbc.oidOfTypeName("_hstore") shouldBe TextOid
+    Jdbc.oidOfTypeName(null) shouldBe TextOid
+  }
 }

@@ -166,6 +166,27 @@ class JdbcTargetSpec extends AnyFunSuite with Matchers {
     target.appliedLsn() shouldBe Long.MinValue
   }
 
+  test("fresh-warehouse bootstrap: a configured schema is created and used") {
+    // a brand-new database with NO pre-existing schema objects — first run
+    // must create the namespace (reference setupSchema,
+    // snowflake_target.go:106-134), not fail on the first CREATE TABLE
+    val freshUrl = "jdbc:derby:memory:graftboot;create=true"
+    val t1 = new JdbcTarget(freshUrl, schema = Some("graft_tgt"))
+    val snapshot = Seq((1L, "ann", 1.0), (2L, "ben", 2.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+    t1.initialize(rel, snapshot)
+    t1.applyBatch(rel, Seq(
+      action(5, "I", 3, values = Map("c_custkey" -> "3", "c_name" -> "cyd",
+        "c_acctbal" -> "3.0"))).toDS())
+    // every object landed inside the schema, none in the default namespace
+    t1.mergeSql(rel) should include("GRAFT_TGT.CUSTOMERS")
+    t1.read(spark, "customers").count() shouldBe 3
+    t1.appliedLsn() shouldBe Long.MinValue // per-batch applyBatch doesn't track LSN
+    // re-construction against the now-existing schema is a no-op, not a failure
+    val t2 = new JdbcTarget(freshUrl, schema = Some("graft_tgt"))
+    t2.read(spark, "customers").count() shouldBe 3
+  }
+
   test("the generated MERGE mirrors the reference template") {
     val sql = target.mergeSql(rel)
     sql should include("MERGE INTO CUSTOMERS T USING CUSTOMERS__STAGE S ON T.C_CUSTKEY = S.K_C_CUSTKEY")
