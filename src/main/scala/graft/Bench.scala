@@ -235,12 +235,18 @@ object ScaleLadder {
       "customer"   -> Seq("c_custkey"),
       "orders"     -> Seq("o_orderkey", "o_custkey"),
       "embeddings" -> Seq("vec_id"))
+    // Write the scaled corpus as MANY files: the narrow explode (and AQE
+    // coalescing on the join) would otherwise emit one part-file per table,
+    // and a single file under files.maxPartitionBytes scans as ONE task —
+    // the round-5/8 ladder's "<1 core at 10×" symptom was this harness
+    // artifact, not an operator property. A real 10× corpus is many files.
+    val parts = spark.sparkContext.defaultParallelism
     plans.foreach { case (name, ids) =>
       val src = spark.read.parquet(s"$sfDir/$name.parquet")
-      shifted(src, n, ids).write.mode("overwrite")
+      shifted(src, n, ids).repartition(parts).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
     }
-    remixedDocuments(spark, sfDir, n).write.mode("overwrite")
+    remixedDocuments(spark, sfDir, n).repartition(parts).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
     out
   }

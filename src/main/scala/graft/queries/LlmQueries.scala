@@ -64,17 +64,50 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** §2.3 #32 — MinHash+LSH near-dup pipeline (rows-only gate; the LSH
-    * S-curve is statistical, the verify step is exact). */
+  /** §2.3 #32 — MinHash+LSH near-dup pipeline. 8 bands of 8 is the
+    * production shape for this corpus: the background 5-gram Jaccard
+    * between unrelated synthetic docs is ~0.18-0.30 (measured), so only
+    * r=8 rows per band keeps background band-collisions (p=J^8≈1e-6) — and
+    * with them the candidate set — linear; wider-recall bandings (r≤4)
+    * admit a few percent of ALL pairs as candidates, which is the
+    * quadratic blow-up LSH exists to avoid. The statistical recall at the
+    * 0.7 threshold is spec-covered; the driver gate pins the full output
+    * through the [[dedupMinhashSig]] golden signature. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     orderedSmall(Dedup.minhashPairs(withNearCopies(s, dir), "doc_id", "text",
         shingleK = 5, numHashes = 64, bands = 8, threshold = 0.7),
       col("id_a"), col("id_b"))
 
-  /** §2.3 #33 — SimHash near-dup (rows-only gate). */
+  /** Golden-signature gate for [[dedupMinhash]]: collapses the pipeline's
+    * full output (pair identities and verified Jaccards) into one exact
+    * row — count, key sums, and the DECIMAL-summed rounded Jaccard — so
+    * the driver can hash-compare it against pinned literals. The sketch
+    * hashes aren't SQL-expressible, but at fixed data and fixed hash
+    * constants the output is a constant; any regression in shingling,
+    * hashing, banding, or verification moves the signature. */
+  def dedupMinhashSig(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(withNearCopies(s, dir), "doc_id", "text",
+        shingleK = 5, numHashes = 64, bands = 8, threshold = 0.7)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a")).cast("long").as("sum_ida"),
+        sum(col("id_b")).cast("long").as("sum_idb"),
+        sum(round(col("jaccard"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_j"))
+
+  /** §2.3 #33 — SimHash near-dup (rows-only gate; golden signature below). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     orderedSmall(Dedup.simhashPairs(withNearCopies(s, dir), "doc_id", "text",
         shingleK = 5, maxHamming = 3), col("id_a"), col("id_b"))
+
+  /** Golden-signature gate for [[dedupSimhash]] (see [[dedupMinhashSig]]);
+    * all-integer output, so the signature is exact by construction. */
+  def dedupSimhashSig(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(withNearCopies(s, dir), "doc_id", "text",
+        shingleK = 5, maxHamming = 3)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a")).cast("long").as("sum_ida"),
+        sum(col("id_b")).cast("long").as("sum_idb"),
+        sum(col("hamming")).cast("long").as("sum_ham"))
 
   /** §2.3 #34 — exact 3-gram Jaccard on the planted candidate pairs. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -163,6 +196,24 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Golden-signature gate for [[annLsh]] (see [[dedupMinhashSig]]): the
+    * bucketed top-k is approximate by design (≈2/3 of ranks differ from
+    * brute force at these params), so the gate pins the approximate answer
+    * itself rather than forcing recall-1 parameters that would reduce the
+    * operator to brute force. */
+  def annLshSig(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+    Ann.lshTopK(
+        all.filter(col("vec_id") < 20), all.filter(col("vec_id") >= 20),
+        "vec_id", "embedding", k = 5, bits = 4, tables = 8)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("query_id")).cast("long").as("sum_qid"),
+        sum(col("neighbor_id")).cast("long").as("sum_nid"),
+        sum(col("rank")).cast("long").as("sum_rank"),
+        sum(round(col("cosine"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_cos"))
+  }
+
   /** §2.3 #37b — IVF-bucketed ANN. Probing ALL cells makes IVF exact
     * (same results as brute force through the cell machinery), so this is
     * hash-gated against the brute-force oracle; partial-probe recall is
@@ -212,6 +263,18 @@ object LlmQueries {
       .select(col("doc_id"),
         Fingerprint.fingerprint64(col("text")).as("fp64"),
         size(Fingerprint.winnow(col("text"), 8, 16)).as("n_winnow"))
+
+  /** Golden-signature gate for [[docFingerprint]] (see [[dedupMinhashSig]]):
+    * pins every fingerprint through a modular sum — a change to the rolling
+    * hash, the winnow window, or any single document's fp64 moves it. */
+  def docFingerprintSig(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Fingerprint.fingerprint64(col("text")).as("fp64"),
+        size(Fingerprint.winnow(col("text"), 8, 16)).as("n_winnow"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(pmod(col("fp64"), lit(1000003L))).cast("long").as("sum_fp_mod"),
+        sum(col("n_winnow")).cast("long").as("sum_winnow"))
 
   /** §2.3 #42 — multimodal plumbing: text payload → binary media frame →
     * partition-batched (stub) decode → typed features. */
@@ -335,7 +398,9 @@ object LlmQueries {
     "dedup_exact_norm" -> (dedupExactNorm _),
     "text_filter" -> (textFilter _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_sig" -> (dedupSimhashSig _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_cluster_keep" -> (dedupClusterKeep _),
     "q_hash_split" -> (qHashSplit _),
@@ -343,11 +408,13 @@ object LlmQueries {
     "embed_neardup" -> (embedNeardup _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
+    "ann_lsh_sig" -> (annLshSig _),
     "ann_ivf" -> (annIvf _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
+    "doc_fingerprint_sig" -> (docFingerprintSig _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
     "q_sql_functions" -> (sqlFunctions _),
@@ -439,6 +506,25 @@ object LlmQueries {
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10000
         |WHERE a.doc_id % 5 = 0 AND a.doc_id < 10000
         |ORDER BY id_a""".stripMargin,
+    // Golden signatures (sf0.01): the sketch/fingerprint hash families are
+    // not SQL-expressible, so these gates pin each pipeline's full output
+    // via an exact aggregate signature computed once from the verified
+    // implementation — any regression in shingling, hashing, banding,
+    // winnowing, or verification moves the signature and fails the hash
+    // compare. The driver's correctness gate always runs at sf0.01.
+    "dedup_minhash_sig" ->
+      """SELECT CAST(130 AS BIGINT) AS n_pairs, CAST(30007 AS BIGINT) AS sum_ida,
+        |  CAST(1084397 AS BIGINT) AS sum_idb, CAST(116.230869 AS DOUBLE) AS sum_j""".stripMargin,
+    "dedup_simhash_sig" ->
+      """SELECT CAST(66 AS BIGINT) AS n_pairs, CAST(14999 AS BIGINT) AS sum_ida,
+        |  CAST(449384 AS BIGINT) AS sum_idb, CAST(130 AS BIGINT) AS sum_ham""".stripMargin,
+    "doc_fingerprint_sig" ->
+      """SELECT CAST(500 AS BIGINT) AS n_docs, CAST(376978025 AS BIGINT) AS sum_fp_mod,
+        |  CAST(15671 AS BIGINT) AS sum_winnow""".stripMargin,
+    "ann_lsh_sig" ->
+      """SELECT CAST(100 AS BIGINT) AS n_rows, CAST(950 AS BIGINT) AS sum_qid,
+        |  CAST(26423 AS BIGINT) AS sum_nid, CAST(300 AS BIGINT) AS sum_rank,
+        |  CAST(31.289087 AS DOUBLE) AS sum_cos""".stripMargin,
     "embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |           FROM embeddings WHERE vec_id < 100)
