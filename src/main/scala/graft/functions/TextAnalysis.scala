@@ -119,6 +119,21 @@ object TextAnalysis {
     * formulation re-scans the string per position (O(len²)/doc). */
   def shingles(text: Column, k: Int): Column = Sketches.shingleSet(text, k)
 
+  /** Word n-grams of the whitespace tokens (with multiplicity, in
+    * document order — the unit for decontamination and corpus term
+    * statistics). Pure `transform(sequence)+slice+concat_ws` — codegen'd,
+    * no UDF, and expression-for-expression mirrorable in oracle SQL.
+    * The `size >= n` guard matters: Spark's `sequence(1, stop)` counts
+    * DOWN when `stop < 1` instead of producing an empty range. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** PII patterns, restricted to syntax Java regex and RE2 (DuckDB)
     * interpret identically, so the redaction is oracle-checkable
     * cross-engine. Public so oracle SQL can interpolate the same

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Corpus-level term statistics for training-data pipelines (SURVEY.md
+  * §2.3 #49-50): heavy-hitter n-grams and per-document TF-IDF / BM25 term
+  * scoring. Both are classic one-scan shapes: explode terms → hash
+  * aggregate with map-side partial aggregation, so the shuffle carries one
+  * row per distinct key per partition — never one row per token.
+  */
+object CorpusStats {
+
+  /** Top-k corpus n-grams by occurrence count (boilerplate detection /
+    * vocabulary heavy hitters). Total order `(count DESC, ngram ASC)`
+    * before the limit makes the cut deterministic; Spark plans the
+    * order+limit as TakeOrderedAndProject — each partition keeps a k-row
+    * heap and only k rows per partition reach the driver-side merge,
+    * so the full sorted term dictionary is never materialized. */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs
+      .select(explode(TextAnalysis.wordNgrams(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+
+  /** Per-document top terms by TF-IDF, with BM25 alongside (the two
+    * standard relevance scores a quality/boilerplate pipeline wants).
+    *
+    *   idf      = ln((N + 1) / (df + 1))           (smoothed)
+    *   tfidf    = tf · idf
+    *   idf_bm25 = ln(1 + (N − df + 0.5)/(df + 0.5))  (Robertson-Sparck Jones)
+    *   bm25     = idf_bm25 · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * All counts stay exact integers until the final double formulas, and
+    * `avgdl` is an integer-sum average (exact in double far past any real
+    * corpus size), so the scores are reproducible cross-engine and
+    * independent of partitioning.
+    *
+    * Scale shape: tf is one explode + partial-agg'd hash aggregate; df and
+    * dl reuse tf (no second corpus scan); N/avgdl is a 1-row aggregate
+    * broadcast into the scoring join; the per-doc top-k window shuffles on
+    * doc_id — the same key tf already hashes on. */
+  def tfidfBm25(docs: DataFrame, idCol: String, textCol: String,
+      topPerDoc: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+
+    val scored = tf
+      .join(dl, Seq(idCol))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("tfidf", col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+      .withColumn("bm25",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topPerDoc)
+      .select(col(idCol), col("rank"), col("term"), col("tf"),
+        round(col("tfidf"), 6).as("tfidf_r"), round(col("bm25"), 6).as("bm25_r"))
+  }
+}

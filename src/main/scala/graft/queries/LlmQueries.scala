@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Fingerprint, TextAnalysis, VecAgg}
-import graft.operators.{Ann, Dedup, Multimodal}
+import graft.operators.{Ann, CorpusStats, Decontaminate, Dedup, Multimodal}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.3).
@@ -393,7 +393,42 @@ object LlmQueries {
       FROM documents ORDER BY doc_id""")
   }
 
+  /** §2.3 #48 — benchmark decontamination: word-5-gram overlap of each
+    * training document against the evaluation set. Eval set = every 7th
+    * doc; the training corpus deliberately re-plants those texts under
+    * shifted ids (full contamination, ratio 1.0) next to the clean rest
+    * (near-zero background overlap) so both sides of the threshold are
+    * exercised. Docs under 5 tokens have no 5-grams and drop out — in
+    * both engines, via explode/unnest of an empty list. */
+  def decontamOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % 7 === 0)
+    val trainDocs = docs.filter(col("doc_id") % 7 =!= 0)
+      .unionByName(evalDocs.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    orderedSmall(
+      Decontaminate.overlap(trainDocs, evalDocs, "doc_id", "text",
+        n = 5, threshold = 0.5),
+      col("doc_id"))
+  }
+
+  /** §2.3 #49 — corpus heavy-hitter bigrams (boilerplate detection).
+    * Deterministic cut: total order (count DESC, ngram ASC) before the
+    * top-20 limit. */
+  def textTopNgrams(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.topNgrams(Tables.documents(s, dir), "text", n = 2, k = 20)
+
+  /** §2.3 #50 — per-document top-3 terms by TF-IDF with BM25 alongside
+    * (k1=1.2, b=0.75). Scores rounded to 6 places for the cross-engine
+    * hash; ties broken by term so the row_number cut is deterministic. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      CorpusStats.tfidfBm25(Tables.documents(s, dir), "doc_id", "text", topPerDoc = 3),
+      col("doc_id"), col("rank"))
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontam_overlap" -> (decontamOverlap _),
+    "text_top_ngrams" -> (textTopNgrams _),
+    "text_tfidf" -> (textTfidf _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "text_filter" -> (textFilter _),
@@ -429,6 +464,74 @@ object LlmQueries {
   private val esList = TextAnalysis.stopwords("es").map(w => s"'$w'").mkString(",")
 
   val oracle: Map[String, String] = Map(
+    "decontam_overlap" ->
+      """WITH eval_docs AS (
+        |  SELECT text FROM documents WHERE doc_id % 7 = 0),
+        |train_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |eval_ng AS (
+        |  SELECT DISTINCT unnest(list_transform(
+        |      generate_series(1, len(toks) - 4),
+        |      i -> array_to_string(toks[i:i+4], ' '))) AS ngram
+        |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM eval_docs)
+        |  WHERE len(toks) >= 5),
+        |train_ng AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(toks) - 4),
+        |      i -> array_to_string(toks[i:i+4], ' '))) AS ngram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM train_docs)
+        |  WHERE len(toks) >= 5),
+        |agg AS (
+        |  SELECT t.doc_id, count(*) AS n_ngrams,
+        |    sum(CASE WHEN e.ngram IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hits
+        |  FROM train_ng t LEFT JOIN eval_ng e ON t.ngram = e.ngram
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_ngrams, n_hits,
+        |  n_hits::DOUBLE / n_ngrams AS overlap_ratio,
+        |  n_hits::DOUBLE / n_ngrams >= 0.5 AS contaminated
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "text_top_ngrams" ->
+      """WITH ng AS (
+        |  SELECT unnest(list_transform(
+        |      generate_series(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+        |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 2)
+        |SELECT ngram, count(*) AS n_occurrences
+        |FROM ng GROUP BY ngram
+        |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |tot AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  -- every fractional literal cast to DOUBLE: DuckDB parses bare
+        |  -- 1.2 as DECIMAL and decimal-division rounding would diverge
+        |  -- from Spark's IEEE double arithmetic
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    tf.tf * ln((tot.n_docs + 1.0::DOUBLE) / (df.df + 1.0::DOUBLE)) AS tfidf,
+        |    ln(1.0::DOUBLE + (tot.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) *
+        |      (tf.tf * (1.2::DOUBLE + 1)) /
+        |      (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / tot.avgdl)) AS bm25
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, tfidf, bm25,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tf,
+        |  round(tfidf, 6) AS tfidf_r, round(bm25, 6) AS bm25_r
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // closed form of the planted chain: originals keep themselves; both
     // copy generations collapse (transitively) onto the original's cluster
     "dedup_cluster_keep" ->

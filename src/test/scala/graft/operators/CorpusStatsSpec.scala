@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.functions.TextAnalysis
+
+class CorpusStatsSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ngramsOf(text: String, n: Int): Seq[String] =
+    Seq(text).toDF("text")
+      .select(TextAnalysis.wordNgrams(col("text"), n).as("ng"))
+      .as[Seq[String]].head()
+
+  test("wordNgrams emits ordered n-grams with multiplicity") {
+    ngramsOf("the cat sat on the cat", 2) shouldBe
+      Seq("the cat", "cat sat", "sat on", "on the", "the cat")
+  }
+
+  test("wordNgrams normalizes case/whitespace and guards short docs") {
+    ngramsOf("  The   CAT  ", 2) shouldBe Seq("the cat")
+    ngramsOf("one two", 3) shouldBe Seq.empty // size < n → empty, not sequence-down
+    ngramsOf("word", 1) shouldBe Seq("word")
+  }
+
+  test("topNgrams counts across docs and cuts deterministically") {
+    val docs = Seq("a b c", "a b d", "x a b").toDF("text")
+    val top = CorpusStats.topNgrams(docs, "text", n = 2, k = 2)
+      .as[(String, Long)].collect().toSeq
+    top shouldBe Seq(("a b", 3L), ("b c", 1L)) // tie at 1 → lexicographic
+  }
+
+  test("tfidfBm25 matches hand-computed scores on a 3-doc corpus") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"), (3L, "durian"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.tfidfBm25(docs, "doc_id", "text", topPerDoc = 1)
+      .as[(Long, Int, String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5, r._6))).toMap
+
+    // N=3, avgdl = (3+2+1)/3 = 2.0
+    def idf(df: Long) = math.log((3 + 1.0) / (df + 1.0))
+    def bm25(tf: Long, df: Long, dl: Long) =
+      math.log(1.0 + (3 - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    // doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    out(1L) shouldBe (("apple", 2L, r6(2 * idf(1)), r6(bm25(2, 1, 3))))
+    // doc 2: banana and cherry tie on tf=1 — cherry's df=1 gives higher idf
+    out(2L) shouldBe (("cherry", 1L, r6(idf(1)), r6(bm25(1, 1, 2))))
+    // doc 3: single term
+    out(3L) shouldBe (("durian", 1L, r6(idf(1)), r6(bm25(1, 1, 1))))
+  }
+
+  test("decontaminate flags planted eval copies and passes clean docs") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // full copy → ratio 1.0
+      (2L, "intro words alpha beta gamma delta epsilon zeta outro"), // partial
+      (3L, "totally unrelated text with many different words here"), // clean
+      (4L, "tiny doc")) // < 5 tokens → absent from output
+      .toDF("doc_id", "text")
+    val out = Decontaminate.overlap(train, eval, "doc_id", "text", n = 5, threshold = 0.5)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    out(1L) shouldBe ((2L, 2L, 1.0, true))
+    // doc 2: 9 tokens → 5 five-grams, 2 of which are eval n-grams
+    out(2L) shouldBe ((5L, 2L, 0.4, false))
+    out(3L)._2 shouldBe 0L
+    out(3L)._4 shouldBe false
+  }
+
+  test("decontaminate overlap is occurrence-based for repeated leaks") {
+    val eval = Seq((1L, "one two three four five")).toDF("doc_id", "text")
+    // the leaked 5-gram appears twice among the doc's 6 five-grams
+    val train = Seq((10L,
+      "one two three four five one two three four five")).toDF("doc_id", "text")
+    val row = Decontaminate.overlap(train, eval, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    row._2 shouldBe 6L
+    row._3 shouldBe 2L
+  }
+}
