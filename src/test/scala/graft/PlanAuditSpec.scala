@@ -155,4 +155,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       l should not include "text"
     }
   }
+
+  test("decontamination broadcasts the eval set; the corpus side never sort-merges") {
+    val docs = sources.Tables.documents(spark, dir)
+    val p = plan(operators.Decontaminate.overlap(
+      docs.filter("doc_id % 7 <> 0"), docs.filter("doc_id % 7 = 0"),
+      "doc_id", "text", n = 5))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should include("partial_count") // per-doc rollup combines map-side
+  }
+
+  test("top-ngrams plans a TakeOrdered cut, never a full global sort") {
+    val p = plan(operators.CorpusStats.topNgrams(
+      sources.Tables.documents(spark, dir), "text", n = 2, k = 20))
+    p should include("TakeOrderedAndProject")
+    p should include("partial_count")
+  }
+
+  test("tfidf broadcasts the 1-row corpus totals instead of shuffling term rows against them") {
+    val p = plan(operators.CorpusStats.tfidfBm25(
+      sources.Tables.documents(spark, dir), "doc_id", "text"))
+    p should include("BroadcastNestedLoopJoin") // 1-row totals × term rows
+    p should include("partial_count")
+  }
 }
