@@ -186,7 +186,8 @@ object ScaleLadder {
     "cdc_compact_lineitem", "cdc_compact", "cdc_compact_fast",
     "cdc_merge_into", "cdc_incremental_agg",
     "dedup_exact", "dedup_minhash", "dedup_simhash",
-    "ann_topk", "ann_ivf")
+    "ann_topk", "ann_ivf",
+    "decontam_overlap", "text_tfidf")
 
   private val Stride = 1_000_000_000L
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -121,17 +122,22 @@ object TextAnalysis {
 
   /** Word n-grams of the whitespace tokens (with multiplicity, in
     * document order — the unit for decontamination and corpus term
-    * statistics). Pure `transform(sequence)+slice+concat_ws` — codegen'd,
-    * no UDF, and expression-for-expression mirrorable in oracle SQL.
-    * The `size >= n` guard matters: Spark's `sequence(1, stop)` counts
-    * DOWN when `stop < 1` instead of producing an empty range. */
+    * statistics). Single-pass static call: the higher-order
+    * `transform(sequence)+slice+concat_ws` formulation runs on Spark's
+    * interpreted HOF path and re-evaluates the token split per
+    * subexpression — measured up to 20× slower on the corpus bench
+    * (text_top_ngrams 6.0s → 0.30s at sf0.1). Semantics
+    * are identical to `split(trim(lower(text)), '\s+')` n-grams joined
+    * by single spaces (the oracle-SQL form): space-only trim, Java split
+    * field rules, `tokens < n` → empty array. */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    GraftBridge.column(StaticInvoke(
+      TextAnalysisImpl.getClass, ArrayType(StringType, containsNull = false),
+      "wordNgrams",
+      Seq(GraftBridge.expression(text), GraftBridge.expression(lit(n))),
+      inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true, returnNullable = true))
   }
 
   /** PII patterns, restricted to syntax Java regex and RE2 (DuckDB)
@@ -219,6 +225,37 @@ object TextAnalysisImpl {
     }
     new GenericInternalRow(Array[Any](
       text.numChars(), toks.length, nPunct, nUpper, cjk, en, de, fr, es))
+  }
+
+  /** Word n-grams over the canonical tokenization (space-only trim,
+    * lowercase, `\s+` split with trailing empties kept — identical to
+    * `split(trim(lower(text)), '\s+')`), joined by single spaces.
+    * `tokens < n` → empty array, matching the SQL `len(toks) >= n`
+    * guard. */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return null
+    val raw = text.toString
+    var lo = 0
+    var hi = raw.length
+    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+    val toks = wsSplit.split(raw.substring(lo, hi).toLowerCase, -1)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Count of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` matches, single sweep. */

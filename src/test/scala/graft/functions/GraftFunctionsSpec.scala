@@ -23,7 +23,8 @@ class GraftFunctionsSpec extends AnyFunSuite with Matchers {
              graft_simhash(text, 3) AS sh,
              graft_fingerprint(text) AS fp,
              graft_lsn_format(id * 4294967296 + 255) AS lsn,
-             graft_lsn_parse(graft_lsn_format(id * 4294967296 + 255)) AS lsn_v
+             graft_lsn_parse(graft_lsn_format(id * 4294967296 + 255)) AS lsn_v,
+             graft_word_ngrams(text, 3) AS ng
       FROM gfs_t""").collect()(0)
     val expected = spark.table("gfs_t").select(
       TextAnalysis.tokenCount(col("text")),
@@ -33,7 +34,8 @@ class GraftFunctionsSpec extends AnyFunSuite with Matchers {
       Sketches.simhash64(col("text"), 3),
       Fingerprint.fingerprint64(col("text")),
       graft.cdc.Lsn.formatCol(col("id") * 4294967296L + 255),
-      lit(1L * 4294967296L + 255)).collect()(0)
+      lit(1L * 4294967296L + 255),
+      TextAnalysis.wordNgrams(col("text"), 3)).collect()(0)
     row shouldBe expected
     row.getString(2) shouldBe "en"
   }
