@@ -155,14 +155,27 @@ object Bench {
       if (scaleN <= 1 || only.isDefined) "{}"
       else {
         val dir = ScaleLadder.materialize(spark, sfDir, scaleN)
+        // The rep loop leaves dead localCheckpoint/cache blocks behind
+        // (reference-managed cleanup only fires on GC); at 10x data those
+        // stale blocks squeeze storage memory into disk-spill thrash and
+        // the measurement reads as a phantom super-linearity. Drop them
+        // before the ladder measures anything.
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
         ScaleLadder.queries.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
+            // run twice, report the second: the sf-side baseline is a
+            // median of warmed reps, so the ladder side must also measure
+            // steady state — a single cold shot conflates first-touch
+            // JIT/page-in with scaling (measured 87s cold vs 20s warm on
+            // the same 10x compact input, a 4x phantom)
+            timed(s"scale:$name(warm)", fn, dir)
             val (wall, cpuS, rdB, wrB) = timed(s"scale:$name", fn, dir)
             val ratio = if (medianSec.getOrElse(name, 0.0) > 0)
               r4(wall / medianSec(name)) else -1.0
             s"""\"$name\":{\"sec\":${r4(wall)},\"ratio_vs_sf\":$ratio,\"cpu_sec\":${r4(cpuS)},\"shuffle_read\":$rdB,\"shuffle_write\":$wrB}"""
           }
-        }.mkString(s"""{\"factor\":$scaleN,\"note\":\"key-shifted copies of $sfDir\",\"queries\":{""", ",", "}}")
+        }.mkString(s"""{\"factor\":$scaleN,\"note\":\"key-shifted copies of $sfDir; steady-state (2nd run) per query\",\"queries\":{""", ",", "}}")
       }
 
     val errs  = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -51,6 +51,31 @@ object VectorMath {
         GraftBridge.expression(lit(seed))),
       inputTypes = Seq(ArrayType(DoubleType), IntegerType, IntegerType),
       propagateNull = true, returnNullable = true))
+
+  /** 8-bit scalar quantization of a vector against per-dimension
+    * `[min, max]` corpus bounds: `code_d = round((v_d − min_d)·scale_d)`
+    * clamped to [0,255], `scale_d = 255/(max_d − min_d)`. Output is a
+    * BINARY code — 4× smaller than the float vector, the memory-bandwidth
+    * play that makes a 100 TB ANN scan move 25 TB instead. */
+  def sq8Quantize(v: Column, mins: Column, scales: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      VectorMathImpl.getClass, BinaryType, "sq8Quantize",
+      Seq(GraftBridge.expression(toDouble(v)),
+        GraftBridge.expression(mins), GraftBridge.expression(scales)),
+      inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType), ArrayType(DoubleType)),
+      propagateNull = true, returnNullable = true))
+
+  /** Asymmetric SQ8 cosine: the float query against a dequantized code
+    * (`min_d + code_d·invScale_d`) — the query side never loses
+    * precision, the corpus side is read at 1 byte/dim. */
+  def sq8CosineAsym(q: Column, code: Column, mins: Column, invScales: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      VectorMathImpl.getClass, DoubleType, "sq8CosineAsym",
+      Seq(GraftBridge.expression(toDouble(q)), GraftBridge.expression(code),
+        GraftBridge.expression(mins), GraftBridge.expression(invScales)),
+      inputTypes = Seq(ArrayType(DoubleType), BinaryType,
+        ArrayType(DoubleType), ArrayType(DoubleType)),
+      propagateNull = true, returnNullable = true))
 }
 
 object VectorMathImpl {
@@ -103,5 +128,36 @@ object VectorMathImpl {
     var h = 0
     while (h < nBits) { if (proj(h) >= 0) bucket |= (1L << h); h += 1 }
     bucket
+  }
+
+  def sq8Quantize(v: ArrayData, mins: ArrayData, scales: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    if (n != mins.numElements() || n != scales.numElements()) return null
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val q = math.rint((v.getDouble(i) - mins.getDouble(i)) * scales.getDouble(i))
+      out(i) = (if (q < 0) 0 else if (q > 255) 255 else q.toInt).toByte
+      i += 1
+    }
+    out
+  }
+
+  def sq8CosineAsym(q: ArrayData, code: Array[Byte], mins: ArrayData,
+      invScales: ArrayData): java.lang.Double = {
+    val n = q.numElements()
+    if (n != code.length || n != mins.numElements() || n != invScales.numElements())
+      return null
+    var dotQC = 0.0
+    var nq = 0.0
+    var nc = 0.0
+    var i = 0
+    while (i < n) {
+      val qi = q.getDouble(i)
+      val ci = mins.getDouble(i) + (code(i) & 0xff).toDouble * invScales.getDouble(i)
+      dotQC += qi * ci; nq += qi * qi; nc += ci * ci
+      i += 1
+    }
+    dotQC / (math.sqrt(nq) * math.sqrt(nc))
   }
 }

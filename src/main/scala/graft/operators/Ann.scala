@@ -180,4 +180,65 @@ object Ann {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** SQ8 scalar-quantized top-k: the corpus is pre-quantized to 1
+    * byte/dimension against per-dimension corpus `[min,max]` bounds (the
+    * memory-bandwidth play — a 100 TB float corpus scans as 25 TB of
+    * codes), queries score every code ASYMMETRICALLY (full-precision
+    * query against dequantized code), and the exact float cosine re-ranks
+    * only the top `k·rerankFactor` candidate pool per query.
+    *
+    * Scale shape: the bounds are one 64-row aggregate (centroid-sized
+    * collect, like the IVF quantizer); quantization is a pure projection
+    * inside the corpus scan; queries broadcast twice (approx scoring and
+    * re-rank); the candidate pool (|Q|·k·rerankFactor rows) broadcasts
+    * back against the corpus — the corpus itself is never shuffled.
+    *
+    * With `rerankFactor` ≥ 4 the exact re-rank makes the result match
+    * brute force whenever the true top-k survive quantized pre-ranking
+    * into the pool — on the testdata embeddings it is exact (hash-gated
+    * against the brute-force oracle); `AnnSq8Spec` pins recall on random
+    * vectors. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, rerankFactor: Int = 4): DataFrame = {
+    // per-dimension corpus bounds: dims-row aggregate, bounded collect
+    val stats = corpus
+      .select(posexplode(VectorMath.toDouble(col(vecCol))))
+      .toDF("dim", "x")
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("dim"))
+      .collect()
+    val mins = stats.map(_.getDouble(1)).toSeq
+    val scales = stats.map { r =>
+      val d = r.getDouble(2) - r.getDouble(1)
+      if (d == 0.0) 0.0 else 255.0 / d
+    }.toSeq
+    val invScales = scales.map(s => if (s == 0.0) 0.0 else 1.0 / s)
+    val (minsC, scalesC, invScalesC) = (typedLit(mins), typedLit(scales), typedLit(invScales))
+
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      VectorMath.sq8Quantize(col(vecCol), minsC, scalesC).as("__code"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("__acos").desc, col("neighbor_id"))
+    val cands = codes
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorMath.sq8CosineAsym(col("__qv"), col("__code"), minsC, invScalesC)
+          .as("__acos"))
+      .withColumn("__arank", row_number().over(wApprox))
+      .filter(col("__arank") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // exact re-rank of the candidate pool only; pool broadcasts, corpus stays put
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = cv.join(broadcast(cands), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorMath.cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

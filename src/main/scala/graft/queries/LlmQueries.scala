@@ -228,6 +228,22 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** §2.3 #37c — SQ8 scalar-quantized ANN. At rerankFactor=4 the exact
+    * float re-rank over the quantized candidate pool reproduces brute
+    * force exactly on this corpus, so the gate is the same brute-force
+    * SQL oracle as ann_topk (the quantize→asym-score→re-rank machinery
+    * must round-trip to the exact answer); quantization-error bounds and
+    * recall on adversarial random vectors are spec-covered. */
+  def annSq8(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+    Ann.sq8TopK(
+        all.filter(col("vec_id") < 20), all.filter(col("vec_id") >= 20),
+        "vec_id", "embedding", k = 5, rerankFactor = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cos_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** §2.3 #38 — heuristic language ID. */
   def textLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -445,6 +461,7 @@ object LlmQueries {
     "ann_lsh" -> (annLsh _),
     "ann_lsh_sig" -> (annLshSig _),
     "ann_ivf" -> (annIvf _),
+    "ann_sq8" -> (annSq8 _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
@@ -638,6 +655,20 @@ object LlmQueries {
         |LIMIT 50""".stripMargin,
     // full-probe IVF is exact → same oracle as brute force
     "ann_ivf" ->
+      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id >= 20),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.emb, c.emb) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS rank
+        |  FROM q CROSS JOIN c)
+        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
+        |FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // same brute-force oracle as ann_topk: SQ8's exact re-rank must
+    // round-trip the quantized pre-ranking back to the exact answer
+    "ann_sq8" ->
       """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id >= 20),
         |scored AS (
