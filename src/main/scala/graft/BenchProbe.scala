@@ -76,6 +76,28 @@ object BenchProbe {
       ChangelogCompactor.compact(synth.as[ChangeAction])
         .toDF().write.format("noop").mode("overwrite").save()
     }
+
+    // ---- minhash pipeline stages (dedup_minhash ladder attribution) ----
+    import graft.operators.Dedup
+    val docs = {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      d.unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" spark engine dedup suffix tail")).as("text")))
+    }
+    def sigs = Dedup.minhashSignature(docs, "doc_id", "text", 5, 64)
+    for (round <- Seq("cold", "warm")) {
+      timed(s"minhash sigs only ($round)")(
+        sigs.write.format("noop").mode("overwrite").save())
+      timed(s"minhash candidates ($round)") {
+        val n = Dedup.minhashCandidates(sigs, "doc_id", 8, 8).count()
+        println(s"[probe]   candidates: $n")
+      }
+      timed(s"minhash full pairs ($round)")(
+        Dedup.minhashPairs(docs, "doc_id", "text", 5, 64, 8, 0.7)
+          .write.format("noop").mode("overwrite").save())
+    }
     spark.stop()
   }
 }

@@ -255,10 +255,15 @@ object ChangelogCompactor extends Serializable {
     *
     * Under those invariants the per-key fold collapses to first/last
     * bookkeeping — (first=I, last=D) → elide; last=D → delete; first=I → I;
-    * else → U with the last row image — so compaction becomes a single
-    * hash aggregation (`min_by`/`max_by`), fully codegen'd, no typed
-    * fold, no object serialization. Same one-shuffle shape, several times
-    * cheaper per row; equivalence with [[compact]] is property-tested. */
+    * else → U with the last row image — so the shared sort-fold machinery
+    * ([[clusterByKey]] + a streaming run iterator) runs with O(1) state
+    * per group and no column-wise value merge. Deliberately NOT an
+    * aggregation (`min_by`/`max_by` over the row struct would be fewer
+    * lines): aggregation buffers holding map-typed structs are the exact
+    * allocation profile that GC-collapsed at millions of keys in the
+    * round-5 ladder, and the plan-shape spec pins the sort-fold form.
+    * Same one-shuffle shape as [[compact]], cheaper per row; equivalence
+    * is property-tested. */
   def compactSimple(actions: Dataset[ChangeAction]): Dataset[ChangeAction] = {
     val spark = actions.sparkSession
     import spark.implicits._

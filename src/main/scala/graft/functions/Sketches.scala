@@ -29,6 +29,16 @@ object Sketches {
       inputTypes = Seq(StringType, IntegerType, IntegerType),
       propagateNull = true, returnNullable = true))
 
+  /** Exact two-text k-shingle Jaccard (see the impl note on
+    * [[SketchImpl.jaccard]]). */
+  def jaccard(a: Column, b: Column, shingleK: Int): Column =
+    GraftBridge.column(StaticInvoke(
+      SketchImpl.getClass, DoubleType, "jaccard",
+      Seq(GraftBridge.expression(a), GraftBridge.expression(b),
+        GraftBridge.expression(org.apache.spark.sql.functions.lit(shingleK))),
+      inputTypes = Seq(StringType, StringType, IntegerType),
+      propagateNull = true, returnNullable = true))
+
   /** Distinct k-gram shingles of the lowercased text, single pass. The
     * higher-order-function formulation (`transform(sequence, substr)`)
     * re-scans the string per element — O(len²) per document — while this
@@ -103,6 +113,29 @@ object SketchImpl {
       }
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]].map(x => x: Any))
+  }
+
+  /** Exact k-shingle-set Jaccard of two texts in one pass — identical
+    * value to `|A∩B| / (|A|+|B|−|A∩B|)` over [[shingleSet]] results
+    * (both-empty → 0/0 → NaN, matching the array_intersect/union form).
+    * Exists so the verify step of near-dup pipelines can join candidate
+    * TEXT (~bytes) instead of materialized shingle arrays (~10× bytes)
+    * through the pair join. */
+  def jaccard(a: UTF8String, b: UTF8String, k: Int): java.lang.Double = {
+    if (a == null || b == null) return null
+    def set(t: UTF8String): java.util.HashSet[String] = {
+      val s = t.toString.toLowerCase
+      val out = new java.util.HashSet[String]()
+      var i = 0
+      while (i + k <= s.length) { out.add(s.substring(i, i + k)); i += 1 }
+      out
+    }
+    val sa = set(a)
+    val sb = set(b)
+    var inter = 0
+    val it = sb.iterator()
+    while (it.hasNext) if (sa.contains(it.next())) inter += 1
+    inter.toDouble / (sa.size + sb.size - inter)
   }
 
   def minhash(text: UTF8String, k: Int, numHashes: Int): ArrayData = {

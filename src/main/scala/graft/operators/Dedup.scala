@@ -59,17 +59,22 @@ object Dedup {
   }
 
   /** Exact k-gram Jaccard for given candidate pairs (the verify step —
-    * only candidates pay the set comparison). */
+    * only candidates pay the set comparison). The pair joins carry raw
+    * TEXT and the set comparison happens in a single-pass two-text kernel
+    * ([[graft.functions.Sketches.jaccard]]): materializing shingle
+    * arrays before the join shipped ~10× the bytes through both
+    * exchanges and was the whole cost of the minhash pipeline at the 10×
+    * ladder (12s of 13s). Values are identical to the
+    * `array_intersect/array_union` form (same sets, same division). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleK: Int): DataFrame = {
-    val sets = docs.select(col(idCol).as("__id"),
-      TextAnalysis.shingles(col(textCol), shingleK).as("__set"))
+    val txt = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
     pairs
-      .join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__set", "__sa"), "id_a")
-      .join(sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__set", "__sb"), "id_b")
+      .join(txt.withColumnRenamed("__id", "id_a").withColumnRenamed("__t", "__ta"), "id_a")
+      .join(txt.withColumnRenamed("__id", "id_b").withColumnRenamed("__t", "__tb"), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-          size(array_union(col("__sa"), col("__sb")))).as("jaccard"))
+        graft.functions.Sketches.jaccard(col("__ta"), col("__tb"), shingleK)
+          .as("jaccard"))
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → minhash → band →
