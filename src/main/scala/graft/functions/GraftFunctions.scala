@@ -38,7 +38,8 @@ object GraftFunctions {
     "graft_lsn_parse" -> (1, args => graft.cdc.Lsn.parseCol(args(0))),
     "graft_hyperplane_bucket" -> (4, args => VectorMath.hyperplaneBucket(
       args(0), litInt(args(1)), litInt(args(2)), litInt(args(3)))),
-    "graft_word_ngrams" -> (2, args => TextAnalysis.wordNgrams(args(0), litInt(args(1)))))
+    "graft_word_ngrams" -> (2, args => TextAnalysis.wordNgrams(args(0), litInt(args(1)))),
+    "graft_jaccard" -> (3, args => Sketches.jaccard(args(0), args(1), litInt(args(2)))))
 
   private def litInt(c: Column): Int =
     GraftBridge.expression(c) match {

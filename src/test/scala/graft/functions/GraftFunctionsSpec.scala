@@ -24,7 +24,8 @@ class GraftFunctionsSpec extends AnyFunSuite with Matchers {
              graft_fingerprint(text) AS fp,
              graft_lsn_format(id * 4294967296 + 255) AS lsn,
              graft_lsn_parse(graft_lsn_format(id * 4294967296 + 255)) AS lsn_v,
-             graft_word_ngrams(text, 3) AS ng
+             graft_word_ngrams(text, 3) AS ng,
+             graft_jaccard(text, text, 3) AS jac
       FROM gfs_t""").collect()(0)
     val expected = spark.table("gfs_t").select(
       TextAnalysis.tokenCount(col("text")),
@@ -35,7 +36,8 @@ class GraftFunctionsSpec extends AnyFunSuite with Matchers {
       Fingerprint.fingerprint64(col("text")),
       graft.cdc.Lsn.formatCol(col("id") * 4294967296L + 255),
       lit(1L * 4294967296L + 255),
-      TextAnalysis.wordNgrams(col("text"), 3)).collect()(0)
+      TextAnalysis.wordNgrams(col("text"), 3),
+      lit(1.0)).collect()(0) // jaccard(text, text) = 1
     row shouldBe expected
     row.getString(2) shouldBe "en"
   }
