@@ -98,7 +98,14 @@ object CdcQueries {
         array().cast("array<string>").as("unchanged"),
         lit(false).as("rekey"))
       .as[ChangeAction]
-    orderedSmall(ChangelogCompactor.compact(actions)
+    // hasRekeys=Some(false): the synthesized stream pins rekey=false by
+    // construction, so the producer-knows contract applies — compaction is
+    // ONE shuffle over a single execution of the input, no localCheckpoint
+    // materialization, no rekey/hot-endpoint probe passes (those stay
+    // exercised by cdc_compact / cdc_compact_rekey). At 10× ladder volume
+    // the checkpoint write+read of 6M synthesized actions was costing more
+    // than the fold itself.
+    orderedSmall(ChangelogCompactor.compact(actions, hasRekeys = Some(false))
       .toDF()
       .select(element_at(col("keyBefore"), "id").cast("long").as("order_id"),
         col("op"),

@@ -183,4 +183,27 @@ class CompactorSpec extends AnyFunSuite with Matchers {
       keys.toSet.size shouldBe keys.length
     }
   }
+
+  test("columnar shuffle key renders identically to the Scala keyStr") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // adversarial identities: framing chars in keys/values, null values,
+    // escape char itself, multi-entry maps in shuffled entry order
+    val maps: Seq[Map[String, String]] = Seq(
+      Map("a" -> "x"),
+      Map("a" -> "x\u0002b\u0001y"), // the forgery shape
+      Map("a" -> "x", "b" -> "y"),
+      Map("b" -> "y", "a" -> "x"),
+      Map("k" -> null),
+      Map("k" -> "\u0000n"), // collides with the null marker pre-escape
+      Map("z" -> "1", "a" -> "\u0000", "m" -> "\u0001\u0002"),
+      Map.empty[String, String])
+    val fromKernel = maps.map(m => Tuple1(m)).toDF("m")
+      .select(CompactKeys.keyStrCol(col("m"))).as[String].collect()
+    val fromScala = maps.map(ChangelogCompactor.keyStr)
+    fromKernel.toSeq shouldBe fromScala
+    // and injectivity holds across the adversarial set
+    fromScala.distinct.size shouldBe maps.map(_.toSeq.sortBy(_._1)).distinct.size
+  }
 }
