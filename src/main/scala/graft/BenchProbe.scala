@@ -50,8 +50,10 @@ object BenchProbe {
 
     timed("synth only")(synth.write.format("noop").mode("overwrite").save())
     timed("synth + shuffle/sort") {
+      // mirrors clusterByKey's production key (CompactKeys.keyStrCol) so
+      // the stage attribution tracks the pipeline actually shipped
       synth
-        .withColumn("__key", array_sort(map_entries(col("keyBefore"))))
+        .withColumn("__key", graft.cdc.CompactKeys.keyStrCol(col("keyBefore")))
         .repartition(col("table"), col("__key"))
         .sortWithinPartitions(col("table"), col("__key"), col("lsn"), col("seq"))
         .drop("__key")

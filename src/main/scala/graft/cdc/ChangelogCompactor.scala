@@ -402,7 +402,7 @@ object ChangelogCompactor extends Serializable {
   * nested `array<struct>` comparator. Rendering-identical to the Scala
   * form (spec-pinned), so in-partition structural boundary detection and
   * the sequential hot path agree with the shuffle key by construction. */
-private[cdc] object CompactKeys {
+private[graft] object CompactKeys {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.GraftBridge
   import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
@@ -421,20 +421,35 @@ private[cdc] object CompactKeys {
     val n = m.numElements()
     val ks = m.keyArray()
     val vs = m.valueArray()
-    val idx = Array.range(0, n)
+    def valAt(i: Int): String =
+      if (vs.isNullAt(i)) null else vs.getUTF8String(i).toString
+    if (n == 0) return UTF8String.EMPTY_UTF8
+    // single-column identities are the overwhelming majority: no sort, no
+    // index array, no boxing on the hot path
+    if (n == 1)
+      return UTF8String.fromString(
+        ChangelogCompactor.esc(ks.getUTF8String(0).toString) + "\u0001" +
+          ChangelogCompactor.esc(valAt(0)))
     val keys = new Array[String](n)
     var i = 0
     while (i < n) { keys(i) = ks.getUTF8String(i).toString; i += 1 }
-    // sort entry indices by key — same Ordering[String] as keyStr's sortBy
-    val sorted = idx.sortBy(keys)
+    // stable sort by key -- same Ordering[String] as keyStr's sortBy
+    val sorted = Array.range(0, n).sortBy(keys)
     val sb = new java.lang.StringBuilder
     var j = 0
+    var first = true
     while (j < n) {
       val p = sorted(j)
-      if (j > 0) sb.append('\u0002')
-      sb.append(ChangelogCompactor.esc(keys(p))).append('\u0001')
-      sb.append(ChangelogCompactor.esc(
-        if (vs.isNullAt(p)) null else vs.getUTF8String(p).toString))
+      // duplicate map keys (legal in MapData read from file sources; a
+      // Scala Map cannot carry them) collapse to the LAST occurrence --
+      // exactly what Map construction does when the row is deserialized,
+      // so the rendering and the structural boundary check stay equal
+      if (j + 1 >= n || keys(sorted(j + 1)) != keys(p)) {
+        if (!first) sb.append('\u0002')
+        first = false
+        sb.append(ChangelogCompactor.esc(keys(p))).append('\u0001')
+        sb.append(ChangelogCompactor.esc(valAt(p)))
+      }
       j += 1
     }
     UTF8String.fromString(sb.toString)
