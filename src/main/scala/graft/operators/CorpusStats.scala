@@ -70,4 +70,38 @@ object CorpusStats {
       .select(col(idCol), col("rank"), col("term"), col("tf"),
         round(col("tfidf"), 6).as("tfidf_r"), round(col("bm25"), 6).as("bm25_r"))
   }
+
+  /** C4/RefinedWeb-style boilerplate-line removal: strip every line that
+    * appears in at least `minDocFreq` distinct documents (headers,
+    * footers, navigation chrome, license banners), preserving the order
+    * of the surviving lines.
+    *
+    * Scale shape: document TEXT never shuffles. Two corpus scans — one
+    * explode to count per-line document frequency (map-side partial agg
+    * on the line hash), one to locate removal positions — and the only
+    * per-doc shuffle carries `(doc, position:int)` for removed lines.
+    * The boilerplate set is broadcast into the position join, and
+    * reconstruction is a columnar indexed `filter` over `split(text)`
+    * against each doc's (typically tiny) removed-position set; documents
+    * with no boilerplate short-circuit to their original text. A doc
+    * that is ALL boilerplate comes back as the empty string. */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Int): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val boiler = lines
+      .select(col(idCol), col("__line")).distinct()
+      .groupBy(col("__line")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__line"))
+    val removed = lines.join(broadcast(boiler), Seq("__line"))
+      .groupBy(col(idCol)).agg(collect_set(col("__pos")).as("__rm"))
+    docs.join(removed, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("__rm").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(split(col(textCol), "\n"),
+              (l, i) => !array_contains(col("__rm"), i)),
+            "\n")).as(textCol))
+  }
 }

@@ -441,10 +441,27 @@ object LlmQueries {
       CorpusStats.tfidfBm25(Tables.documents(s, dir), "doc_id", "text", topPerDoc = 3),
       col("doc_id"), col("rank"))
 
+  /** §2.3 #51 — C4-style boilerplate-line removal. Every doc gets a
+    * shared header and footer line planted around its text; lines in ≥3
+    * distinct docs are stripped, surviving lines keep their order, and
+    * an all-boilerplate doc would come back empty. Any naturally
+    * repeated lines inside the synthetic texts are stripped identically
+    * by both engines, so the gate holds regardless of corpus content. */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit("=== COMMON HEADER ===\n"), col("text"),
+        lit("\n=== COMMON FOOTER ===")).as("text"))
+    orderedSmall(
+      CorpusStats.removeBoilerplateLines(docs, "doc_id", "text", minDocFreq = 3)
+        .select(col("doc_id"), length(col("text")).as("n_chars_clean"), col("text")),
+      col("doc_id"))
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontam_overlap" -> (decontamOverlap _),
     "text_top_ngrams" -> (textTopNgrams _),
     "text_tfidf" -> (textTfidf _),
+    "text_boilerplate" -> (textBoilerplate _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "text_filter" -> (textFilter _),
@@ -511,6 +528,30 @@ object LlmQueries {
         |  n_hits::DOUBLE / n_ngrams AS overlap_ratio,
         |  n_hits::DOUBLE / n_ngrams >= 0.5 AS contaminated
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    '=== COMMON HEADER ===' || chr(10) || text || chr(10) ||
+        |      '=== COMMON FOOTER ===' AS text
+        |  FROM documents),
+        |dl AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS line
+        |  FROM corpus),
+        |boiler AS (SELECT line FROM dl GROUP BY line HAVING count(*) >= 3),
+        |pos AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) AS i,
+        |    unnest(string_split(text, chr(10))) AS line
+        |  FROM corpus),
+        |kept AS (
+        |  SELECT p.doc_id, p.i, p.line
+        |  FROM pos p LEFT JOIN boiler b USING (line) WHERE b.line IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, length(coalesce(r.text, '')) AS n_chars_clean,
+        |  coalesce(r.text, '') AS text
+        |FROM corpus c LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
     "text_top_ngrams" ->
       """WITH ng AS (
         |  SELECT unnest(list_transform(

@@ -76,6 +76,32 @@ class CorpusStatsSpec extends AnyFunSuite with Matchers {
     out(3L)._4 shouldBe false
   }
 
+  test("boilerplate lines strip across docs; order survives; unique lines stay") {
+    val docs = Seq(
+      (1L, "HEADER\nalpha\nbeta\nFOOTER"),
+      (2L, "HEADER\ngamma\nFOOTER"),
+      (3L, "HEADER\ndelta\nHEADER\nFOOTER"), // repeated boilerplate inside one doc
+      (4L, "HEADER\nFOOTER")) // all boilerplate → empty
+      .toDF("doc_id", "text")
+    val out = CorpusStats.removeBoilerplateLines(docs, "doc_id", "text", minDocFreq = 3)
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "alpha\nbeta"
+    out(2L) shouldBe "gamma"
+    out(3L) shouldBe "delta"
+    out(4L) shouldBe ""
+  }
+
+  test("boilerplate threshold counts distinct docs, not occurrences") {
+    // "dup" appears 3 times but only in 2 docs → below minDocFreq=3, kept
+    val docs = Seq(
+      (1L, "dup\ndup\na"), (2L, "dup\nb"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.removeBoilerplateLines(docs, "doc_id", "text", minDocFreq = 3)
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "dup\ndup\na"
+    out(2L) shouldBe "dup\nb"
+  }
+
   test("decontaminate overlap is occurrence-based for repeated leaks") {
     val eval = Seq((1L, "one two three four five")).toDF("doc_id", "text")
     // the leaked 5-gram appears twice among the doc's 6 five-grams
