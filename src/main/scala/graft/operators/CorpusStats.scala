@@ -71,6 +71,38 @@ object CorpusStats {
         round(col("tfidf"), 6).as("tfidf_r"), round(col("bm25"), 6).as("bm25_r"))
   }
 
+  /** Per-document unigram negative log-likelihood — the perplexity-proxy
+    * quality signal (documents whose tokens are improbable under the
+    * corpus's own unigram distribution are gibberish, boilerplate soup,
+    * or the wrong language):
+    *
+    *   p(term)  = (count(term) + 1) / (T + V)   (add-one smoothing)
+    *   avg_nll  = mean over the doc's tokens of −ln p(term)
+    *
+    * The per-doc mean sums ROUNDED per-token values through DECIMAL, so
+    * the aggregate is exact and order-independent — a raw double sum
+    * would make the result depend on partitioning.
+    *
+    * Scale shape: one explode feeds both the corpus counts (partial-agg'd
+    * hash aggregate) and the scoring join on the term — vocab-sized build
+    * side, corpus tokens stream; the 1-row totals broadcast; the per-doc
+    * mean regroups on the doc id. */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("t_tokens"), count(lit(1)).as("v_vocab"))
+    toks
+      .join(counts, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("nll", -log((col("c") + 1.0) / (col("t_tokens") + col("v_vocab"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(round(col("nll"), 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("__avg_raw"))
+      .select(col(idCol), col("n_tokens"), round(col("__avg_raw"), 6).as("avg_nll"))
+  }
+
   /** C4/RefinedWeb-style boilerplate-line removal: strip every line that
     * appears in at least `minDocFreq` distinct documents (headers,
     * footers, navigation chrome, license banners), preserving the order

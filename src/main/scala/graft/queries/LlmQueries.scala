@@ -457,11 +457,23 @@ object LlmQueries {
       col("doc_id"))
   }
 
+  /** §2.3 #52 — unigram-NLL quality scoring (perplexity proxy): each
+    * doc's mean −ln p(token) under the corpus's own add-one-smoothed
+    * unigram distribution. Decimal-summed per doc, so the gate is exact
+    * and partition-independent. */
+  def textUnigramNll(s: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      CorpusStats.unigramNll(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text"),
+      col("doc_id"))
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontam_overlap" -> (decontamOverlap _),
     "text_top_ngrams" -> (textTopNgrams _),
     "text_tfidf" -> (textTfidf _),
     "text_boilerplate" -> (textBoilerplate _),
+    "text_unigram_nll" -> (textUnigramNll _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "text_filter" -> (textFilter _),
@@ -528,6 +540,20 @@ object LlmQueries {
         |  n_hits::DOUBLE / n_ngrams AS overlap_ratio,
         |  n_hits::DOUBLE / n_ngrams >= 0.5 AS contaminated
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "text_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        |tot AS (SELECT sum(c)::BIGINT AS t_tokens, count(*) AS v_vocab FROM counts),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    -ln((counts.c + 1.0::DOUBLE) / (tot.t_tokens + tot.v_vocab)) AS nll
+        |  FROM toks t JOIN counts USING (term) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(round(nll, 6)::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_boilerplate" ->
       """WITH corpus AS (
         |  SELECT doc_id,

@@ -76,6 +76,17 @@ class CorpusStatsSpec extends AnyFunSuite with Matchers {
     out(3L)._4 shouldBe false
   }
 
+  test("unigram NLL matches the hand-computed smoothed distribution") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2, b=2, c=1; T=5, V=3 → p(a)=p(b)=3/8, p(c)=2/8
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nA = r6(-math.log(3.0 / 8)); val nC = r6(-math.log(2.0 / 8))
+    val out = CorpusStats.unigramNll(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    out(1L) shouldBe ((3L, r6((nA * 3) / 3))) // all three tokens share p=3/8
+    out(2L) shouldBe ((2L, r6((nA + nC) / 2)))
+  }
+
   test("boilerplate lines strip across docs; order survives; unique lines stay") {
     val docs = Seq(
       (1L, "HEADER\nalpha\nbeta\nFOOTER"),
