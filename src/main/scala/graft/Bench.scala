@@ -19,9 +19,23 @@ import org.apache.spark.sql.functions._
   *   - a [[SparkListener]] accumulates per-query total task CPU time and
   *     shuffle read/write bytes: those are noise-IMMUNE plan signals — a
   *     plan change moves shuffle bytes, a noisy neighbor cannot;
+  *   - the determinism sort the ORACLE gate needs (`orderedSmall`'s
+  *     `repartition(1)`) is disabled in bench sessions via
+  *     `spark.graft.bench.noDeterminismSort`: it serializes the full
+  *     result onto one task purely so DuckDB hash-comparison is
+  *     order-stable, charging a single-threaded sort to the operator.
+  *     Verify never sets the flag, so the gates are untouched;
   *   - a scale ladder re-times the heavy families on a key-shifted 10x
-  *     copy of the input (sf0.1 -> "sf1") and reports time ratios: the
-  *     concrete does-it-survive-100x evidence a single-SF run can't give.
+  *     copy of the input (sf0.1 -> "sf1"): the concrete does-it-survive-
+  *     100x evidence a single-SF run can't give. Each family runs in a
+  *     FRESH SparkContext and measures BOTH its sf-side baseline and its
+  *     10x side there, because a long-lived bench session is itself a
+  *     contaminant: after ~400 suite executions the round-8 ladder
+  *     measured decontam_overlap at 204s / 3,800 task-CPU-s where a clean
+  *     context runs the identical plan (same shuffle bytes) in 1.8s / 21
+  *     CPU-s — heap/state accumulation, amplified 10x at ladder volume,
+  *     read as phantom super-linearity. Ratios are min-of-2 steady-state
+  *     over warmed runs on both sides, same clean conditions each side.
   */
 object Bench {
 
@@ -64,27 +78,39 @@ object Bench {
 
   private def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
 
+  /** One bench session. Status-store retention is capped hard: with the
+    * defaults (1000 retained SQL executions, each holding a plan graph)
+    * a multi-hundred-query bench session accumulates driver heap that
+    * taxes every later measurement. */
+  private def mkSession(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ui.retainedExecutions", "10")
+    .config("spark.ui.retainedJobs", "100")
+    .config("spark.ui.retainedStages", "200")
+    .config("spark.graft.bench.noDeterminismSort", "true")
+    .getOrCreate()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // N>=5: the median survives two simultaneous neighbor spikes
     val runs  = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "10").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    var spark = mkSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val listener = new TaskMetricsListener
+    var listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
 
     // untimed warmup: JVM/codegen/classloader startup otherwise lands on
     // whichever query happens to run first
-    try {
-      spark.range(1000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/region.parquet").count()
-    } catch { case _: Throwable => () }
+    def warmup(): Unit =
+      try {
+        spark.range(1000).selectExpr("sum(id)").collect()
+        spark.read.parquet(s"$sfDir/region.parquet").count()
+      } catch { case _: Throwable => () }
+    warmup()
 
     var failed = List.empty[String]
     // comma-separated allowlist for iterating on one query's plan without
@@ -155,27 +181,29 @@ object Bench {
       if (scaleN <= 1 || only.isDefined) "{}"
       else {
         val dir = ScaleLadder.materialize(spark, sfDir, scaleN)
-        // The rep loop leaves dead localCheckpoint/cache blocks behind
-        // (reference-managed cleanup only fires on GC); at 10x data those
-        // stale blocks squeeze storage memory into disk-spill thrash and
-        // the measurement reads as a phantom super-linearity. Drop them
-        // before the ladder measures anything.
-        spark.sharedState.cacheManager.clearCache()
-        System.gc()
         ScaleLadder.queries.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
-            // run twice, report the second: the sf-side baseline is a
-            // median of warmed reps, so the ladder side must also measure
-            // steady state — a single cold shot conflates first-touch
-            // JIT/page-in with scaling (measured 87s cold vs 20s warm on
-            // the same 10x compact input, a 4x phantom)
-            timed(s"scale:$name(warm)", fn, dir)
-            val (wall, cpuS, rdB, wrB) = timed(s"scale:$name", fn, dir)
-            val ratio = if (medianSec.getOrElse(name, 0.0) > 0)
-              r4(wall / medianSec(name)) else -1.0
-            s"""\"$name\":{\"sec\":${r4(wall)},\"ratio_vs_sf\":$ratio,\"cpu_sec\":${r4(cpuS)},\"shuffle_read\":$rdB,\"shuffle_write\":$wrB}"""
+            // Fresh context per family: both sides of the ratio measured
+            // under identical clean conditions (see scaladoc). Warm once,
+            // then min-of-2: steady state, robust to one neighbor spike.
+            spark.stop()
+            spark = mkSession(cpus)
+            spark.sparkContext.setLogLevel("WARN")
+            listener = new TaskMetricsListener
+            spark.sparkContext.addSparkListener(listener)
+            warmup()
+            def minOf2(d: String): (Double, Double, Long, Long) = {
+              timed(s"scale:$name(warm)", fn, d)
+              val a = timed(s"scale:$name", fn, d)
+              val b = timed(s"scale:$name", fn, d)
+              if (b._1 < a._1) b else a
+            }
+            val sfSide = minOf2(sfDir)
+            val (wall, cpuS, rdB, wrB) = minOf2(dir)
+            val ratio = if (sfSide._1 > 0) r4(wall / sfSide._1) else -1.0
+            s"""\"$name\":{\"sec\":${r4(wall)},\"sf_sec\":${r4(sfSide._1)},\"ratio_vs_sf\":$ratio,\"cpu_sec\":${r4(cpuS)},\"sf_cpu_sec\":${r4(sfSide._2)},\"shuffle_read\":$rdB,\"shuffle_write\":$wrB}"""
           }
-        }.mkString(s"""{\"factor\":$scaleN,\"note\":\"key-shifted copies of $sfDir; steady-state (2nd run) per query\",\"queries\":{""", ",", "}}")
+        }.mkString(s"""{\"factor\":$scaleN,\"note\":\"key-shifted copies of $sfDir; fresh context per family; min-of-2 steady-state on both ratio sides\",\"queries\":{""", ",", "}}")
       }
 
     val errs  = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -7,13 +10,32 @@ import org.apache.spark.sql.functions._
 import graft.cdc.{ChangeAction, ChangelogCompactor}
 import graft.sources.Tables
 
-/** Stage-attribution probe for the compact-at-fact-volume ladder query
-  * (not part of the driver contract; run by hand while tuning):
-  * times the action synthesis, the cluster shuffle+sort, and the typed
-  * fold separately so a regression can be pinned to a stage. */
+/** Stage-attribution probe for the scale-ladder families (not part of the
+  * driver contract; run by hand while tuning): times each pipeline stage
+  * separately — with task-CPU and shuffle-byte deltas from a listener — so
+  * a super-linear ladder ratio can be pinned to a stage instead of argued
+  * about. Usage: `runMain graft.BenchProbe <family> [sfDir]` with family in
+  * {compact, fast, decontam, dedupexact, minhash}; sfDir defaults to the
+  * materialized 10x ladder dir. Every stage runs twice (cold, warm): the
+  * driver's ladder reports steady state, so the warm number is the one
+  * that must match. */
 object BenchProbe {
+
+  private final class L extends SparkListener {
+    val cpuNs = new AtomicLong; val rdB = new AtomicLong; val wrB = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        rdB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        wrB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val family = args.headOption.getOrElse("compact")
+    val sfDir = args.lift(1).getOrElse("/tmp/graft_bench_scale_x10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,84 +43,186 @@ object BenchProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val l = new L
+    spark.sparkContext.addSparkListener(l)
     import spark.implicits._
 
-    def synth: DataFrame = {
-      val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_linenumber"), col("l_extendedprice"))
-      Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey"), col("l_extendedprice"),
-          row_number().over(w).as("rn"))
-        .select(
-          lit("li").as("table"),
-          col("rn").cast("long").as("lsn"),
-          lit(0).as("seq"),
-          when(col("rn") === 1, "I").otherwise("U").as("op"),
-          map(lit("id"), col("l_orderkey").cast("string")).as("keyBefore"),
-          map(lit("id"), col("l_orderkey").cast("string"),
-            lit("price"), col("l_extendedprice").cast("string")).as("values"),
-          array().cast("array<string>").as("nulls"),
-          array().cast("array<string>").as("unchanged"),
-          lit(false).as("rekey"))
-    }
-
-    def timed(name: String)(f: => Unit): Unit = {
+    def timed(name: String)(f: => Unit): Unit = (1 to 2).foreach { round =>
+      Thread.sleep(300) // let the async listener bus drain
+      val (c0, r0, w0) = (l.cpuNs.get, l.rdB.get, l.wrB.get)
       val t0 = System.nanoTime()
       f
-      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      val (c1, r1, w1) = (l.cpuNs.get, l.rdB.get, l.wrB.get)
+      println(f"[probe] $name (r$round): $wall%.2f s wall, ${(c1 - c0) / 1e9}%.1f cpu-s, " +
+        f"shuf ${(r1 - r0) / 1e6}%.1f/${(w1 - w0) / 1e6}%.1f MB rd/wr")
     }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
-    timed("synth only")(synth.write.format("noop").mode("overwrite").save())
-    timed("synth + shuffle/sort") {
-      // mirrors clusterByKey's production key (CompactKeys.keyStrCol) so
-      // the stage attribution tracks the pipeline actually shipped
-      synth
-        .withColumn("__key", graft.cdc.CompactKeys.keyStrCol(col("keyBefore")))
-        .repartition(col("table"), col("__key"))
-        .sortWithinPartitions(col("table"), col("__key"), col("lsn"), col("seq"))
-        .drop("__key")
-        .write.format("noop").mode("overwrite").save()
-    }
-    timed("synth + typed decode only (count)") {
-      synth.as[ChangeAction].mapPartitions(it => Iterator.single(it.size)).collect()
-    }
-    timed("synth + typed decode + re-encode (identity mapPartitions)") {
-      synth.as[ChangeAction].mapPartitions(identity)
-        .toDF().write.format("noop").mode("overwrite").save()
-    }
-    timed("localCheckpoint alone") {
-      val ckpt = synth.as[ChangeAction].localCheckpoint(true)
-      ckpt.unpersist()
-    }
-    timed("compact with hasRekeys=Some(false) (pure fold, no checkpoint)") {
-      ChangelogCompactor.compact(synth.as[ChangeAction], hasRekeys = Some(false))
-        .toDF().write.format("noop").mode("overwrite").save()
-    }
-    timed("synth + shuffle/sort + typed fold (full compact)") {
-      ChangelogCompactor.compact(synth.as[ChangeAction])
-        .toDF().write.format("noop").mode("overwrite").save()
-    }
+    family match {
+      case "compact" => // cdc_compact_lineitem stages
+        def synth: DataFrame = {
+          val w = Window.partitionBy(col("l_orderkey"))
+            .orderBy(col("l_linenumber"), col("l_extendedprice"))
+          Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey"), col("l_extendedprice"),
+              row_number().over(w).as("rn"))
+            .select(
+              lit("li").as("table"),
+              col("rn").cast("long").as("lsn"),
+              lit(0).as("seq"),
+              when(col("rn") === 1, "I").otherwise("U").as("op"),
+              map(lit("id"), col("l_orderkey").cast("string")).as("keyBefore"),
+              map(lit("id"), col("l_orderkey").cast("string"),
+                lit("price"), col("l_extendedprice").cast("string")).as("values"),
+              array().cast("array<string>").as("nulls"),
+              array().cast("array<string>").as("unchanged"),
+              lit(false).as("rekey"))
+        }
+        def clustered: DataFrame = synth
+          .withColumn("__key", graft.cdc.CompactKeys.keyStrCol(col("keyBefore")))
+          .repartition(col("table"), col("__key"))
+          .sortWithinPartitions(col("table"), col("__key"), col("lsn"), col("seq"))
+          .drop("__key")
+        def compacted: DataFrame =
+          ChangelogCompactor.compact(synth.as[ChangeAction], hasRekeys = Some(false)).toDF()
+        def gatedCore: DataFrame = compacted
+          .select(element_at(col("keyBefore"), "id").cast("long").as("order_id"),
+            col("op"),
+            element_at(col("values"), "price").cast("double").as("val"),
+            col("lsn"))
+        timed("synth only")(noop(synth))
+        timed("synth + cluster shuffle/sort")(noop(clustered))
+        timed("  + typed decode/re-encode")(
+          noop(clustered.as[ChangeAction].mapPartitions(identity).toDF()))
+        timed("full compact (fold)")(noop(compacted))
+        timed("gated core (no orderedSmall)")(noop(gatedCore))
+        timed("gated full (orderedSmall tail)")(
+          noop(gatedCore.repartition(1).sortWithinPartitions(col("order_id"))))
 
-    // ---- minhash pipeline stages (dedup_minhash ladder attribution) ----
-    import graft.operators.Dedup
-    val docs = {
-      val d = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id"), col("text"))
-      d.unionByName(d.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"),
-          concat(col("text"), lit(" spark engine dedup suffix tail")).as("text")))
-    }
-    def sigs = Dedup.minhashSignature(docs, "doc_id", "text", 5, 64)
-    for (round <- Seq("cold", "warm")) {
-      timed(s"minhash sigs only ($round)")(
-        sigs.write.format("noop").mode("overwrite").save())
-      timed(s"minhash candidates ($round)") {
-        val n = Dedup.minhashCandidates(sigs, "doc_id", 8, 8).count()
-        println(s"[probe]   candidates: $n")
-      }
-      timed(s"minhash full pairs ($round)")(
-        Dedup.minhashPairs(docs, "doc_id", "text", 5, 64, 8, 0.7)
-          .write.format("noop").mode("overwrite").save())
+      case "fast" => // cdc_compact_fast stages (events stream)
+        def actions = {
+          val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          val op = when(col("rn") === 1, "I")
+            .when(col("rn") === col("n") && col("event_type") === "error", "D")
+            .otherwise("U")
+          Tables.events(spark, sfDir)
+            .withColumn("rn", row_number().over(w))
+            .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+            .select(
+              lit("users").as("table"),
+              col("event_id").as("lsn"),
+              lit(0).as("seq"),
+              op.as("op"),
+              map(lit("id"), col("user_id").cast("string")).as("keyBefore"),
+              when(op === "D", map().cast("map<string,string>"))
+                .otherwise(map(lit("id"), col("user_id").cast("string"),
+                  lit("val"), col("value").cast("string"))).as("values"),
+              array().cast("array<string>").as("nulls"),
+              array().cast("array<string>").as("unchanged"),
+              lit(false).as("rekey"))
+        }
+        def clustered: DataFrame = actions
+          .withColumn("__key", graft.cdc.CompactKeys.keyStrCol(col("keyBefore")))
+          .repartition(col("table"), col("__key"))
+          .sortWithinPartitions(col("table"), col("__key"), col("lsn"), col("seq"))
+          .drop("__key")
+        def fastCompacted: DataFrame =
+          ChangelogCompactor.compactSimple(actions.as[ChangeAction]).toDF()
+        def gatedCore: DataFrame = fastCompacted
+          .select(element_at(col("keyBefore"), "id").cast("long").as("user_id"),
+            col("op"),
+            element_at(col("values"), "val").cast("double").as("val"),
+            col("lsn"))
+        timed("synth only")(noop(actions))
+        timed("synth + cluster shuffle/sort")(noop(clustered))
+        timed("  + typed decode/re-encode")(
+          noop(clustered.as[ChangeAction].mapPartitions(identity).toDF()))
+        timed("full compactSimple")(noop(fastCompacted))
+        timed("gated core (no orderedSmall)")(noop(gatedCore))
+        timed("gated full (orderedSmall tail)")(
+          noop(gatedCore.repartition(1).sortWithinPartitions(col("user_id"))))
+        timed("slow compact on same stream")(
+          noop(ChangelogCompactor.compact(actions.as[ChangeAction],
+            hasRekeys = Some(false)).toDF()))
+
+      case "decontam" =>
+        import graft.functions.TextAnalysis
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val evalDocs = docs.filter(col("doc_id") % 7 === 0)
+        val trainDocs = docs.filter(col("doc_id") % 7 =!= 0)
+          .unionByName(evalDocs.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        def evalNg = evalDocs
+          .select(explode(TextAnalysis.wordNgrams(col("text"), 5)).as("__ngram"))
+          .distinct()
+        def trainNg = trainDocs
+          .select(col("doc_id"), explode(TextAnalysis.wordNgrams(col("text"), 5)).as("__ngram"))
+        println(s"[probe] eval distinct ngrams: ${evalNg.count()}")
+        println(s"[probe] train ngram rows: ${trainNg.count()}")
+        timed("eval ngrams distinct")(noop(evalNg))
+        timed("train ngrams explode only")(noop(trainNg))
+        timed("probe: broadcast join + agg")(
+          noop(trainNg.join(broadcast(evalNg.withColumn("__hit", lit(1L))),
+              Seq("__ngram"), "left_outer")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_ngrams"),
+              sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))))
+        timed("probe: shuffle join + agg")(
+          noop(trainNg.join(evalNg.withColumn("__hit", lit(1L)),
+              Seq("__ngram"), "left_outer")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_ngrams"),
+              sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))))
+        timed("probe: hash64 shuffle join + agg") {
+          val ev = evalNg.select(xxhash64(col("__ngram")).as("__nh"))
+            .distinct().withColumn("__hit", lit(1L))
+          noop(trainNg.select(col("doc_id"), xxhash64(col("__ngram")).as("__nh"))
+            .join(ev, Seq("__nh"), "left_outer")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_ngrams"),
+              sum(coalesce(col("__hit"), lit(0L))).as("n_hits")))
+        }
+        timed("full gated (current, broadcast + orderedSmall)")(
+          noop(graft.operators.Decontaminate.overlap(
+              trainDocs, evalDocs, "doc_id", "text", n = 5, threshold = 0.5)
+            .repartition(1).sortWithinPartitions(col("doc_id"))))
+
+      case "dedupexact" =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val corpus = docs.unionByName(
+          docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        def groups = graft.operators.Dedup.exactGroups(corpus, "doc_id", "text")
+          .filter(col("n_copies") > 1)
+        timed("scan + md5 only")(
+          noop(corpus.select(col("doc_id"), md5(col("text")).as("h"))))
+        timed("exact groups (no orderedSmall)")(noop(groups))
+        timed("gated full (orderedSmall tail)")(
+          noop(groups.repartition(1).sortWithinPartitions(col("keep_id"))))
+
+      case "minhash" =>
+        import graft.operators.Dedup
+        val docs = {
+          val d = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+          d.unionByName(d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 10000).as("doc_id"),
+              concat(col("text"), lit(" spark engine dedup suffix tail")).as("text")))
+        }
+        def sigs = Dedup.minhashSignature(docs, "doc_id", "text", 5, 64)
+        timed("minhash sigs only")(noop(sigs))
+        timed("minhash candidates") {
+          val n = Dedup.minhashCandidates(sigs, "doc_id", 8, 8).count()
+          println(s"[probe]   candidates: $n")
+        }
+        timed("minhash full pairs")(
+          noop(Dedup.minhashPairs(docs, "doc_id", "text", 5, 64, 8, 0.7)))
+
+      case other => sys.error(s"unknown probe family: $other")
     }
     spark.stop()
   }

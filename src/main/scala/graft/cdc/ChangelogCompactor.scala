@@ -324,15 +324,27 @@ object ChangelogCompactor extends Serializable {
 
   /** Hash-partition on `(table, row identity)` and sort each partition by
     * `(table, key, lsn, seq)` so every key's actions form one contiguous,
-    * WAL-ordered run. The sort column is dropped before the typed view; the
-    * in-partition ordering survives projection. */
+    * WAL-ordered run.
+    *
+    * The flat [[CompactKeys.keyStrCol]] rendering is used twice but
+    * SHIPPED never: the repartition takes the key *expression* (evaluated
+    * map-side for the partition id only — `RepartitionByExpression` does
+    * not project its partition expressions into the output), and the sort
+    * key is materialized as a column AFTER the exchange, from the
+    * `keyBefore` map that crosses the wire anyway. Materializing `__key`
+    * before the exchange doubled the shuffle payload (round-8 ladder:
+    * 25.8→47.3 MB on the same stream) for bytes that are a pure function
+    * of bytes already shipped. The post-exchange materialization matters
+    * for the sort too: a sort ORDER BY a non-attribute expression
+    * re-evaluates it per comparison inside the external sorter, while a
+    * column is rendered once per row and compared as one memcmp. */
   private def clusterByKey(actions: Dataset[ChangeAction]): Dataset[ChangeAction] = {
     val spark = actions.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
     actions.toDF()
+      .repartition(col("table"), CompactKeys.keyStrCol(col("keyBefore")))
       .withColumn("__key", CompactKeys.keyStrCol(col("keyBefore")))
-      .repartition(col("table"), col("__key"))
       .sortWithinPartitions(col("table"), col("__key"), col("lsn"), col("seq"))
       .drop("__key")
       .as[ChangeAction]

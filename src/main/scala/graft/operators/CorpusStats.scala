@@ -93,7 +93,9 @@ object CorpusStats {
     val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val totals = counts.agg(sum(col("c")).as("t_tokens"), count(lit(1)).as("v_vocab"))
     toks
-      .join(counts, Seq("term"))
+      // vocab-sized build side, corpus tokens stream: without the hint AQE
+      // may sort-merge — shuffling every token row twice (plan-audited)
+      .join(broadcast(counts), Seq("term"))
       .crossJoin(broadcast(totals))
       .withColumn("nll", -log((col("c") + 1.0) / (col("t_tokens") + col("v_vocab"))))
       .groupBy(col(idCol))
@@ -122,6 +124,10 @@ object CorpusStats {
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
     val boiler = lines
+      // blank lines are STRUCTURE (paragraph separators), not boilerplate:
+      // without this guard any corpus with >= minDocFreq multi-paragraph
+      // docs silently collapses paragraph breaks corpus-wide
+      .filter(length(trim(col("__line"))) > 0)
       .select(col(idCol), col("__line")).distinct()
       .groupBy(col("__line")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocFreq)

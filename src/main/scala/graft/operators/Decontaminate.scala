@@ -1,7 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 import graft.functions.TextAnalysis
 
@@ -9,17 +14,40 @@ import graft.functions.TextAnalysis
   * flag training documents whose word n-grams overlap an evaluation set —
   * the standard guard against test-set leakage into training data.
   *
-  * Scale shape (100 TB corpus, benchmark-sized eval set): the eval
-  * n-gram set is distinct-ed and BROADCAST, so the corpus side is a
-  * single scan → explode → broadcast hash join → per-doc aggregate with
-  * map-side partial aggregation. The corpus is never shuffled except for
-  * the one-row-per-(doc, partition) partial-agg exchange; no all-pairs
-  * structure anywhere. If the eval set ever outgrew broadcast range, the
-  * drop-in replacement is a Bloom filter of eval n-grams (same join
-  * column, probabilistic hits) — not needed for benchmark-sized evals,
-  * which are MBs against the corpus's TBs.
+  * Scale shape (100 TB corpus, eval set of any size). The eval side is
+  * measured (character mass — one narrow scan of the small table) and the
+  * regime follows:
+  *
+  *   - **broadcast regime** (benchmark-sized evals, the common case): the
+  *     distinct eval n-gram set is BROADCAST and the corpus side is a
+  *     single scan → explode → broadcast hash join → per-doc aggregate
+  *     with map-side partials. The corpus is never shuffled except for the
+  *     one-row-per-(doc, partition) partial-agg exchange.
+  *   - **beyond-broadcast regime** (eval past
+  *     [[Decontaminate.MaxBroadcastTokens]] estimated tokens): the per-doc
+  *     n-gram DENOMINATOR moves out of the join entirely
+  *     (`size(wordNgrams(text))` in the corpus scan), and the HIT count
+  *     becomes a Bloom-prefiltered INNER shuffle join — a ~1%-fpp Bloom
+  *     filter of the eval n-grams (built distributed, broadcast as bytes)
+  *     drops non-candidate corpus n-grams BEFORE the exchange, so the
+  *     shuffle carries candidates (near-zero on a clean corpus), not the
+  *     corpus. The string equi-join after the filter keeps the count
+  *     exact: false positives only cost shuffled bytes, never a wrong hit.
+  *
+  * No all-pairs structure in either regime; both produce identical rows
+  * (spec-pinned equivalence).
   */
 object Decontaminate {
+
+  /** Eval-set size (estimated tokens ≈ distinct n-grams upper bound) above
+    * which the broadcast regime would strain the driver/executors and the
+    * Bloom-prefiltered shuffle regime takes over. ~2M 5-gram strings is
+    * roughly a half-GB hash relation — past any sane broadcast budget. */
+  val MaxBroadcastTokens: Long = 2_000_000L
+
+  /** Average chars per whitespace token (English-ish corpora run 5-6 plus
+    * the separator); used only for the regime decision, conservatively. */
+  private val CharsPerToken = 6L
 
   /** Per-training-document n-gram overlap against `eval`.
     *
@@ -30,21 +58,67 @@ object Decontaminate {
     *
     * Output: `(idCol, n_ngrams, n_hits, overlap_ratio, contaminated)`;
     * `overlap_ratio` is an exact int/int double division, so it is
-    * bit-reproducible cross-engine with no rounding step. */
+    * bit-reproducible cross-engine with no rounding step.
+    *
+    * @param maxBroadcastTokens regime knob, see [[MaxBroadcastTokens]];
+    *   tests force the beyond-broadcast regime by passing 0. */
   def overlap(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, threshold: Double = 0.5): DataFrame = {
+      n: Int = 5, threshold: Double = 0.5,
+      maxBroadcastTokens: Long = MaxBroadcastTokens): DataFrame = {
     val evalNgrams = eval
       .select(explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__ngram"))
       .distinct()
-      .withColumn("__hit", lit(1L))
-    train
-      .select(col(idCol), explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__ngram"))
-      .join(broadcast(evalNgrams), Seq("__ngram"), "left_outer")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_ngrams"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
-      .select(col(idCol), col("n_ngrams"), col("n_hits"),
-        (col("n_hits").cast("double") / col("n_ngrams")).as("overlap_ratio"),
-        (col("n_hits").cast("double") / col("n_ngrams") >= threshold).as("contaminated"))
+
+    // Measured regime selection: one narrow scan of the (small) eval side.
+    val evalChars = eval.agg(coalesce(sum(length(col(textCol))), lit(0L))).head().getLong(0)
+    val estTokens = evalChars / CharsPerToken
+
+    val counted =
+      if (estTokens <= maxBroadcastTokens) {
+        train
+          .select(col(idCol), explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__ngram"))
+          .join(broadcast(evalNgrams.withColumn("__hit", lit(1L))),
+            Seq("__ngram"), "left_outer")
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_ngrams"),
+            sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      } else {
+        val trainNgrams = train
+          .select(col(idCol), explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__ngram"))
+        val hits = bloomFiltered(trainNgrams, evalNgrams, "__ngram",
+            expectedItems = math.max(estTokens, 1L))
+          .join(evalNgrams, Seq("__ngram"))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_hits"))
+        train
+          .select(col(idCol),
+            size(TextAnalysis.wordNgrams(col(textCol), n)).cast("long").as("n_ngrams"))
+          .filter(col("n_ngrams") > 0)
+          .join(hits, Seq(idCol), "left_outer")
+          .select(col(idCol), col("n_ngrams"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      }
+
+    counted.select(col(idCol), col("n_ngrams"), col("n_hits"),
+      (col("n_hits").cast("double") / col("n_ngrams")).as("overlap_ratio"),
+      (col("n_hits").cast("double") / col("n_ngrams") >= threshold).as("contaminated"))
   }
+
+  /** Rows of `probe` whose `colName` MIGHT be in `build`'s `colName` set,
+    * by a ~1%-fpp Bloom filter built distributed over the build side and
+    * broadcast as serialized bytes. Probe and build hash through the same
+    * `xxhash64` column (the filter stores longs), evaluated by Spark's own
+    * codegen'd [[BloomFilterMightContain]] — no UDF, no per-row boxing. */
+  private[operators] def bloomFiltered(probe: DataFrame, build: DataFrame,
+      colName: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = build.select(xxhash64(col(colName)).as("__nh"))
+      .stat.bloomFilter("__nh", expectedItems, fpp)
+    val out = new ByteArrayOutputStream()
+    bf.writeTo(out)
+    probe.filter(mightContain(out.toByteArray, xxhash64(col(colName))))
+  }
+
+  private def mightContain(serializedBloom: Array[Byte], hashed: Column): Column =
+    GraftBridge.column(BloomFilterMightContain(
+      Literal(serializedBloom, BinaryType), GraftBridge.expression(hashed)))
 }

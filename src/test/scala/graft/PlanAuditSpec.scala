@@ -109,6 +109,36 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p.indexOf("posexplode") should be > p.indexOf("partial_scaledvecsum")
   }
 
+  test("compaction exchange never ships the rendered __key (partition expression only)") {
+    import spark.implicits._
+    import graft.cdc._
+    // >1 row: a single-row child has maxRows<=1 and the optimizer
+    // (correctly) eliminates the in-partition sort outright
+    val acts = (1 to 8).map(i => ChangeAction("t", i.toLong, 0, "I",
+      Map("id" -> (i % 3).toString), Map("id" -> (i % 3).toString, "v" -> i.toString),
+      Nil, Nil, rekey = false)).toDS()
+    Seq(ChangelogCompactor.compact(acts, hasRekeys = Some(false)).toDF(),
+        ChangelogCompactor.compactSimple(acts).toDF()).foreach { df =>
+      val p = plan(df)
+      // partitioning hashes the keyString RENDERING of the identity map...
+      p should include("keyString")
+      // ...but no exchange carries the rendered string as a column: it is
+      // re-materialized AFTER the shuffle for the flat-key sort (round-8
+      // ladder: shipping it doubled the compaction shuffle payload)
+      val exchanges = p.split("\n\n").filter(s =>
+        s.linesIterator.nextOption.exists(_.matches("\\(\\d+\\) Exchange.*")) &&
+          s.contains("hashpartitioning"))
+      exchanges should not be empty
+      exchanges.foreach { s =>
+        s.linesIterator.find(_.startsWith("Input")).get should not include "__key"
+      }
+      // the in-partition sort still orders by the materialized flat key
+      val sorts = p.split("\n\n").filter(
+        _.linesIterator.nextOption.exists(_.matches("\\(\\d+\\) Sort.*")))
+      sorts.exists(_.contains("__key")) shouldBe true
+    }
+  }
+
   test("gap fill generates the day grid executor-side; windows partition by user") {
     val p = plan(queries.Analytics.qGapfill(spark, dir))
     // sequence+explode = partition-local generation, no driver materialization
@@ -164,6 +194,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("BroadcastHashJoin")
     p should not include "SortMergeJoin"
     p should include("partial_count") // per-doc rollup combines map-side
+  }
+
+  test("unigram-NLL broadcasts the vocab-sized counts; token rows never sort-merge") {
+    val p = plan(operators.CorpusStats.unigramNll(
+      sources.Tables.documents(spark, dir), "doc_id", "text"))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
   }
 
   test("top-ngrams plans a TakeOrdered cut, never a full global sort") {

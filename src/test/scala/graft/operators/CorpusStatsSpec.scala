@@ -76,6 +76,33 @@ class CorpusStatsSpec extends AnyFunSuite with Matchers {
     out(3L)._4 shouldBe false
   }
 
+  test("decontaminate beyond-broadcast regime is row-identical to broadcast") {
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "intro words alpha beta gamma delta epsilon zeta outro"),
+      (3L, "totally unrelated text with many different words here"),
+      (4L, "tiny doc"),
+      (5L, "zero one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    def rows(maxBroadcastTokens: Long) =
+      Decontaminate.overlap(train, eval, "doc_id", "text", n = 5,
+          threshold = 0.5, maxBroadcastTokens = maxBroadcastTokens)
+        .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    // maxBroadcastTokens = 0 forces the Bloom-prefiltered shuffle regime
+    rows(0L) shouldBe rows(Long.MaxValue)
+  }
+
+  test("decontaminate bloom prefilter passes every true member (no false negatives)") {
+    val build = (1 to 500).map(i => s"ngram token sequence number $i").toDF("g")
+    val probe = (1 to 1000).map(i => s"ngram token sequence number $i").toDF("g")
+    val kept = Decontaminate.bloomFiltered(probe, build, "g", expectedItems = 500)
+      .as[String].collect().toSet
+    (1 to 500).foreach(i => kept should contain(s"ngram token sequence number $i"))
+  }
+
   test("unigram NLL matches the hand-computed smoothed distribution") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // counts: a=2, b=2, c=1; T=5, V=3 → p(a)=p(b)=3/8, p(c)=2/8
@@ -100,6 +127,21 @@ class CorpusStatsSpec extends AnyFunSuite with Matchers {
     out(2L) shouldBe "gamma"
     out(3L) shouldBe "delta"
     out(4L) shouldBe ""
+  }
+
+  test("boilerplate never strips blank lines: paragraph structure survives") {
+    // the blank paragraph separator appears in all 3 docs — a naive doc-freq
+    // count would classify it as boilerplate and collapse every paragraph
+    val docs = Seq(
+      (1L, "HEADER\npara one\n\npara two\nHEADER"),
+      (2L, "HEADER\nalpha\n\nbeta\nHEADER"),
+      (3L, "HEADER\ngamma\n\ndelta\nHEADER"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.removeBoilerplateLines(docs, "doc_id", "text", minDocFreq = 3)
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "para one\n\npara two"
+    out(2L) shouldBe "alpha\n\nbeta"
+    out(3L) shouldBe "gamma\n\ndelta"
   }
 
   test("boilerplate threshold counts distinct docs, not occurrences") {
