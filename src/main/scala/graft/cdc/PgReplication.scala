@@ -154,6 +154,16 @@ object PgReplication {
         Seq(status(nowMicros, replyRequested = false), CopyDoneFrame)
       }
 
+    /** Idle-period heartbeat poll (no inbound frame to `feed`): a standby
+      * status if the interval has elapsed, else None. The live loop calls
+      * this on read timeouts so a quiet server still sees the client's
+      * position on schedule — the reference's loop sends its status on a
+      * timer independent of inbound traffic (stream.go:117-131). */
+    def maybeHeartbeat(nowMicros: Long): Option[Array[Byte]] =
+      if (closedFlag || lastStatusMicros == Long.MinValue ||
+          nowMicros - lastStatusMicros < standbyIntervalMicros) None
+      else Some(status(nowMicros, replyRequested = false))
+
     /** Feed one CopyData frame. `nowMicros` is the wall clock (unix µs),
       * injected so the heartbeat schedule is deterministic in tests. */
     def feed(frame: Array[Byte], nowMicros: Long): FeedResult = {

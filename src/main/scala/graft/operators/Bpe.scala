@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.TextAnalysis
+
+/** Corpus-trained BPE vocabulary (SURVEY.md §2.3, the standard
+  * LLM-pipeline tokenizer-training step): iterated distributed
+  * merge-pair counting. Classic byte-pair-encoding training — start from
+  * character segmentations, repeatedly merge the corpus-wide most
+  * frequent adjacent symbol pair — re-expressed for Spark:
+  *
+  *   - ONE corpus-sized scan builds the word-frequency table; every
+  *     training round after that runs over the DISTINCT-WORD vocabulary
+  *     (bounded by the language, not the corpus — the shape that makes
+  *     this viable at 100 TB);
+  *   - each round is a pair-count aggregate (explode adjacent symbol
+  *     pairs weighted by word count, map-side partial sums) plus a
+  *     driver-side argmax of ONE row: the merge decision is global by
+  *     definition, and k rounds = k vocab-sized jobs;
+  *   - segmentations are flat strings — symbols joined by TWO spaces
+  *     with single-space sentinels (` l  o  w `) — so applying a merge is
+  *     one codegen'd `replace` of `" l  o "` with `" lo "`: left-to-right
+  *     non-overlapping replacement is exactly BPE's greedy merge order,
+  *     the double-space interior keeps adjacent matches from consuming
+  *     each other's delimiter, and the single-space pattern frame cannot
+  *     match inside a multi-character symbol. Pair extraction reuses the
+  *     [[TextAnalysis.wordNgrams]] single-pass kernel (symbols are
+  *     whitespace tokens of the segmentation).
+  *
+  * Words shorter than 2 characters can never contribute a pair and are
+  * excluded up front (also sidesteps empty-token edge divergence between
+  * engines). Ties in pair frequency break on the pair string ascending,
+  * so training is deterministic and cross-engine reproducible — the
+  * DuckDB oracle replays the same rounds with `replace` on the same
+  * segmentation strings.
+  */
+object Bpe {
+
+  /** Train `rounds` BPE merges; returns one row per performed round:
+    * `(round, pair_left, pair_right, merged, freq)`, in round order.
+    * Stops early if the vocabulary runs out of pairs (fully merged). */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+
+    var seg = words.withColumn("seg", charSeg(col("word"))).select(col("wc"), col("seg"))
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = seg
+        .select(col("wc"), explode(TextAnalysis.wordNgrams(col("seg"), 2)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
+        .orderBy(col("freq").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val freq = top(0).getLong(1)
+        val Array(left, right) = pair.split(" ", 2)
+        merges += ((r, left, right, left + right, freq))
+        seg = seg.withColumn("seg",
+          replaceAll(col("seg"), s" $left  $right ", s" ${left + right} "))
+        r += 1
+      }
+    }
+    merges.result().toDF("round", "pair_left", "pair_right", "merged", "freq")
+  }
+
+  /** Literal (non-regex) replace-all; `functions.replace` arrived in
+    * Spark 3.5 under the SQL name — build the expression via the
+    * registry-independent StringReplace. */
+  private def replaceAll(src: Column, search: String, replacement: String): Column =
+    GraftBridge.column(org.apache.spark.sql.catalyst.expressions.StringReplace(
+      GraftBridge.expression(src),
+      GraftBridge.expression(lit(search)),
+      GraftBridge.expression(lit(replacement))))
+
+  /** ` c  h  a  r ` segmentation of a word: code-point symbols joined by
+    * two spaces inside single-space sentinels (see class doc for why this
+    * exact framing makes `replace` a correct BPE merge). */
+  def charSeg(word: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      Bpe.getClass, StringType, "charSegImpl",
+      Seq(GraftBridge.expression(word)),
+      inputTypes = Seq(StringType),
+      propagateNull = true, returnNullable = true))
+
+  def charSegImpl(word: UTF8String): UTF8String = {
+    if (word == null) return null
+    val s = word.toString
+    val sb = new java.lang.StringBuilder(s.length * 3 + 2)
+    sb.append(' ')
+    var i = 0
+    var first = true
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (!first) sb.append("  ")
+      first = false
+      sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    sb.append(' ')
+    UTF8String.fromString(sb.toString)
+  }
+}

@@ -477,7 +477,19 @@ object LlmQueries {
         "doc_id", "text"),
       col("doc_id"))
 
+  /** §2.3 — corpus-trained BPE vocabulary: the first 6 merge rounds of
+    * distributed byte-pair-encoding training over the documents corpus.
+    * Fully SQL-oracled: DuckDB replays the identical rounds (same
+    * segmentation-string representation, same replace-based merge, same
+    * freq-desc/pair-asc tie-break), so every merge decision is
+    * cross-engine verified — not just pinned. */
+  def textBpeVocab(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainMerges(
+        Tables.documents(s, dir).select(col("text")), "text", rounds = 6)
+      .orderBy(col("round"))
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_vocab" -> (textBpeVocab _),
     "decontam_overlap" -> (decontamOverlap _),
     "text_top_ngrams" -> (textTopNgrams _),
     "text_tfidf" -> (textTfidf _),
@@ -518,7 +530,49 @@ object LlmQueries {
   private val frList = TextAnalysis.stopwords("fr").map(w => s"'$w'").mkString(",")
   private val esList = TextAnalysis.stopwords("es").map(w => s"'$w'").mkString(",")
 
+  /** DuckDB replay of [[textBpeVocab]]'s training rounds, generated for a
+    * fixed round count: chained CTEs, one (pair-count → top-1 → replace)
+    * stage per round over the same ` l  o  w `-framed segmentations. */
+  private def bpeOracle(rounds: Int): String = {
+    val head =
+      """WITH words AS (
+        |  SELECT word, count(*) AS wc FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |seg0 AS (
+        |  SELECT wc, ' ' || array_to_string(
+        |      list_transform(generate_series(1, length(word)),
+        |        i -> substring(word, i, 1)), '  ') || ' ' AS seg
+        |  FROM words)""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      s"""pr$r AS (
+         |  SELECT wc, unnest(list_transform(generate_series(1, len(syms) - 1),
+         |      i -> array_to_string(syms[i:i+1], ' '))) AS pair
+         |  FROM (SELECT wc, regexp_split_to_array(trim(seg), '\\s+') AS syms
+         |        FROM seg${r - 1})),
+         |m$r AS (
+         |  SELECT $r AS round, split_part(pair, ' ', 1) AS pair_left,
+         |    split_part(pair, ' ', 2) AS pair_right, freq
+         |  FROM (SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+         |        FROM pr$r GROUP BY pair)
+         |  ORDER BY freq DESC, pair LIMIT 1),
+         |seg$r AS (
+         |  SELECT s.wc, replace(s.seg,
+         |    ' ' || m.pair_left || '  ' || m.pair_right || ' ',
+         |    ' ' || m.pair_left || m.pair_right || ' ') AS seg
+         |  FROM seg${r - 1} s CROSS JOIN m$r m)""".stripMargin
+    }
+    val union = (1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+    (head +: stages).mkString(",\n") +
+      s"""
+         |SELECT round, pair_left, pair_right,
+         |  pair_left || pair_right AS merged, freq
+         |FROM ($union) ORDER BY round""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_bpe_vocab" -> bpeOracle(6),
     "decontam_overlap" ->
       """WITH eval_docs AS (
         |  SELECT text FROM documents WHERE doc_id % 7 = 0),

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+class BpeSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("charSeg frames code points with double-space joins and sentinels") {
+    val out = Seq("low", "a", "né").toDF("w")
+      .select(Bpe.charSeg($"w")).as[String].collect()
+    out(0) shouldBe " l  o  w "
+    out(1) shouldBe " a "
+    out(2) shouldBe " n  é "
+  }
+
+  test("trainMerges reproduces the classic low/lower hand trace") {
+    // words: low x2, lower x1 (single tokens under length-2 are excluded)
+    val docs = Seq("low low lower", "x").toDF("text")
+    val m = Bpe.trainMerges(docs, "text", rounds = 6)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // r1: "l o"=3 ties "o w"=3 -> pair-asc picks (l,o)
+    // r2: "lo w"=3
+    // r3: "e r"=1 ties "low e"=1 -> "e r" < "low e"
+    // r4: "low er"=1; then the vocab is fully merged -> early stop
+    m shouldBe Seq(
+      (1, "l", "o", "lo", 3L),
+      (2, "lo", "w", "low", 3L),
+      (3, "e", "r", "er", 1L),
+      (4, "low", "er", "lower", 1L))
+  }
+
+  test("adjacent repeats merge greedily left-to-right, not overlapping") {
+    // "aaaa" x1: r1 pair (a,a) freq 3 (three adjacent positions); the
+    // merge must yield [aa, aa] — greedy non-overlapping — so r2 sees
+    // ONE (aa,aa) pair, not an aaa hybrid
+    val docs = Seq("aaaa").toDF("text")
+    val m = Bpe.trainMerges(docs, "text", rounds = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    m shouldBe Seq(
+      (1, "a", "a", "aa", 3L),
+      (2, "aa", "aa", "aaaa", 1L))
+  }
+
+  test("merge replacement respects symbol boundaries") {
+    // after merging (a,b)->ab, the word "xab" segments [x,a,b]: its (a,b)
+    // also merges to [x, ab]; the pattern must NOT touch the 'a' inside a
+    // previously-merged "ab" symbol elsewhere. End state of "abxab ab":
+    // both words fully merged through distinct rounds without corruption.
+    val docs = Seq("ab ab xab").toDF("text")
+    val m = Bpe.trainMerges(docs, "text", rounds = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    m.head shouldBe ((1, "a", "b", "ab", 3L))
+    // r2: remaining pairs come only from "xab" -> [x, ab]: (x,ab)=1
+    m(1) shouldBe ((2, "x", "ab", "xab", 1L))
+    m should have size 2 // fully merged after round 2
+  }
+}
