@@ -60,10 +60,82 @@ object Main {
         val spark = GraftSession.local()
         val n = streamToFile(spark, capture, out)
         println(s"wrote $n messages to $out")
+      case "streamsocket" =>
+        // live replication connection → run's message spool: connect to an
+        // established COPY BOTH endpoint and spool decoded messages as
+        // JSON part-files a concurrently-running `run` consumes. Blocks
+        // until the server ends the stream.
+        rest.toSeq match {
+          case Seq(host, port, dir, restLsn @ _*) =>
+            val spark = GraftSession.local()
+            val session = new graft.cdc.PgReplication.Session(
+              startLsn = restLsn.headOption.map(_.toLong).getOrElse(0L))
+            val commitLog = new graft.streaming.CommitLog(spark, s"$dir/../_commitlog")
+            val socket = new java.net.Socket(host, port.toInt)
+            try spoolFromSocket(spark, socket, dir, session,
+              appliedLsn = () => commitLog.lastLsn.getOrElse(0L))
+            finally socket.close()
+          case _ =>
+            System.err.println("usage: streamsocket <host> <port> <messagesDir> [startLsn]")
+            sys.exit(2)
+        }
       case other =>
-        System.err.println(s"unknown command '$other' (expected run | initconfig | streamtofile)")
+        System.err.println(s"unknown command '$other' (expected run | initconfig | streamtofile | streamsocket)")
         sys.exit(2)
     }
+  }
+
+  /** Bridge a LIVE replication socket into [[run]]'s message spool: the
+    * thin [[cdc.ReplicationRunner]] decodes frames on the single
+    * replication connection and each batch of decoded messages lands as
+    * JSON part-files under `messagesDir` (atomic part-file creation =
+    * file-source visibility), which the streaming job consumes per
+    * trigger. Acknowledge flows the other way: before every spool flush
+    * the session commits the supplied APPLIED position (a
+    * [[streaming.CommitLog]]'s `lastLsn` in a deployment), so the
+    * standby statuses the runner sends advance the slot only as far as
+    * the target has applied — the reference's `committed.Set` contract
+    * (stream.go:193-202). Blocks until the server ends the stream (or
+    * `stop` flips); the final partial batch flushes on the way out.
+    *
+    * @return total messages spooled */
+  def spoolFromSocket(spark: SparkSession, socket: java.net.Socket,
+      messagesDir: String, session: graft.cdc.PgReplication.Session,
+      appliedLsn: () => Long, spoolBatch: Int = 1000,
+      stop: java.util.concurrent.atomic.AtomicBoolean =
+        new java.util.concurrent.atomic.AtomicBoolean(false)): Long = {
+    new java.io.File(messagesDir).mkdirs()
+    val buf = scala.collection.mutable.Buffer.empty[WalMessage]
+    var total = 0L
+    var maxSpooledLsn = 0L
+    def flush(): Unit = if (buf.nonEmpty) {
+      session.commit(appliedLsn())
+      spark.createDataset(buf.toSeq)(Encoders.product[WalMessage])
+        .coalesce(1).write.mode("append").json(messagesDir)
+      total += buf.size
+      buf.clear()
+    }
+    val transport = new graft.cdc.SocketCopyTransport(socket)
+    val runner = new graft.cdc.ReplicationRunner(
+      session, transport,
+      sink = m => {
+        buf += m
+        maxSpooledLsn = math.max(maxSpooledLsn, m.lsn)
+        if (buf.size >= spoolBatch) flush()
+      },
+      // keepalive-only WAL advance is committable ONLY when nothing is in
+      // flight: no buffered messages and everything spooled already applied
+      onProgress = lsn =>
+        if (buf.isEmpty && appliedLsn() >= maxSpooledLsn) session.commit(lsn))
+    val stopWatcher = new Thread(() => {
+      while (!stop.get() && !session.isClosed) Thread.sleep(50)
+      if (stop.get()) runner.requestStop()
+    })
+    stopWatcher.setDaemon(true)
+    stopWatcher.start()
+    runner.run()
+    flush()
+    total
   }
 
   /** Decode a replication capture → JSONL of [[WalMessage]]s. Decode is
