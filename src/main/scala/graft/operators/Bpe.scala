@@ -80,6 +80,27 @@ object Bpe {
     merges.result().toDF("round", "pair_left", "pair_right", "merged", "freq")
   }
 
+  /** The APPLY side of [[trainMerges]] — tokenize a corpus with a trained
+    * merge list: per-document word and subword-token counts under the
+    * vocabulary. ONE corpus scan: every word char-segments and the k
+    * merges compose into a single codegen'd replace chain (same framed
+    * representation, so application order and greedy semantics match
+    * training exactly); the only shuffle is the one-row-per-doc partial
+    * aggregate. Output: `(idCol, n_words, n_subtokens)`. */
+  def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val seg0 = charSeg(col("__word"))
+    val segN = merges.foldLeft(seg0) { case (s, (l, r)) =>
+      replaceAll(s, s" $l  $r ", s" ${l + r} ")
+    }
+    docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__word"))
+      .select(col(idCol),
+        size(split(trim(segN), "\\s+")).cast("long").as("__n_sub"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n_sub")).as("n_subtokens"))
+  }
+
   /** Literal (non-regex) replace-all; `functions.replace` arrived in
     * Spark 3.5 under the SQL name — build the expression via the
     * registry-independent StringReplace. */

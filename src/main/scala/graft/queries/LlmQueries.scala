@@ -488,8 +488,23 @@ object LlmQueries {
         Tables.documents(s, dir).select(col("text")), "text", rounds = 6)
       .orderBy(col("round"))
 
+  /** §2.3 — the tokenizer's APPLY side: per-doc word and subword-token
+    * counts under the corpus-trained 6-merge vocabulary. Training and
+    * encoding both replay in the DuckDB oracle, so the whole
+    * train-then-tokenize pipeline is cross-engine verified. */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val merges = graft.operators.Bpe.trainMerges(docs.select(col("text")), "text", rounds = 6)
+      .select(col("pair_left"), col("pair_right")).as[(String, String)].collect().toSeq
+    orderedSmall(
+      graft.operators.Bpe.encodeTokenCounts(docs, "doc_id", "text", merges),
+      col("doc_id"))
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_vocab" -> (textBpeVocab _),
+    "text_bpe_encode" -> (textBpeEncode _),
     "decontam_overlap" -> (decontamOverlap _),
     "text_top_ngrams" -> (textTopNgrams _),
     "text_tfidf" -> (textTfidf _),
@@ -571,8 +586,38 @@ object LlmQueries {
          |FROM ($union) ORDER BY round""".stripMargin
   }
 
+  /** DuckDB replay of [[textBpeEncode]]: the same training CTE chain as
+    * [[bpeOracle]], then every document word char-segments and runs the
+    * trained merges as a nested replace chain (scalar subqueries into the
+    * per-round top-1 CTEs) before per-doc counting. */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val head = bpeOracle(rounds)
+    val cte = head.substring(0, head.indexOf("\nSELECT round"))
+    val charSegSql =
+      """' ' || array_to_string(list_transform(generate_series(1, length(word)),
+        |      i -> substring(word, i, 1)), '  ') || ' '""".stripMargin
+    val segExpr = (1 to rounds).foldLeft(charSegSql) { (acc, r) =>
+      s"""replace($acc,
+         |      (SELECT ' ' || pair_left || '  ' || pair_right || ' ' FROM m$r),
+         |      (SELECT ' ' || pair_left || pair_right || ' ' FROM m$r))""".stripMargin
+    }
+    s"""$cte,
+       |doc_toks AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id,
+       |    len(regexp_split_to_array(trim($segExpr), '\\s+')) AS n_sub
+       |  FROM doc_toks)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_subtokens
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "text_bpe_vocab" -> bpeOracle(6),
+    "text_bpe_encode" -> bpeEncodeOracle(6),
     "decontam_overlap" ->
       """WITH eval_docs AS (
         |  SELECT text FROM documents WHERE doc_id % 7 = 0),

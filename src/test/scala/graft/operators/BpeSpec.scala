@@ -33,6 +33,19 @@ class BpeSpec extends AnyFunSuite with Matchers {
       (4, "low", "er", "lower", 1L))
   }
 
+  test("encode applies trained merges: fully-merged words count one subtoken") {
+    val train = Seq("low low lower", "x").toDF("text")
+    val merges = Bpe.trainMerges(train, "text", rounds = 6)
+      .select($"pair_left", $"pair_right").as[(String, String)].collect().toSeq
+    val docs = Seq((1L, "low low lower"), (2L, "slow x")).toDF("doc_id", "text")
+    val out = Bpe.encodeTokenCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: low/low/lower each collapse to a single trained symbol
+    out(1L) shouldBe ((3L, 3L))
+    // doc 2: "slow" partially merges to [s, low]; "x" stays one char
+    out(2L) shouldBe ((2L, 3L))
+  }
+
   test("adjacent repeats merge greedily left-to-right, not overlapping") {
     // "aaaa" x1: r1 pair (a,a) freq 3 (three adjacent positions); the
     // merge must yield [aa, aa] — greedy non-overlapping — so r2 sees
