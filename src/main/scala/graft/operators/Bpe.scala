@@ -50,34 +50,40 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // the ONE corpus-sized scan, MATERIALIZED: each round's argmax
+    // executes its full lineage, which without the persist is a corpus
+    // re-scan per round (measured: 6.0s for 6 rounds at sf0.1; the
+    // cached vocab makes rounds vocab-sized as the class doc promises)
     val words = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
-
-    var seg = words.withColumn("seg", charSeg(col("word"))).select(col("wc"), col("seg"))
-    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    var r = 1
-    var exhausted = false
-    while (r <= rounds && !exhausted) {
-      val top = seg
-        .select(col("wc"), explode(TextAnalysis.wordNgrams(col("seg"), 2)).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
-        .orderBy(col("freq").desc, col("pair").asc)
-        .limit(1)
-        .collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val pair = top(0).getString(0)
-        val freq = top(0).getLong(1)
-        val Array(left, right) = pair.split(" ", 2)
-        merges += ((r, left, right, left + right, freq))
-        seg = seg.withColumn("seg",
-          replaceAll(col("seg"), s" $left  $right ", s" ${left + right} "))
-        r += 1
+      .persist()
+    try {
+      var seg = words.withColumn("seg", charSeg(col("word"))).select(col("wc"), col("seg"))
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val top = seg
+          .select(col("wc"), explode(TextAnalysis.wordNgrams(col("seg"), 2)).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
+          .orderBy(col("freq").desc, col("pair").asc)
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          val freq = top(0).getLong(1)
+          val Array(left, right) = pair.split(" ", 2)
+          merges += ((r, left, right, left + right, freq))
+          seg = seg.withColumn("seg",
+            replaceAll(col("seg"), s" $left  $right ", s" ${left + right} "))
+          r += 1
+        }
       }
-    }
-    merges.result().toDF("round", "pair_left", "pair_right", "merged", "freq")
+      merges.result().toDF("round", "pair_left", "pair_right", "merged", "freq")
+    } finally words.unpersist(blocking = false)
   }
 
   /** The APPLY side of [[trainMerges]] — tokenize a corpus with a trained
