@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   *     measured decontam_overlap at 204s / 3,800 task-CPU-s where a clean
   *     context runs the identical plan (same shuffle bytes) in 1.8s / 21
   *     CPU-s — heap/state accumulation, amplified 10x at ladder volume,
-  *     read as phantom super-linearity. Ratios are min-of-2 steady-state
+  *     read as phantom super-linearity. Ratios are min-of-3 steady-state
   *     over warmed runs on both sides, same clean conditions each side.
   */
 object Bench {
@@ -185,25 +185,25 @@ object Bench {
           SparkEntry.queries.get(name).map { fn =>
             // Fresh context per family: both sides of the ratio measured
             // under identical clean conditions (see scaladoc). Warm once,
-            // then min-of-2: steady state, robust to one neighbor spike.
+            // then min-of-3: steady state, robust to two neighbor spikes —
+            // the sf side's ~1s runs are fixed-overhead dominated, so one
+            // noisy denominator sample would swing the ratio by 2-3x.
             spark.stop()
             spark = mkSession(cpus)
             spark.sparkContext.setLogLevel("WARN")
             listener = new TaskMetricsListener
             spark.sparkContext.addSparkListener(listener)
             warmup()
-            def minOf2(d: String): (Double, Double, Long, Long) = {
+            def minOf3(d: String): (Double, Double, Long, Long) = {
               timed(s"scale:$name(warm)", fn, d)
-              val a = timed(s"scale:$name", fn, d)
-              val b = timed(s"scale:$name", fn, d)
-              if (b._1 < a._1) b else a
+              Seq.fill(3)(timed(s"scale:$name", fn, d)).minBy(_._1)
             }
-            val sfSide = minOf2(sfDir)
-            val (wall, cpuS, rdB, wrB) = minOf2(dir)
+            val sfSide = minOf3(sfDir)
+            val (wall, cpuS, rdB, wrB) = minOf3(dir)
             val ratio = if (sfSide._1 > 0) r4(wall / sfSide._1) else -1.0
             s"""\"$name\":{\"sec\":${r4(wall)},\"sf_sec\":${r4(sfSide._1)},\"ratio_vs_sf\":$ratio,\"cpu_sec\":${r4(cpuS)},\"sf_cpu_sec\":${r4(sfSide._2)},\"shuffle_read\":$rdB,\"shuffle_write\":$wrB}"""
           }
-        }.mkString(s"""{\"factor\":$scaleN,\"note\":\"key-shifted copies of $sfDir; fresh context per family; min-of-2 steady-state on both ratio sides\",\"queries\":{""", ",", "}}")
+        }.mkString(s"""{\"factor\":$scaleN,\"note\":\"key-shifted copies of $sfDir; fresh context per family; min-of-3 steady-state on both ratio sides\",\"queries\":{""", ",", "}}")
       }
 
     val errs  = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
