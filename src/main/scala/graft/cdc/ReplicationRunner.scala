@@ -74,18 +74,22 @@ final class ReplicationRunner(
 
   /** Pump until [[requestStop]] or server EOF, then drain: the session's
     * close handshake (final standby status with everything applied, then
-    * CopyDone) goes out even on server EOF — harmless on a dead socket,
-    * required for the clean-stop path. */
+    * CopyDone) goes out best-effort — on a clean stop the server needs
+    * it; after a hard peer close the writes fail and that's fine (the
+    * supervisor's restart-from-confirmed-LSN path is the recovery), so a
+    * dead socket must not turn a finished pump into an error. */
   def run(): Unit = {
     var live = true
     while (live && !stopRequested) live = step()
-    session.close(clock()).foreach { f =>
-      // close() emits two LAYERS: the status payload (CopyData content)
-      // and the already-framed top-level CopyDone message
-      if (f.length == 5 && f(0) == 'c'.toByte) transport.writeDone()
-      else transport.writeFrame(f)
-    }
-    try transport.flush() catch { case _: java.io.IOException => () }
+    try {
+      session.close(clock()).foreach { f =>
+        // close() emits two LAYERS: the status payload (CopyData content)
+        // and the already-framed top-level CopyDone message
+        if (f.length == 5 && f(0) == 'c'.toByte) transport.writeDone()
+        else transport.writeFrame(f)
+      }
+      transport.flush()
+    } catch { case _: java.io.IOException => () }
   }
 }
 

@@ -104,6 +104,21 @@ class ReplicationRunnerSpec extends AnyFunSuite with Matchers {
     session.isClosed shouldBe true
   }
 
+  test("loop: a hard peer close cannot turn the finished pump into an error") {
+    val transport = new ReplicationRunner.Transport {
+      def readFrame(): Option[Array[Byte]] = throw new EOFException("peer gone")
+      def writeFrame(payload: Array[Byte]): Unit =
+        throw new java.io.IOException("broken pipe")
+      def writeDone(): Unit = throw new java.io.IOException("broken pipe")
+      def flush(): Unit = ()
+      def close(): Unit = ()
+    }
+    val session = new Session()
+    noException should be thrownBy
+      new ReplicationRunner(session, transport, sink = _ => ()).run()
+    session.isClosed shouldBe true
+  }
+
   test("socket integration: COPY BOTH framing round-trips over a loopback socket") {
     val server = new ServerSocket(0)
     val serverGotStatus = new ConcurrentLinkedQueue[StandbyStatus]()
