@@ -140,6 +140,22 @@ object TextAnalysis {
       propagateNull = true, returnNullable = true))
   }
 
+  /** Fixed-size token chunks with `overlap` shared tokens between
+    * consecutive chunks (single-pass kernel; see
+    * [[TextAnalysisImpl.tokenChunks]] for the exact windowing). */
+  def tokenChunks(text: Column, size: Int, overlap: Int): Column = {
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap for size $size")
+    GraftBridge.column(StaticInvoke(
+      TextAnalysisImpl.getClass, ArrayType(StringType, containsNull = false),
+      "tokenChunks",
+      Seq(GraftBridge.expression(text), GraftBridge.expression(lit(size)),
+        GraftBridge.expression(lit(overlap))),
+      inputTypes = Seq(StringType, IntegerType, IntegerType),
+      propagateNull = true, returnNullable = true))
+  }
+
   /** PII patterns, restricted to syntax Java regex and RE2 (DuckDB)
     * interpret identically, so the redaction is oracle-checkable
     * cross-engine. Public so oracle SQL can interpolate the same
@@ -254,6 +270,41 @@ object TextAnalysisImpl {
       }
       out(i) = UTF8String.fromString(sb.toString)
       i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fixed-size token chunks with overlap — context-window preparation
+    * for training pipelines: canonical tokens (see [[wordNgrams]]) are
+    * windowed at stride `size - overlap`; every start index below the
+    * token count opens a chunk, the last chunk may run short, chunks are
+    * single-space joined. Mirrors the SQL `generate_series(0, n-1,
+    * stride)` + slice form exactly. */
+  def tokenChunks(text: UTF8String, size: Int, overlap: Int): ArrayData = {
+    if (text == null) return null
+    val raw = text.toString
+    var lo = 0
+    var hi = raw.length
+    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+    val toks = wsSplit.split(raw.substring(lo, hi).toLowerCase, -1)
+    val n = toks.length
+    val stride = size - overlap
+    val m = (n + stride - 1) / stride // starts 0, stride, ... below n
+    val out = new Array[Any](m)
+    var c = 0
+    while (c < m) {
+      val start = c * stride
+      val end = math.min(start + size, n)
+      val sb = new java.lang.StringBuilder
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
     }
     new GenericArrayData(out)
   }

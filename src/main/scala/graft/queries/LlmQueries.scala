@@ -502,9 +502,26 @@ object LlmQueries {
       col("doc_id"))
   }
 
+  /** §2.3 — context-window chunking: every document split into 64-token
+    * chunks with 8 tokens of overlap (posexplode keeps the chunk index),
+    * the standard long-document preparation step before packing into a
+    * model's context. One scan, one kernel call per doc; the only shuffle
+    * is the oracle ordering. */
+  def textChunks(s: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokenChunks(col("text"), 64, 8))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id"),
+          size(split(col("chunk"), "\\s+")).as("n_tokens"),
+          md5(col("chunk")).as("chunk_md5")),
+      col("doc_id"), col("chunk_id"))
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_vocab" -> (textBpeVocab _),
     "text_bpe_encode" -> (textBpeEncode _),
+    "text_chunks" -> (textChunks _),
     "decontam_overlap" -> (decontamOverlap _),
     "text_top_ngrams" -> (textTopNgrams _),
     "text_tfidf" -> (textTfidf _),
@@ -618,6 +635,19 @@ object LlmQueries {
   val oracle: Map[String, String] = Map(
     "text_bpe_vocab" -> bpeOracle(6),
     "text_bpe_encode" -> bpeEncodeOracle(6),
+    // stride 56 = size 64 - overlap 8; slice is 1-based inclusive, so
+    // [s+1 : least(s+64, n)] is exactly tokens s..end-1 of the kernel
+    "text_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 56)) AS s
+        |  FROM toks)
+        |SELECT doc_id, CAST(s // 56 AS INT) AS chunk_id,
+        |  CAST(least(s + 64, len(t)) - s AS INT) AS n_tokens,
+        |  md5(array_to_string(t[s+1 : least(s+64, len(t))], ' ')) AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     "decontam_overlap" ->
       """WITH eval_docs AS (
         |  SELECT text FROM documents WHERE doc_id % 7 = 0),

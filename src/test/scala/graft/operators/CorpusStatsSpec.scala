@@ -76,6 +76,26 @@ class CorpusStatsSpec extends AnyFunSuite with Matchers {
     out(3L)._4 shouldBe false
   }
 
+  test("token chunking windows at stride size-overlap; short tail kept") {
+    import graft.functions.TextAnalysis
+    // 10 tokens, size 4, overlap 1 -> stride 3 -> starts 0,3,6,9
+    val text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    val out = Seq(text).toDF("text")
+      .select(explode(TextAnalysis.tokenChunks(col("text"), 4, 1)).as("c"))
+      .as[String].collect().toSeq
+    out shouldBe Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9")
+    // no overlap: exact partition
+    val out2 = Seq(text).toDF("text")
+      .select(explode(TextAnalysis.tokenChunks(col("text"), 5, 0)).as("c"))
+      .as[String].collect().toSeq
+    out2 shouldBe Seq("t0 t1 t2 t3 t4", "t5 t6 t7 t8 t9")
+    // shorter than one chunk: a single chunk, canonical tokenization
+    val out3 = Seq("  Hello   World  ").toDF("text")
+      .select(explode(TextAnalysis.tokenChunks(col("text"), 64, 8)).as("c"))
+      .as[String].collect().toSeq
+    out3 shouldBe Seq("hello world")
+  }
+
   test("decontaminate beyond-broadcast regime is row-identical to broadcast") {
     val eval = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),
