@@ -27,15 +27,21 @@ import org.apache.spark.sql.functions._
   *     Verify never sets the flag, so the gates are untouched;
   *   - a scale ladder re-times the heavy families on a key-shifted 10x
   *     copy of the input (sf0.1 -> "sf1"): the concrete does-it-survive-
-  *     100x evidence a single-SF run can't give. Each family runs in a
-  *     FRESH SparkContext and measures BOTH its sf-side baseline and its
-  *     10x side there, because a long-lived bench session is itself a
-  *     contaminant: after ~400 suite executions the round-8 ladder
-  *     measured decontam_overlap at 204s / 3,800 task-CPU-s where a clean
-  *     context runs the identical plan (same shuffle bytes) in 1.8s / 21
-  *     CPU-s — heap/state accumulation, amplified 10x at ladder volume,
-  *     read as phantom super-linearity. Ratios are min-of-3 steady-state
-  *     over warmed runs on both sides, same clean conditions each side.
+  *     100x evidence a single-SF run can't give. Families run in a fresh
+  *     SparkContext per small group and measure BOTH the sf-side baseline
+  *     and the 10x side there, because a long-lived bench session is
+  *     itself a contaminant: after ~400 suite executions the round-8
+  *     ladder measured decontam_overlap at 204s / 3,800 task-CPU-s where
+  *     a clean context runs the identical plan (same shuffle bytes) in
+  *     1.8s / 21 CPU-s — heap/state accumulation, amplified 10x at ladder
+  *     volume, read as phantom super-linearity. Ratios are min-of-2
+  *     steady-state over warmed SUCCESSFUL runs on both sides;
+  *   - output is INCREMENTAL and budgeted: the full suite record prints
+  *     before the ladder starts and again after every finished ladder
+  *     family (each line is a complete record), and families past
+  *     `SPARK_GRAFT_BENCH_BUDGET_SEC` are skipped by name — a harness
+  *     timeout can truncate the ladder but can no longer erase the run
+  *     (round 9 ended rc=124 with zero parseable output; this is the fix).
   */
 object Bench {
 
@@ -98,6 +104,14 @@ object Bench {
     // N>=5: the median survives two simultaneous neighbor spikes
     val runs  = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "10").toInt
+    // Hard wall-clock budget for the WHOLE bench: once exceeded, remaining
+    // ladder families are skipped (and named as skipped in the output)
+    // instead of letting the harness's timeout kill the process with zero
+    // output, as happened to the round-9 run (rc 124, parsed null).
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1380").toDouble
+    val tMain0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tMain0) / 1e9
     var spark = mkSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     var listener = new TaskMetricsListener
@@ -122,30 +136,35 @@ object Bench {
       case None        => SparkEntry.queries
     }).toVector
 
-    /** One timed execution; returns (wallSec, cpuSec, shufReadB, shufWriteB).
-      * The noop sink forces full materialization of every output column
+    /** One timed execution; returns (wallSec, cpuSec, shufReadB, shufWriteB,
+      * ok). The noop sink forces full materialization of every output column
       * (a bare count() would let Catalyst prune the projection and
-      * under-report the real query cost). */
+      * under-report the real query cost). A failed run is flagged, not
+      * swallowed: the ladder excludes failed samples from its min, so a
+      * fast-because-it-crashed attempt can never masquerade as a fast run. */
     def timed(name: String, fn: (SparkSession, String) => DataFrame,
-              dir: String): (Double, Double, Long, Long) = {
+              dir: String): (Double, Double, Long, Long, Boolean) = {
       drainListeners(spark.sparkContext)
       val (c0, r0, w0) = listener.snapshot
       val t0 = System.nanoTime()
-      try { fn(spark, dir).write.format("noop").mode("overwrite").save() } catch {
-        case e: Throwable =>
-          // a failing query must be loud: a swallowed exception reads as
-          // a suspiciously fast query in the benchmark output
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          if (!failed.contains(name)) failed ::= name
-      }
+      val ok =
+        try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            // a failing query must be loud: a swallowed exception reads as
+            // a suspiciously fast query in the benchmark output
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            if (!failed.contains(name)) failed ::= name
+            false
+        }
       val wall = (System.nanoTime() - t0) / 1e9
       drainListeners(spark.sparkContext)
       val (c1, r1, w1) = listener.snapshot
-      (wall, (c1 - c0) / 1e9, r1 - r0, w1 - w0)
+      (wall, (c1 - c0) / 1e9, r1 - r0, w1 - w0, ok)
     }
 
     val samples = collection.mutable.Map.empty[String,
-      collection.mutable.ArrayBuffer[(Double, Double, Long, Long)]]
+      collection.mutable.ArrayBuffer[(Double, Double, Long, Long, Boolean)]]
     for (rep <- 0 until runs) {
       // rotate by a stride coprime-ish with the suite size: each query
       // gets different neighbors each pass, so a sustained host spike
@@ -176,39 +195,83 @@ object Bench {
       s"\"$name\":${median(samples(name).map(_._4.toDouble).toSeq).toLong}" }
       .mkString("{", ",", "}")
 
+    val total = r4(selected.map { case (n, _) => medianSec(n) }.sum)
+
+    /** Emit ONE complete self-contained result line with whatever ladder
+      * data exists so far. Called after the suite and again after every
+      * ladder family: whichever line is the last on stdout when the
+      * process ends (normally or by the harness's timeout) is a full,
+      * parseable record — the round-9 failure mode (timeout => zero
+      * output, because the single JSON line printed only at the very end)
+      * cannot recur. */
+    def emit(ladderJson: String): Unit = {
+      val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"dispersion":$disp,"task_cpu_sec":$cpu,"shuffle_read_bytes":$srd,"shuffle_write_bytes":$swr,"scale_ladder":$ladderJson,"errors":$errs,"sf":"$sfDir"}""")
+      Console.out.flush()
+    }
+
     // ---- scale ladder: heavy families on a key-shifted scaleN x input ----
-    val ladder =
-      if (scaleN <= 1 || only.isDefined) "{}"
-      else {
-        val dir = ScaleLadder.materialize(spark, sfDir, scaleN)
-        ScaleLadder.queries.flatMap { name =>
-          SparkEntry.queries.get(name).map { fn =>
-            // Fresh context per family: both sides of the ratio measured
-            // under identical clean conditions (see scaladoc). Warm once,
-            // then min-of-3: steady state, robust to two neighbor spikes —
-            // the sf side's ~1s runs are fixed-overhead dominated, so one
-            // noisy denominator sample would swing the ratio by 2-3x.
+    // Budgeted and incremental: the suite result is already on stdout
+    // before the first ladder job runs, each finished family re-emits the
+    // full record, and families that would overrun SPARK_GRAFT_BENCH_BUDGET_SEC
+    // are skipped BY NAME rather than letting the harness kill the process.
+    val ladderNote = s"key-shifted copies of $sfDir; fresh context per " +
+      "family group; warm + min-of-2 successful runs on both ratio sides"
+    def ladderJson(entries: Seq[String], skipped: Seq[String],
+                   status: String): String = {
+      val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"factor":$scaleN,"status":"$status","note":"$ladderNote","skipped":$sk,"queries":${entries.mkString("{", ",", "}")}}"""
+    }
+
+    if (scaleN <= 1 || only.isDefined) emit("{}")
+    else if (elapsedSec > budgetSec) {
+      emit(ladderJson(Nil, ScaleLadder.queries, "skipped_budget"))
+    } else {
+      emit(ladderJson(Nil, Nil, "in_progress"))
+      val dir = ScaleLadder.materialize(spark, sfDir, scaleN)
+      val entries = collection.mutable.ArrayBuffer.empty[String]
+      val skipped = collection.mutable.ArrayBuffer.empty[String]
+      val families =
+        ScaleLadder.queries.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+      families.zipWithIndex.foreach { case ((name, fn), i) =>
+        if (elapsedSec > budgetSec) skipped += name
+        else {
+          // Fresh context per SMALL GROUP of families: a long-lived bench
+          // session contaminates timings (see scaladoc), but a context per
+          // family made the round-9 ladder itself blow the harness budget.
+          // ~6 heavy executions per context is far below the ~400-execution
+          // contamination horizon.
+          if (i % 3 == 0) {
             spark.stop()
             spark = mkSession(cpus)
             spark.sparkContext.setLogLevel("WARN")
             listener = new TaskMetricsListener
             spark.sparkContext.addSparkListener(listener)
             warmup()
-            def minOf3(d: String): (Double, Double, Long, Long) = {
-              timed(s"scale:$name(warm)", fn, d)
-              Seq.fill(3)(timed(s"scale:$name", fn, d)).minBy(_._1)
-            }
-            val sfSide = minOf3(sfDir)
-            val (wall, cpuS, rdB, wrB) = minOf3(dir)
-            val ratio = if (sfSide._1 > 0) r4(wall / sfSide._1) else -1.0
-            s"""\"$name\":{\"sec\":${r4(wall)},\"sf_sec\":${r4(sfSide._1)},\"ratio_vs_sf\":$ratio,\"cpu_sec\":${r4(cpuS)},\"sf_cpu_sec\":${r4(sfSide._2)},\"shuffle_read\":$rdB,\"shuffle_write\":$wrB}"""
           }
-        }.mkString(s"""{\"factor\":$scaleN,\"note\":\"key-shifted copies of $sfDir; fresh context per family; min-of-3 steady-state on both ratio sides\",\"queries\":{""", ",", "}}")
+          // Warm once, then min over the SUCCESSFUL of 2 timed runs:
+          // steady-state on both sides, and a failed attempt's bogus-fast
+          // wall time can never be selected as the family's number.
+          def minOf2(d: String): Option[(Double, Double, Long, Long)] = {
+            timed(s"scale:$name(warm)", fn, d)
+            val ok = Seq.fill(2)(timed(s"scale:$name", fn, d)).filter(_._5)
+            if (ok.isEmpty) None
+            else Some(ok.minBy(_._1)).map(t => (t._1, t._2, t._3, t._4))
+          }
+          val entry = (minOf2(sfDir), minOf2(dir)) match {
+            case (Some(sf), Some((wall, cpuS, rdB, wrB))) =>
+              val ratio = if (sf._1 > 0) r4(wall / sf._1) else -1.0
+              s"""\"$name\":{\"sec\":${r4(wall)},\"sf_sec\":${r4(sf._1)},\"ratio_vs_sf\":$ratio,\"cpu_sec\":${r4(cpuS)},\"sf_cpu_sec\":${r4(sf._2)},\"shuffle_read\":$rdB,\"shuffle_write\":$wrB}"""
+            case _ =>
+              s"""\"$name\":{\"sec\":-1,\"sf_sec\":-1,\"ratio_vs_sf\":-1,\"failed\":true}"""
+          }
+          entries += entry
+          emit(ladderJson(entries.toSeq, skipped.toSeq, "in_progress"))
+        }
       }
-
-    val errs  = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = r4(selected.map { case (n, _) => medianSec(n) }.sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"dispersion":$disp,"task_cpu_sec":$cpu,"shuffle_read_bytes":$srd,"shuffle_write_bytes":$swr,"scale_ladder":$ladder,"errors":$errs,"sf":"$sfDir"}""")
+      emit(ladderJson(entries.toSeq, skipped.toSeq,
+        if (skipped.isEmpty) "complete" else "budget_exhausted"))
+    }
     spark.stop()
   }
 }
@@ -222,13 +285,16 @@ object Bench {
 object ScaleLadder {
   /** The families whose cost is dominated by the scaled tables: per-key
     * compaction fold, snapshot MERGE, incremental agg, dedup sketches,
-    * ANN. Near-linear `ratio_vs_sf` here is the survives-100x evidence. */
+    * ANN. Near-linear `ratio_vs_sf` here is the survives-100x evidence.
+    * ORDER IS PRIORITY ORDER: when the wall-clock budget runs short the
+    * tail is skipped, so the families whose scale receipts past rounds
+    * demanded (compact_lineitem, compact_fast, decontam, dedup_exact)
+    * run first. */
   val queries: Seq[String] = Seq(
-    "cdc_compact_lineitem", "cdc_compact", "cdc_compact_fast",
-    "cdc_merge_into", "cdc_incremental_agg",
-    "dedup_exact", "dedup_minhash", "dedup_simhash",
-    "ann_topk", "ann_ivf",
-    "decontam_overlap", "text_tfidf")
+    "cdc_compact_lineitem", "cdc_compact_fast", "decontam_overlap",
+    "dedup_exact", "cdc_compact", "cdc_merge_into",
+    "cdc_incremental_agg", "dedup_minhash", "dedup_simhash",
+    "ann_topk", "ann_ivf", "text_tfidf")
 
   private val Stride = 1_000_000_000L
 

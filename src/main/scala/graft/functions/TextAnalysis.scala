@@ -281,6 +281,12 @@ object TextAnalysisImpl {
     * single-space joined. Mirrors the SQL `generate_series(0, n-1,
     * stride)` + slice form exactly. */
   def tokenChunks(text: UTF8String, size: Int, overlap: Int): ArrayData = {
+    // duplicated from the Column wrapper: the kernel is callable directly
+    // (and from generated code), and overlap >= size would otherwise be a
+    // divide-by-zero / negative-stride, not a clear error
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap for size $size")
     if (text == null) return null
     val raw = text.toString
     var lo = 0

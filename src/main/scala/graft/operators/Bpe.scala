@@ -42,14 +42,33 @@ import graft.functions.TextAnalysis
   */
 object Bpe {
 
+  /** Truncate `seg`'s lineage every this many merge rounds: without the
+    * cut, round r's plan carries r composed `replace`s and Catalyst
+    * re-analyzes the whole chain every round — O(k^2) analysis for a
+    * k-merge vocabulary, which is what makes a thousands-of-merges
+    * production training run infeasible in one lineage. A localCheckpoint
+    * pins a vocab-sized snapshot (bounded by the language, not the
+    * corpus), so the cost per cut is small and per-round work stays
+    * bounded by `CheckpointEvery` replaces. */
+  private val CheckpointEvery = 16
+
   /** Train `rounds` BPE merges; returns one row per performed round:
     * `(round, pair_left, pair_right, merged, freq)`, in round order.
     * Stops early if the vocabulary runs out of pairs (fully merged). */
   def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
+    trainMergesList(docs, textCol, rounds)
+      .toDF("round", "pair_left", "pair_right", "merged", "freq")
+  }
 
+  /** [[trainMerges]], returning the merge list as driver-local data (the
+    * result is one row per round by construction — it IS driver-sized).
+    * Callers that both publish the vocabulary and encode with it share
+    * one training run through this form instead of training twice. */
+  def trainMergesList(docs: DataFrame, textCol: String,
+      rounds: Int): Seq[(Int, String, String, String, Long)] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // the ONE corpus-sized scan, MATERIALIZED: each round's argmax
     // executes its full lineage, which without the persist is a corpus
     // re-scan per round (measured: 6.0s for 6 rounds at sf0.1; the
@@ -79,10 +98,16 @@ object Bpe {
           merges += ((r, left, right, left + right, freq))
           seg = seg.withColumn("seg",
             replaceAll(col("seg"), s" $left  $right ", s" ${left + right} "))
+          // lineage cut (see CheckpointEvery): eager, so the snapshot job
+          // runs here, once, instead of inflating the next argmax. The
+          // handful of pinned vocab-sized snapshots (rounds/16) are
+          // negligible next to executor heap; a reliable checkpoint dir
+          // would be the cluster-grade variant.
+          if (r % CheckpointEvery == 0) seg = seg.localCheckpoint(true)
           r += 1
         }
       }
-      merges.result().toDF("round", "pair_left", "pair_right", "merged", "freq")
+      merges.result()
     } finally words.unpersist(blocking = false)
   }
 

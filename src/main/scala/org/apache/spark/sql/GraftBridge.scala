@@ -20,9 +20,15 @@ object GraftBridge {
 
   /** Register a SQL function on an EXISTING session (the
     * `SparkSessionExtensions` path only applies at session build time;
-    * tests and notebooks attach to live sessions). */
+    * tests and notebooks attach to live sessions). Idempotent: a name
+    * already in the registry is left alone, so repeated `register` calls
+    * (one per bench/verify query construction) don't emit a WARN
+    * "replaced a previously registered function" per function per call. */
   def registerFunction(spark: SparkSession, name: String,
-      builder: Seq[Expression] => Expression): Unit =
-    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "scala_udf")
+      builder: Seq[Expression] => Expression): Unit = {
+    val reg = spark.asInstanceOf[classic.SparkSession]
+      .sessionState.functionRegistry
+    if (!reg.functionExists(catalyst.FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
 }

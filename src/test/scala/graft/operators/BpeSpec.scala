@@ -58,6 +58,60 @@ class BpeSpec extends AnyFunSuite with Matchers {
       (2, "aa", "aa", "aaaa", 1L))
   }
 
+  test("55 merge rounds stay correct and bounded (lineage checkpoints)") {
+    // A corpus rich enough to sustain >50 distinct merges: 60 distinct
+    // 6-letter words built from overlapping 2-letter syllables, with
+    // varied counts so frequency ordering is exercised. Every round is
+    // cross-checked against an in-memory reference trainer with the same
+    // semantics (position-counted adjacent pairs, freq-desc / pair-asc
+    // tie-break, greedy left-to-right non-overlapping merge), so the
+    // checkpointed distributed loop is verified merge-by-merge deep past
+    // the CheckpointEvery=16 lineage cuts.
+    def syl(k: Int): String =
+      "" + ('a' + k % 26).toChar + ('a' + (k * 3 + 1) % 26).toChar
+    val words = (0 until 60).map(i => syl(i) + syl((i * 7 + 3) % 60) + syl((i * 13 + 5) % 60))
+    val rows = words.zipWithIndex.flatMap { case (w, i) => Seq.fill(i % 3 + 1)(w) }
+    val wc = collection.mutable.Map.empty[String, Long]
+    rows.foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1)
+
+    // reference trainer over symbol lists
+    var segs: Map[String, List[String]] =
+      wc.keys.map(w => w -> w.map(_.toString).toList).toMap
+    def mergeSyms(s: List[String], l: String, r: String): List[String] = {
+      val out = collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.toList
+    }
+    val expected = collection.mutable.ListBuffer.empty[(Int, String, String, String, Long)]
+    for (r <- 1 to 55) {
+      val freq = collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (w, s) =>
+        s.sliding(2).filter(_.size == 2).foreach { p =>
+          freq((p(0), p(1))) = freq.getOrElse((p(0), p(1)), 0L) + wc(w)
+        }
+      }
+      if (freq.nonEmpty) {
+        val ((l, rt), f) = freq.minBy { case ((a, b), n) => (-n, s"$a $b") }
+        expected += ((r, l, rt, l + rt, f))
+        segs = segs.map { case (w, s) => w -> mergeSyms(s, l, rt) }
+      }
+    }
+    expected.size shouldBe 55 // the corpus really sustains all 55 rounds
+
+    val t0 = System.nanoTime()
+    val m = Bpe.trainMerges(rows.toDF("text"), "text", rounds = 55)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    m shouldBe expected.toSeq
+    // generous ceiling: 55 vocab-sized jobs are seconds of work; a
+    // quadratic analysis blow-up or a lost checkpoint shows up here
+    wallSec should be < 180.0
+  }
+
   test("merge replacement respects symbol boundaries") {
     // after merging (a,b)->ab, the word "xab" segments [x,a,b]: its (a,b)
     // also merges to [x, ab]; the pattern must NOT touch the 'a' inside a

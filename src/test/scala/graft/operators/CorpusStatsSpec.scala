@@ -94,6 +94,16 @@ class CorpusStatsSpec extends AnyFunSuite with Matchers {
       .select(explode(TextAnalysis.tokenChunks(col("text"), 64, 8)).as("c"))
       .as[String].collect().toSeq
     out3 shouldBe Seq("hello world")
+    // degenerate geometry is a clear error, not a /-by-zero: overlap ==
+    // size (stride 0) and overlap > size (negative stride) both refuse,
+    // in the Column wrapper and in the kernel itself
+    an[IllegalArgumentException] shouldBe thrownBy(
+      TextAnalysis.tokenChunks(col("text"), 4, 4))
+    an[IllegalArgumentException] shouldBe thrownBy(
+      TextAnalysis.tokenChunks(col("text"), 4, 7))
+    an[IllegalArgumentException] shouldBe thrownBy(
+      graft.functions.TextAnalysisImpl.tokenChunks(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a b c"), 2, 2))
   }
 
   test("decontaminate beyond-broadcast regime is row-identical to broadcast") {
