@@ -158,10 +158,17 @@ object PgReplication {
       * status if the interval has elapsed, else None. The live loop calls
       * this on read timeouts so a quiet server still sees the client's
       * position on schedule — the reference's loop sends its status on a
-      * timer independent of inbound traffic (stream.go:117-131). */
+      * timer independent of inbound traffic (stream.go:117-131). The
+      * FIRST poll arms the timer: on a fully quiet stream (e.g.
+      * wal_sender_timeout=0, no server keepalives, no changes) unsolicited
+      * statuses still go out one interval after the session starts
+      * pumping, so the slot's confirmed LSN advances server-side and WAL
+      * retention stays bounded — without the arming, a silent stream
+      * would never send any status at all. */
     def maybeHeartbeat(nowMicros: Long): Option[Array[Byte]] =
-      if (closedFlag || lastStatusMicros == Long.MinValue ||
-          nowMicros - lastStatusMicros < standbyIntervalMicros) None
+      if (closedFlag) None
+      else if (lastStatusMicros == Long.MinValue) { lastStatusMicros = nowMicros; None }
+      else if (nowMicros - lastStatusMicros < standbyIntervalMicros) None
       else Some(status(nowMicros, replyRequested = false))
 
     /** Feed one CopyData frame. `nowMicros` is the wall clock (unix µs),
@@ -171,6 +178,9 @@ object PgReplication {
         throw new IllegalStateException("session closed: CopyDone already sent")
       val due = lastStatusMicros != Long.MinValue &&
         nowMicros - lastStatusMicros >= standbyIntervalMicros
+      // arm the heartbeat clock on ANY first traffic (keepalives included):
+      // from here on, statuses go out at least every standby interval
+      if (lastStatusMicros == Long.MinValue) lastStatusMicros = nowMicros
       decodeCopyData(frame) match {
         case PrimaryKeepalive(end, _, reply) =>
           FeedResult(Nil,
@@ -178,8 +188,6 @@ object PgReplication {
             Some(end))
         case XLogData(_, _, _, payload) =>
           val msgs = decoder.feed(payload)
-          // arm the heartbeat clock on first traffic
-          if (lastStatusMicros == Long.MinValue) lastStatusMicros = nowMicros
           FeedResult(msgs,
             if (due) Some(status(nowMicros, replyRequested = false)) else None,
             None)

@@ -118,20 +118,28 @@ final class SocketCopyTransport(socket: Socket, pollMillis: Int = 200)
       try in.read()
       catch { case _: SocketTimeoutException => return None }
     if (t < 0) throw new EOFException("server closed the stream")
-    try {
-      val len = in.readInt()
-      require(len >= 4, s"bad frame length $len")
-      val body = new Array[Byte](len - 4)
-      in.readFully(body)
-      t.toChar match {
-        case 'd' => Some(body)
-        case 'c' => throw new EOFException("server CopyDone")
-        case other =>
-          throw new IllegalStateException(s"unexpected message '$other' in COPY BOTH")
+    val body =
+      try {
+        val len = in.readInt()
+        require(len >= 4, s"bad frame length $len")
+        val b = new Array[Byte](len - 4)
+        in.readFully(b)
+        b
+      } catch {
+        case e: SocketTimeoutException =>
+          throw new java.io.IOException("timeout mid-frame: stream desynced", e)
+        case e: EOFException =>
+          // an EOF after the type byte but before the body completes is a
+          // TRUNCATED frame, not a clean stream end: escalate like the
+          // mid-frame timeout so the runner doesn't mistake it for a
+          // graceful server EOF and "drain" into a desynced peer
+          throw new java.io.IOException("EOF mid-frame: stream truncated", e)
       }
-    } catch {
-      case e: SocketTimeoutException =>
-        throw new java.io.IOException("timeout mid-frame: stream desynced", e)
+    t.toChar match {
+      case 'd' => Some(body)
+      case 'c' => throw new EOFException("server CopyDone")
+      case other =>
+        throw new IllegalStateException(s"unexpected message '$other' in COPY BOTH")
     }
   }
 

@@ -119,6 +119,29 @@ class ReplicationRunnerSpec extends AnyFunSuite with Matchers {
     session.isClosed shouldBe true
   }
 
+  test("an EOF mid-frame is a desync (IOException), not a graceful stream end") {
+    val server = new ServerSocket(0)
+    val serverThread = new Thread(() => {
+      val s = server.accept()
+      val out = new java.io.DataOutputStream(s.getOutputStream)
+      out.writeByte('d'); out.writeInt(100); out.write(Array[Byte](1, 2, 3))
+      out.flush()
+      s.close() // 93 promised bytes never arrive
+    })
+    serverThread.start()
+    val socket = new Socket("127.0.0.1", server.getLocalPort)
+    val transport = new SocketCopyTransport(socket, pollMillis = 1000)
+    val e = intercept[java.io.IOException] {
+      // poll until the truncation surfaces (None = timeout is fine)
+      var n = 0
+      while (n < 50) { transport.readFrame(); n += 1 }
+    }
+    e shouldNot be(an[EOFException]) // desync, not clean EOF
+    e.getMessage should include("mid-frame")
+    serverThread.join(5000)
+    transport.close(); server.close()
+  }
+
   test("socket integration: COPY BOTH framing round-trips over a loopback socket") {
     val server = new ServerSocket(0)
     val serverGotStatus = new ConcurrentLinkedQueue[StandbyStatus]()
