@@ -15,8 +15,9 @@ import graft.functions.TextAnalysis
   * the standard guard against test-set leakage into training data.
   *
   * Scale shape (100 TB corpus, eval set of any size). The eval side is
-  * measured (character mass — one narrow scan of the small table) and the
-  * regime follows:
+  * measured (its distinct n-gram set is materialized, persisted and
+  * counted in one pass — the same cached set every downstream join then
+  * probes) and the regime follows:
   *
   *   - **broadcast regime** (benchmark-sized evals, the common case): the
   *     distinct eval n-gram set is BROADCAST and the corpus side is a
@@ -24,7 +25,7 @@ import graft.functions.TextAnalysis
   *     with map-side partials. The corpus is never shuffled except for the
   *     one-row-per-(doc, partition) partial-agg exchange.
   *   - **beyond-broadcast regime** (eval past
-  *     [[Decontaminate.MaxBroadcastTokens]] estimated tokens): the per-doc
+  *     [[Decontaminate.MaxBroadcastTokens]] distinct n-grams): the per-doc
   *     n-gram DENOMINATOR moves out of the join entirely
   *     (`size(wordNgrams(text))` in the corpus scan), and the HIT count
   *     becomes a Bloom-prefiltered INNER shuffle join — a ~1%-fpp Bloom
@@ -39,15 +40,11 @@ import graft.functions.TextAnalysis
   */
 object Decontaminate {
 
-  /** Eval-set size (estimated tokens ≈ distinct n-grams upper bound) above
-    * which the broadcast regime would strain the driver/executors and the
-    * Bloom-prefiltered shuffle regime takes over. ~2M 5-gram strings is
-    * roughly a half-GB hash relation — past any sane broadcast budget. */
+  /** Eval-set size (distinct n-grams) above which the broadcast regime
+    * would strain the driver/executors and the Bloom-prefiltered shuffle
+    * regime takes over. ~2M 5-gram strings is roughly a half-GB hash
+    * relation — past any sane broadcast budget. */
   val MaxBroadcastTokens: Long = 2_000_000L
-
-  /** Average chars per whitespace token (English-ish corpora run 5-6 plus
-    * the separator); used only for the regime decision, conservatively. */
-  private val CharsPerToken = 6L
 
   /** Per-training-document n-gram overlap against `eval`.
     *
@@ -65,16 +62,24 @@ object Decontaminate {
   def overlap(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.5,
       maxBroadcastTokens: Long = MaxBroadcastTokens): DataFrame = {
+    // ONE materialized pass over the eval side, deliberately eager: the
+    // distinct n-gram set is persisted and counted here. The exact count
+    // IS the regime signal (better than a chars-per-token estimate), and
+    // the persist pins the set so a non-deterministic or expensive eval
+    // lineage cannot pick the regime on different data than the joins
+    // probe — the broadcast build, the Bloom build, and the exact-verify
+    // join all read this one cached copy instead of re-running the eval
+    // lineage (it was evaluated up to 3x before). The cache entry is
+    // eval-sized and LRU-evicted; callers looping over many eval sets can
+    // unpersist via eval.sparkSession.catalog.clearCache() between runs.
     val evalNgrams = eval
       .select(explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__ngram"))
       .distinct()
-
-    // Measured regime selection: one narrow scan of the (small) eval side.
-    val evalChars = eval.agg(coalesce(sum(length(col(textCol))), lit(0L))).head().getLong(0)
-    val estTokens = evalChars / CharsPerToken
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEvalNgrams = evalNgrams.count()
 
     val counted =
-      if (estTokens <= maxBroadcastTokens) {
+      if (nEvalNgrams <= maxBroadcastTokens) {
         train
           .select(col(idCol), explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__ngram"))
           .join(broadcast(evalNgrams.withColumn("__hit", lit(1L))),
@@ -86,7 +91,7 @@ object Decontaminate {
         val trainNgrams = train
           .select(col(idCol), explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__ngram"))
         val hits = bloomFiltered(trainNgrams, evalNgrams, "__ngram",
-            expectedItems = math.max(estTokens, 1L))
+            expectedItems = math.max(nEvalNgrams, 1L))
           .join(evalNgrams, Seq("__ngram"))
           .groupBy(col(idCol))
           .agg(count(lit(1)).as("n_hits"))

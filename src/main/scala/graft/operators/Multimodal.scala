@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * (codec init, GPU handle) across a batch — the Scala analogue of a
   * batched pandas-UDF pipeline.
   *
-  * The decoder itself is a clearly-marked STUB (no image/audio codecs ship
-  * in this environment): [[Multimodal.stubDecode]] derives deterministic
-  * fake features from the bytes. The Spark-side contract — schema, batch
-  * iteration, partition-local execution, metadata passthrough — is the real
-  * deliverable and is exercised by tests and the `multimodal_meta` query.
+  * IMAGE decode and resize are REAL: the JDK's `javax.imageio` handles
+  * PNG/JPEG/GIF/BMP with no external codecs, so width/height come from the
+  * actual bitstream and resize is a bilinear raster rescale. Payloads
+  * ImageIO cannot parse (audio/video/corrupt/non-image) fall back to
+  * [[Multimodal.stubDecode]] — deterministic fake features — so the
+  * pipeline stays total over arbitrary corpora and the oracle-gated
+  * queries (which feed text bytes) stay pinned. Audio/video codecs are
+  * still declared stubs.
   */
 object Multimodal {
 
@@ -35,12 +38,33 @@ object Multimodal {
       MediaFeatures(r.id, n, n % 64, (n / 64) % 64, r.format)
     }
 
+  /** REAL image decode: `ImageIO.read` over the payload bytes. None when
+    * no installed reader claims the bitstream (or it is corrupt) — the
+    * caller's cue to fall back to the stub. Total: never throws. */
+  def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.length == 0) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+  /** One batch through the real decoder, stub fallback per record (see
+    * class doc). A real deployment swaps [[stubDecode]] for the
+    * audio/video codec; the image path needs no swap. */
+  def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      readImage(r.media) match {
+        case Some(img) =>
+          MediaFeatures(r.id, r.media.length, img.getWidth, img.getHeight, r.format)
+        case None => stubDecode(Seq(r)).head
+      }
+    }
+
   /** Partition-local batched decode: groups the partition iterator into
     * `batchSize` chunks (the unit a vectorized decoder would receive) —
     * never materializes the partition. */
   def decodeFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(batchSize).flatMap(stubDecode))
+    ds.mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
   }
 
   /** Lift a text/blob column into the standard media frame:
@@ -75,6 +99,33 @@ object Multimodal {
             java.util.Arrays.copyOfRange(r.media, off.toInt, off.toInt + frameSize))
         }
     }
+  }
+
+  /** REAL image resize: bilinear raster rescale to `width`x`height`,
+    * re-encoded as PNG (lossless, so specs can pin pixels). Payloads that
+    * are not decodable images pass through unchanged — resize composes
+    * with mixed-media corpora without a pre-filter. Partition-local, no
+    * shuffle; one decoder/encoder per record is the JDK shape (ImageIO
+    * readers are not shareable across threads). */
+  def resizeImages(ds: Dataset[MediaRecord], width: Int,
+      height: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      readImage(r.media) match {
+        case Some(img) =>
+          val scaled = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = scaled.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, width, height, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(scaled, "png", bos)
+          r.copy(media = bos.toByteArray, format = "png")
+        case None => r
+      }
+    })
   }
 
   /** ==== STUB ==== resize/transcode: deterministic byte-decimation to

@@ -185,9 +185,15 @@ final class SnowflakeSql(database: String, schema: String) {
         .map(c => element_at(col("keyBefore"), c.name).as(s"_IDENTITY_${up(c.name)}")) ++
         Seq((col("op") === "D").as("_DELETE_ROW")) ++
         rel.columns.map(c => valueOf(c).as(up(c.name))) ++
-        rel.columns.map(c => array_contains(col("unchanged"), c.name)
+        // delete rows carry NO flag values: the reference's CSV leaves
+        // these fields empty on deletes (columnDefForLoading's delete
+        // branches), and the MERGE's delete arm wins before either flag is
+        // read — so emit SQL NULL, not a fabricated false, for byte parity
+        rel.columns.map(c => when(col("op") =!= "D",
+          array_contains(col("unchanged"), c.name))
           .as(s"_IS_UNCHANGED_${up(c.name)}")) ++
-        rel.columns.map(c => array_contains(col("nulls"), c.name)
+        rel.columns.map(c => when(col("op") =!= "D",
+          array_contains(col("nulls"), c.name))
           .as(s"_IS_NULL_${up(c.name)}")): _*)
   }
 }

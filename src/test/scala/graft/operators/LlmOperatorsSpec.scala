@@ -105,6 +105,60 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
     feats(1L).height shouldBe (n / 64) % 64
   }
 
+  test("real image decode: PNG/JPEG dimensions from the bitstream, stub fallback for non-images") {
+    import spark.implicits._
+    // real fixture bytes: a 8x5 PNG and a 12x7 JPEG encoded by ImageIO
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, ((x * 37 + y * 91) << 8) | 0x204060)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = encode(8, 5, "png")
+    val jpg = encode(12, 7, "jpg")
+    val txt = "not an image at all".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.MediaRecord(1L, png, "png"),
+      Multimodal.MediaRecord(2L, jpg, "jpeg"),
+      Multimodal.MediaRecord(3L, txt, "txt")).toDS()
+    val feats = Multimodal.decodeFeatures(media, batchSize = 2)
+      .collect().map(f => f.id -> f).toMap
+    feats(1L).width shouldBe 8
+    feats(1L).height shouldBe 5
+    feats(1L).nBytes shouldBe png.length
+    feats(2L).width shouldBe 12
+    feats(2L).height shouldBe 7
+    // non-image payload: deterministic stub features, not a crash
+    feats(3L).width shouldBe txt.length % 64
+    feats(3L).height shouldBe (txt.length / 64) % 64
+  }
+
+  test("real image resize rescales the raster; non-images pass through") {
+    import spark.implicits._
+    // a solid-color image survives bilinear rescale with its color intact
+    val img = new java.awt.image.BufferedImage(16, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val color = 0x336699
+    for (x <- 0 until 16; y <- 0 until 10) img.setRGB(x, y, color)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val txt = "still not an image".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.MediaRecord(1L, bos.toByteArray, "png"),
+      Multimodal.MediaRecord(2L, txt, "txt")).toDS()
+    val out = Multimodal.resizeImages(media, width = 4, height = 3)
+      .collect().map(r => r.id -> r).toMap
+    val back = Multimodal.readImage(out(1L).media).get
+    back.getWidth shouldBe 4
+    back.getHeight shouldBe 3
+    (back.getRGB(2, 1) & 0xFFFFFF) shouldBe color // PNG is lossless
+    out(1L).format shouldBe "png"
+    out(2L).media shouldBe txt // untouched passthrough
+  }
+
   test("frame sampling fans out strided windows; resize decimates; embed is stable") {
     import spark.implicits._
     val media = Seq(

@@ -111,5 +111,9 @@ class SnowflakeSqlSpec extends AnyFunSuite with Matchers {
     rows(0).getAs[Boolean]("_IS_UNCHANGED_META") shouldBe true
     rows(0).getAs[Boolean]("_IS_NULL_BAL") shouldBe true
     rows(1).getAs[Boolean]("_DELETE_ROW") shouldBe true
+    // delete rows leave the flag fields EMPTY (SQL NULL -> empty CSV
+    // field), matching the reference's staged-file bytes
+    rows(1).isNullAt(rows(1).fieldIndex("_IS_UNCHANGED_META")) shouldBe true
+    rows(1).isNullAt(rows(1).fieldIndex("_IS_NULL_BAL")) shouldBe true
   }
 }
