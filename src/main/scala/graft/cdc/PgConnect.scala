@@ -333,6 +333,22 @@ object PgConnect {
       sys.error("unreachable")
     }
 
+    /** `CREATE_REPLICATION_SLOT … LOGICAL pgoutput EXPORT_SNAPSHOT` over
+      * the replication connection (the walsender command the reference
+      * issues at stream.go:53-68): returns the exported consistent
+      * snapshot name + consistent-point LSN for [[SlotLifecycle]]'s
+      * backfill-from-snapshot alignment. The snapshot stays valid only
+      * while THIS connection is open. */
+    def createReplicationSlot(slotName: String): SlotLifecycle.CreatedSlot = {
+      val slot = "\"" + slotName.replace("\"", "\"\"") + "\""
+      val r = simpleQuery(
+        s"CREATE_REPLICATION_SLOT $slot LOGICAL pgoutput EXPORT_SNAPSHOT")
+      SlotLifecycle.CreatedSlot(
+        snapshotName = r.first("snapshot_name").getOrElse(
+          throw new IOException("CREATE_REPLICATION_SLOT returned no snapshot_name")),
+        consistentPoint = r.first("consistent_point").map(Lsn.parse).getOrElse(0L))
+    }
+
     def identifySystem(): IdentifySystem = {
       val r = simpleQuery("IDENTIFY_SYSTEM")
       IdentifySystem(
