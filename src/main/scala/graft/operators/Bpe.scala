@@ -111,6 +111,79 @@ object Bpe {
     } finally words.unpersist(blocking = false)
   }
 
+  /** PRODUCTION-SCALE training: `batchK` merges selected per round
+    * instead of one — the standard fast-BPE-trainer approximation (also
+    * how a 32k-merge vocabulary becomes ~32k/K Spark jobs instead of
+    * 32k). Per round, ONE pair-count job ranks all pairs
+    * (freq desc, pair asc — same order as exact training) and the top K
+    * pairs with pairwise-DISJOINT symbols are merged together: the
+    * disjointness guarantee means no selected pair's symbols were
+    * produced or consumed by another merge in the same batch, so each
+    * selected pair's count was exact at selection time. Counts of
+    * NEIGHBORING pairs do shift within a batch (as in every batched
+    * trainer), so for K > 1 the merge sequence can diverge from exact
+    * BPE's; `batchK = 1` is exactly [[trainMerges]] (spec-pinned).
+    * Merges within a batch apply greedily in rank order through the same
+    * composed-replace chain as encode, and lineage checkpoints as in
+    * exact training. Returns `(round, rank, pair_left, pair_right,
+    * merged, freq)` — freq as measured at the batch's selection point. */
+  def trainMergesBatched(docs: DataFrame, textCol: String, totalMerges: Int,
+      batchK: Int): DataFrame = {
+    require(totalMerges >= 1, s"totalMerges must be >= 1, got $totalMerges")
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .persist()
+    try {
+      var seg = words.withColumn("seg", charSeg(col("word"))).select(col("wc"), col("seg"))
+      val out = Seq.newBuilder[(Int, Int, String, String, String, Long)]
+      var done = 0
+      var round = 1
+      var exhausted = false
+      var sinceCheckpoint = 0
+      while (done < totalMerges && !exhausted) {
+        val want = math.min(batchK, totalMerges - done)
+        // over-fetch: disjointness filtering drops some of the top ranks,
+        // and the filter must run in rank order over a driver-sized list
+        val ranked = seg
+          .select(col("wc"), explode(TextAnalysis.wordNgrams(col("seg"), 2)).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
+          .orderBy(col("freq").desc, col("pair").asc)
+          .limit(want * 4 + 16)
+          .as[(String, Long)].collect()
+        if (ranked.isEmpty) exhausted = true
+        else {
+          val used = collection.mutable.Set.empty[String]
+          val picked = ranked.iterator.flatMap { case (pair, freq) =>
+            val Array(l, r) = pair.split(" ", 2)
+            if (used.contains(l) || used.contains(r)) None
+            else { used += l; used += r; Some((l, r, freq)) }
+          }.take(want).toSeq
+          picked.zipWithIndex.foreach { case ((l, r, freq), i) =>
+            out += ((round, i + 1, l, r, l + r, freq))
+            seg = seg.withColumn("seg",
+              replaceAll(col("seg"), s" $l  $r ", s" ${l + r} "))
+            sinceCheckpoint += 1
+            if (sinceCheckpoint >= CheckpointEvery) {
+              seg = seg.localCheckpoint(true)
+              sinceCheckpoint = 0
+            }
+          }
+          done += picked.size
+          // fewer picked than wanted means disjointness starved the batch,
+          // not exhaustion — the next round's fresh count continues
+          if (picked.isEmpty) exhausted = true
+          round += 1
+        }
+      }
+      out.result().toDF("round", "rank", "pair_left", "pair_right", "merged", "freq")
+    } finally words.unpersist(blocking = false)
+  }
+
   /** The APPLY side of [[trainMerges]] — tokenize a corpus with a trained
     * merge list: per-document word and subword-token counts under the
     * vocabulary. ONE corpus scan: every word char-segments and the k

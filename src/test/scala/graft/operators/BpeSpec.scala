@@ -112,6 +112,54 @@ class BpeSpec extends AnyFunSuite with Matchers {
     wallSec should be < 180.0
   }
 
+  test("batched training: K=1 is exactly the sequential trainer") {
+    val docs = Seq("low low lower", "wider wide", "x").toDF("text")
+    val exact = Bpe.trainMerges(docs, "text", rounds = 8)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val batched = Bpe.trainMergesBatched(docs, "text",
+        totalMerges = 8, batchK = 1)
+      .as[(Int, Int, String, String, String, Long)].collect().toSeq
+    batched.map(m => (m._1, m._3, m._4, m._5, m._6)) shouldBe
+      exact.map(m => (m._1, m._2, m._3, m._4, m._5))
+    batched.foreach(_._2 shouldBe 1) // every round ranks exactly one merge
+  }
+
+  test("batched training: disjoint symbols per batch, full vocab reached, encode composes") {
+    // enough distinct structure for 30 merges in a handful of rounds
+    def syl(k: Int): String =
+      "" + ('a' + k % 26).toChar + ('a' + (k * 5 + 2) % 26).toChar
+    val words = (0 until 40).map(i => syl(i) + syl((i * 11 + 7) % 40) + syl((i * 3 + 1) % 40))
+    val docs = words.toDF("text")
+    val m = Bpe.trainMergesBatched(docs, "text", totalMerges = 30, batchK = 8)
+      .as[(Int, Int, String, String, String, Long)].collect().toSeq
+    m should have size 30
+    // far fewer driver round-trips than merges — the scale property
+    m.map(_._1).max should be <= 8
+    // within every round's batch, DIFFERENT pairs touch disjoint symbols
+    // (a self-pair like (b,b) legitimately uses its one symbol twice)
+    m.groupBy(_._1).values.foreach { batch =>
+      val sets = batch.map(b => Set(b._3, b._4))
+      for (i <- sets.indices; j <- i + 1 until sets.size)
+        (sets(i) intersect sets(j)) shouldBe empty
+    }
+    // within a batch, rank order follows freq desc / pair asc as selected
+    m.groupBy(_._1).values.foreach { batch =>
+      val ordered = batch.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._6 > b._6 ||
+            (a._6 == b._6 && s"${a._3} ${a._4}" < s"${b._3} ${b._4}"))
+        case _ => ()
+      }
+    }
+    // the trained merges compose into encode: fewer subtokens than chars
+    val ids = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val enc = Bpe.encodeTokenCounts(ids.toDF("doc_id", "text"), "doc_id", "text",
+        m.sortBy(x => (x._1, x._2)).map(x => (x._3, x._4)))
+      .agg(org.apache.spark.sql.functions.sum("n_subtokens")).head().getLong(0)
+    enc should be < words.map(_.length.toLong).sum
+  }
+
   test("merge replacement respects symbol boundaries") {
     // after merging (a,b)->ab, the word "xab" segments [x,a,b]: its (a,b)
     // also merges to [x, ab]; the pattern must NOT touch the 'a' inside a
