@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset assignment for training pipelines: stable
@@ -53,4 +54,33 @@ object Sampling {
     fractions.toSeq.sortBy(_._1).foldRight(sampledBy(key, salt, defaultFrac)) {
       case ((s, f), rest) => when(stratum === s, sampledBy(key, salt, f)).otherwise(rest)
     }
+
+  /** Greedy per-stratum BUDGET fill — the token-budget side of dataset
+    * mixing ([[stratifiedSampleBy]] is the rate side): within each
+    * stratum, rows are ordered by the same engine-stable md5 draw as
+    * [[sampledBy]] (a deterministic shuffle, uncorrelated with any data
+    * attribute) and kept while the stratum's RUNNING `weight` total stays
+    * within its budget. Greedy prefix, not a knapsack: the first
+    * overflowing row and everything after it drop. The selection is a
+    * pure function of (dataset, salt, budgets) — identical on any
+    * engine, run, or partitioning, which is the reproducibility a mixing
+    * recipe needs (rand()-based fills redraw every materialization).
+    * One shuffle (hash-partition by
+    * stratum, in-partition sort); strata fill independently in parallel,
+    * so the op scales with the number of sources, and the per-stratum
+    * sort is the honest cost of a running total. Output adds
+    * `cum_weight` (the running total including the current row). */
+  def budgetFill(df: DataFrame, keyCol: String, stratumCol: String,
+      weight: Column, salt: String, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultBudget): Column) { case ((s0, b), rest) =>
+        when(col(stratumCol) === s0, lit(b)).otherwise(rest)
+      }
+    df.withColumn("cum_weight", sum(weight).over(w))
+      .filter(col("cum_weight") <= budget)
+  }
 }

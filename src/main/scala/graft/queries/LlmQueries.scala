@@ -164,6 +164,21 @@ object LlmQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** §2.3 #43e — token-budget dataset mixing (the budget side of #43d's
+    * rate side): each source contributes documents in deterministic
+    * md5-hash order until its whitespace-token budget fills — src0 capped
+    * tight, src1 excluded outright (budget 0), everything else on the
+    * default. Greedy-prefix semantics, engine/run/partitioning-stable
+    * selection. One shuffle; strata fill in parallel. */
+  def qTokenBudgetMix(s: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      graft.operators.Sampling.budgetFill(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "source", col("n_tokens"), salt = "mix",
+        budgets = Map("src0" -> 120L, "src1" -> 0L), defaultBudget = 200L),
+      col("doc_id"))
+
   /** §2.3 #35 — embedding near-dup: top-50 all-pairs cosine on a bounded
     * id range (bucketed LSH variant gated separately in ann_lsh). */
   def embedNeardup(s: SparkSession, dir: String): DataFrame = {
@@ -552,6 +567,7 @@ object LlmQueries {
     "dedup_cluster_keep" -> (dedupClusterKeep _),
     "q_hash_split" -> (qHashSplit _),
     "q_stratified_sample" -> (qStratifiedSample _),
+    "q_token_budget_mix" -> (qTokenBudgetMix _),
     "embed_neardup" -> (embedNeardup _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
@@ -788,6 +804,20 @@ object LlmQueries {
         |  WHEN 'fr' THEN true
         |  ELSE substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
         |END
+        |ORDER BY doc_id""".stripMargin,
+    "q_token_budget_mix" ->
+      """SELECT doc_id, source, n_tokens, cum_weight FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5('mix' || CAST(doc_id AS VARCHAR))
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_weight
+        |  FROM (SELECT doc_id, source,
+        |      CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |        AS n_tokens
+        |    FROM documents))
+        |WHERE cum_weight <= (CASE source WHEN 'src0' THEN 120
+        |  WHEN 'src1' THEN 0 ELSE 200 END)
         |ORDER BY doc_id""".stripMargin,
     // same md5-hex-prefix string compare, fraction thresholds in hex:
     // 0.9 -> e666, 0.95 -> f333, 0.25 -> 4000

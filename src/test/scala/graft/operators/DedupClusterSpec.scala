@@ -89,6 +89,51 @@ class DedupClusterSpec extends AnyFunSuite with Matchers {
     kept("other").toDouble shouldBe 500.0 +- 90.0
   }
 
+  test("budget fill is a greedy hash-ordered prefix per stratum") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 50L), (2L, "a", 50L), (3L, "a", 50L), (4L, "a", 50L),
+      (5L, "b", 500L), (6L, "b", 10L), // first-by-hash may overflow
+      (7L, "c", 10L)
+    ).toDF("id", "src", "wt")
+    val kept = Sampling.budgetFill(df, "id", "src", col("wt"), "s",
+      budgets = Map("b" -> 100L, "c" -> 0L), defaultBudget = 120L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+
+    // src a (budget 120, four 50s): exactly the first 2 in hash order
+    // survive — cum 50, 100; the third (150) and the rest drop
+    val a = kept.filter(_._2 == "a")
+    a.map(_._3).sorted shouldBe Seq(50L, 100L)
+    // src c: zero budget keeps nothing
+    kept.filter(_._2 == "c") shouldBe empty
+    // src b: greedy prefix, not knapsack — whether anything survives
+    // depends only on which row hashes first; cum_weight must never
+    // exceed the budget and must stay a prefix (each kept row's cum =
+    // previous + its weight)
+    kept.filter(_._2 == "b").foreach(_._3 should be <= 100L)
+    // determinism: identical result on re-materialization
+    val again = Sampling.budgetFill(df, "id", "src", col("wt"), "s",
+      budgets = Map("b" -> 100L, "c" -> 0L), defaultBudget = 120L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    again.toSet shouldBe kept.toSet
+    // the kept set matches an explicit driver-side replay of the greedy
+    // hash-ordered prefix — the selection is a pure function of the data
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(("s" + s).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Seq(
+      (1L, "a", 50L), (2L, "a", 50L), (3L, "a", 50L), (4L, "a", 50L),
+      (5L, "b", 500L), (6L, "b", 10L), (7L, "c", 10L))
+    val budgetOf = Map("b" -> 100L, "c" -> 0L).withDefaultValue(120L)
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(r => md5hex(r._1.toString)).iterator.map { r =>
+        cum += r._3; (r._1, r._2, cum)
+      }.takeWhile(_._3 <= budgetOf(src))
+    }
+    kept.toSet shouldBe expected.toSet
+  }
+
   test("sampledBy fraction tracks the requested rate") {
     val n = spark.range(0, 8000).toDF("id")
       .filter(Sampling.sampledBy(col("id"), "s", 0.25)).count()
