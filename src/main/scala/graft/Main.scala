@@ -164,6 +164,39 @@ object Main {
     total
   }
 
+  /** Supervised live replication pump: connect + bootstrap
+    * ([[cdc.PgConnect.openReplication]]) + spool, reconnecting with a
+    * backoff on connection failure or server EOF until `stop` — the
+    * reference supervisor's restart-the-stream-loop behavior
+    * (sync_service.go Run). Each attempt resumes from the target's
+    * APPLIED position (`appliedLsn`), so a reconnect never re-requests
+    * WAL the table store already absorbed, and never skips WAL it
+    * hasn't. Returns total messages spooled across attempts. */
+  def livePump(spark: SparkSession, dsn: String, slot: String,
+      messagesDir: String, appliedLsn: () => Long,
+      stop: java.util.concurrent.atomic.AtomicBoolean,
+      retryBackoffMs: Long = 5000L): Long = {
+    val ep = graft.cdc.PgConnect.parseUri(dsn)
+    var total = 0L
+    while (!stop.get()) {
+      try {
+        val socket = new java.net.Socket(ep.host, ep.port)
+        try {
+          val resume = appliedLsn()
+          graft.cdc.PgConnect.openReplication(socket, ep.config, slot, resume)
+          val session = new graft.cdc.PgReplication.Session(startLsn = resume)
+          total += spoolFromSocket(spark, socket, messagesDir, session,
+            appliedLsn, stop = stop)
+        } finally socket.close()
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[livePump] stream attempt failed: ${e.getMessage}")
+      }
+      if (!stop.get()) Thread.sleep(retryBackoffMs)
+    }
+    total
+  }
+
   /** Decode a replication capture → JSONL of [[WalMessage]]s. Decode is
     * sequential (one replication stream, one [[cdc.PgReplication.Session]]);
     * the write fans out through Spark. */
@@ -231,7 +264,26 @@ object Main {
     new java.io.File(messagesDir).mkdirs()
     val (sync0, _) = buildSync(spark, fc)
     var sync = sync0
-    sync.runSupervised(
+    // SINGLE-PROCESS live mode, as the reference's `mammoth sync`: when
+    // the source connection is a postgres:// DSN, the replication pump
+    // (connect/auth/START_REPLICATION → message spool) runs on a daemon
+    // thread beside the supervised merge loop, resuming from the commit
+    // log's applied LSN. A jdbc: source (tests, captures, external
+    // spoolers) keeps the spool-fed behavior unchanged.
+    val stopPump = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val dsn = fc.postgres.connection
+    if (dsn.startsWith("postgres://") || dsn.startsWith("postgresql://")) {
+      val commitLog = new graft.streaming.CommitLog(
+        spark, s"${fc.target.connection}/_commitlog")
+      val pump = new Thread(() => {
+        livePump(spark, dsn, fc.postgres.slotName, messagesDir,
+          appliedLsn = () => commitLog.lastLsn.getOrElse(0L), stop = stopPump)
+        ()
+      }, "graft-live-pump")
+      pump.setDaemon(true)
+      pump.start()
+    }
+    try sync.runSupervised(
       body = () => {
         val messages: Dataset[WalMessage] = spark.readStream
           .schema(Encoders.product[WalMessage].schema)
@@ -251,6 +303,7 @@ object Main {
         val (fresh, _) = buildSync(spark, fc)
         sync = fresh
       })
+    finally stopPump.set(true)
     ()
   }
 }

@@ -94,6 +94,29 @@ class ReplicationRunnerSpec extends AnyFunSuite with Matchers {
     transport.written should have size 1
   }
 
+  test("loop: a FULLY QUIET stream still heartbeats (timer arms on first poll)") {
+    // wal_sender_timeout=0 scenario: no frames ever arrive, only poll
+    // timeouts — the slot's confirmed LSN must still advance server-side,
+    // so unsolicited statuses go out one interval after pumping starts
+    val session = new Session(startLsn = 42L, standbyIntervalMicros = 100L)
+    val transport = new FakeTransport(Seq.fill(4)(Option.empty[Array[Byte]]))
+    var now = 0L
+    val runner = new ReplicationRunner(session, transport,
+      sink = _ => (), clock = () => now)
+
+    runner.step() // arms the timer at now=0 — no frame ever seen
+    transport.written shouldBe empty
+    now = 99L; runner.step() // interval not yet elapsed
+    transport.written shouldBe empty
+    now = 101L; runner.step() // due: unsolicited status on a silent stream
+    transport.written should have size 1
+    val st = decodeStandbyStatus(transport.written.head)
+    st.walApply shouldBe 42L
+    st.replyRequested shouldBe false
+    now = 150L; runner.step() // timer reset by the status: not due again
+    transport.written should have size 1
+  }
+
   test("loop: server EOF ends the pump and still sends the drain frames") {
     val transport = new FakeTransport(Seq(
       Some(encodeXLogData(0, 0, 0, PgOutput.encodeBegin(10, 0, 1)))))
