@@ -83,4 +83,30 @@ object Sampling {
     df.withColumn("cum_weight", sum(weight).over(w))
       .filter(col("cum_weight") <= budget)
   }
+
+  /** Approximate sequence PACKING — the final context-window prep step:
+    * rows deal into 16 independent lanes by an md5 hex digit (packing
+    * parallelizes; there is never a global sort, at any scale), order
+    * within the lane by the same engine-stable hash, and each row joins
+    * the bin its FIRST token lands in under a running-total cut every
+    * `maxPerBin` tokens. Semantically: "concatenate in hash order, split
+    * into maxPerBin-token windows, assign each doc to the window where
+    * it starts" — a bin can run past maxPerBin by at most one row's
+    * weight (the standard doc-straddling approximation; the split itself
+    * is downstream chunking's job). Deterministic like [[budgetFill]]:
+    * a pure function of (data, salt, maxPerBin). Output adds
+    * `(bucket, cum_weight, bin)`. */
+  def packSequences(df: DataFrame, keyCol: String, weight: Column,
+      salt: String, maxPerBin: Long): DataFrame = {
+    require(maxPerBin >= 1, s"maxPerBin must be >= 1, got $maxPerBin")
+    val h = md5(concat(lit(salt), col(keyCol).cast("string")))
+    df.withColumn("__h", h)
+      .withColumn("bucket", substring(col("__h"), 1, 1))
+      .withColumn("cum_weight",
+        sum(weight).over(Window.partitionBy(col("bucket")).orderBy(col("__h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin",
+        floor((col("cum_weight") - weight) / lit(maxPerBin)).cast("long"))
+      .drop("__h")
+  }
 }

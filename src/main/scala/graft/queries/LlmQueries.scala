@@ -179,6 +179,18 @@ object LlmQueries {
         budgets = Map("src0" -> 120L, "src1" -> 0L), defaultBudget = 200L),
       col("doc_id"))
 
+  /** §2.3 #43f — sequence packing: documents concatenate (in
+    * deterministic hash order, 16 parallel lanes) into 512-token context
+    * windows; each doc is assigned the bin where its first token lands.
+    * The last training-prep step before chunking feeds the model. */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      graft.operators.Sampling.packSequences(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", col("n_tokens"), salt = "pack", maxPerBin = 512L),
+      col("doc_id"))
+
   /** §2.3 #35 — embedding near-dup: top-50 all-pairs cosine on a bounded
     * id range (bucketed LSH variant gated separately in ann_lsh). */
   def embedNeardup(s: SparkSession, dir: String): DataFrame = {
@@ -326,6 +338,38 @@ object LlmQueries {
       .select(col("id"), col("nBytes").as("n_bytes"),
         col("width"), col("height"))
       .orderBy(col("id"))
+  }
+
+  /** §2.3 #42d — REAL image decode, oracle-gated: each doc_id < 100 gets
+    * a deterministic `(4 + id%13) x (3 + id%7)` PNG encoded ON THE
+    * EXECUTORS (ImageIO write), then flows through the production decode
+    * path ([[Multimodal.decodeFeatures]] → ImageIO read). The oracle
+    * recomputes the dimensions ANALYTICALLY from doc_id — so the gate
+    * proves the real encode→decode round-trip recovers the true raster
+    * geometry, not a stub formula, row by row. */
+  def multimodalDecodeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 100).as[Long]
+    val media = ids.map { id =>
+      val w = 4 + (id % 13).toInt
+      val h = 3 + (id % 7).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) { img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF); y += 1 }
+        x += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.MediaRecord(id, bos.toByteArray, "png")
+    }
+    orderedSmall(
+      Multimodal.decodeFeatures(media, batchSize = 32).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height")),
+      col("doc_id"))
   }
 
   /** §2.3 #42b — multimodal fan-out: strided frame sampling over binary
@@ -568,6 +612,7 @@ object LlmQueries {
     "q_hash_split" -> (qHashSplit _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_token_budget_mix" -> (qTokenBudgetMix _),
+    "q_pack_sequences" -> (qPackSequences _),
     "embed_neardup" -> (embedNeardup _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
@@ -580,6 +625,7 @@ object LlmQueries {
     "doc_fingerprint" -> (docFingerprint _),
     "doc_fingerprint_sig" -> (docFingerprintSig _),
     "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_decode_roundtrip" -> (multimodalDecodeRoundtrip _),
     "multimodal_frames" -> (multimodalFrames _),
     "q_sql_functions" -> (sqlFunctions _),
     "text_redact" -> (textRedact _),
@@ -1014,6 +1060,29 @@ object LlmQueries {
         |  octet_length(encode(text)) % 64 AS width,
         |  (octet_length(encode(text)) // 64) % 64 AS height
         |FROM documents ORDER BY id""".stripMargin,
+    "q_pack_sequences" ->
+      """SELECT doc_id, bucket, n_tokens, cum_weight,
+        |  CAST(floor((cum_weight - n_tokens) / 512.0) AS BIGINT) AS bin
+        |FROM (
+        |  SELECT doc_id,
+        |    substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+        |    n_tokens,
+        |    CAST(sum(n_tokens) OVER (
+        |      PARTITION BY substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |      ORDER BY md5('pack' || CAST(doc_id AS VARCHAR))
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_weight
+        |  FROM (SELECT doc_id,
+        |      CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |        AS n_tokens
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    // the analytic truth of the executor-encoded raster geometry: the
+    // Spark side must recover these through a REAL ImageIO encode→decode
+    "multimodal_decode_roundtrip" ->
+      """SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS width,
+        |  CAST(3 + doc_id % 7 AS INT) AS height
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     // documents are ASCII (octet_length = length verified), so text
     // substring is byte-exact for the frame windows
     "multimodal_frames" ->

@@ -134,6 +134,36 @@ class DedupClusterSpec extends AnyFunSuite with Matchers {
     kept.toSet shouldBe expected.toSet
   }
 
+  test("sequence packing: bins fill to capacity with at most one-row overflow") {
+    import spark.implicits._
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("wt", (col("id") % 37 + 5).cast("long")) // 5..41 tokens
+    val packed = Sampling.packSequences(df, "id", col("wt"), "p", maxPerBin = 100L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("wt"),
+        r.getAs[String]("bucket"), r.getAs[Long]("cum_weight"), r.getAs[Long]("bin")))
+
+    packed should have size 2000 // packing never drops a row
+    packed.map(_._3).distinct.size should be > 8 // lanes really spread
+    packed.groupBy(p => (p._3, p._5)).foreach { case ((_, bin), rows) =>
+      val total = rows.map(_._2).sum
+      val maxRow = rows.map(_._2).max
+      // a bin holds the rows whose FIRST token lands in its window: its
+      // total can pass 100 only via the one straddling row
+      if (total > 100L + maxRow)
+        fail(s"bin $bin overfilled: $total with max row $maxRow")
+      ()
+    }
+    // bins are contiguous from 0 within every lane
+    packed.groupBy(_._3).foreach { case (_, rows) =>
+      val bins = rows.map(_._5).distinct.sorted
+      bins shouldBe (0L until bins.size).toSeq
+    }
+    // deterministic: a re-run bins identically
+    val again = Sampling.packSequences(df, "id", col("wt"), "p", maxPerBin = 100L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("bin"))).toMap
+    packed.foreach(p => again(p._1) shouldBe p._5)
+  }
+
   test("sampledBy fraction tracks the requested rate") {
     val n = spark.range(0, 8000).toDF("id")
       .filter(Sampling.sampledBy(col("id"), "s", 0.25)).count()
