@@ -76,6 +76,35 @@ object VectorMath {
       inputTypes = Seq(ArrayType(DoubleType), BinaryType,
         ArrayType(DoubleType), ArrayType(DoubleType)),
       propagateNull = true, returnNullable = true))
+
+  /** Product-quantization encode: the vector splits into `m` contiguous
+    * subspaces and each subvector maps to its nearest (L2) codeword in
+    * that subspace's codebook. `cbFlat` is the trained codebook flattened
+    * `[subspace][code][dim]`; output is `m` small ints — the corpus at
+    * m bytes/row, the billion-scale ANN memory play. Ties break on the
+    * smallest code id (deterministic across engines and runs). */
+  def pqEncode(v: Column, cbFlat: Column, m: Int, nCodes: Int): Column =
+    GraftBridge.column(StaticInvoke(
+      VectorMathImpl.getClass, ArrayType(IntegerType, containsNull = false),
+      "pqEncode",
+      Seq(GraftBridge.expression(toDouble(v)), GraftBridge.expression(cbFlat),
+        GraftBridge.expression(lit(m)), GraftBridge.expression(lit(nCodes))),
+      inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType),
+        IntegerType, IntegerType),
+      propagateNull = true, returnNullable = true))
+
+  /** Asymmetric PQ inner product: the full-precision query against the
+    * codeword chain a code array selects — on L2-NORMALIZED inputs this
+    * approximates cosine. The corpus floats are never touched. */
+  def pqIpAsym(q: Column, codes: Column, cbFlat: Column, m: Int, nCodes: Int): Column =
+    GraftBridge.column(StaticInvoke(
+      VectorMathImpl.getClass, DoubleType, "pqIpAsym",
+      Seq(GraftBridge.expression(toDouble(q)), GraftBridge.expression(codes),
+        GraftBridge.expression(cbFlat),
+        GraftBridge.expression(lit(m)), GraftBridge.expression(lit(nCodes))),
+      inputTypes = Seq(ArrayType(DoubleType), ArrayType(IntegerType),
+        ArrayType(DoubleType), IntegerType, IntegerType),
+      propagateNull = true, returnNullable = true))
 }
 
 object VectorMathImpl {
@@ -159,5 +188,58 @@ object VectorMathImpl {
       i += 1
     }
     dotQC / (math.sqrt(nq) * math.sqrt(nc))
+  }
+
+  /** See [[VectorMath.pqEncode]]. Layout of `cbFlat`:
+    * codeword d of code c in subspace j lives at ((j*nCodes + c)*sub + d),
+    * sub = dims/m. */
+  def pqEncode(v: ArrayData, cbFlat: ArrayData, m: Int, nCodes: Int): ArrayData = {
+    val dims = v.numElements()
+    if (m <= 0 || dims % m != 0) return null
+    val sub = dims / m
+    if (cbFlat.numElements() != m * nCodes * sub) return null
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < nCodes) {
+        var d2 = 0.0
+        var d = 0
+        val base = (j * nCodes + c) * sub
+        while (d < sub) {
+          val diff = v.getDouble(j * sub + d) - cbFlat.getDouble(base + d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c } // strict <: ties keep lowest c
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** See [[VectorMath.pqIpAsym]]. */
+  def pqIpAsym(q: ArrayData, codes: ArrayData, cbFlat: ArrayData,
+      m: Int, nCodes: Int): java.lang.Double = {
+    val dims = q.numElements()
+    if (m <= 0 || dims % m != 0 || codes.numElements() != m) return null
+    val sub = dims / m
+    if (cbFlat.numElements() != m * nCodes * sub) return null
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val base = (j * nCodes + codes.getInt(j)) * sub
+      var d = 0
+      while (d < sub) {
+        acc += q.getDouble(j * sub + d) * cbFlat.getDouble(base + d)
+        d += 1
+      }
+      j += 1
+    }
+    acc
   }
 }

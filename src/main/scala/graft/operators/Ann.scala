@@ -181,6 +181,97 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** PQ codebooks trained by per-subspace Lloyd (L2, the PQ objective)
+    * over the L2-NORMALIZED corpus: `m` subspaces × `nCodes` codewords.
+    * Seeds are the `nCodes` corpus rows with the smallest id-hash (no
+    * RNG, reproducible), one distributed assignment+mean job per
+    * iteration covers ALL subspaces (posexplode by subspace, slice by
+    * column-start), empty cells keep their previous codeword. The model
+    * is m×nCodes×(dims/m) doubles — codebook-sized, like the IVF and SQ8
+    * models. `vecCol` must already be normalized ([[pqTopK]] does it). */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, nCodes: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds = corpus
+      .select(col(idCol).cast("long"), VectorMath.toDouble(col(vecCol)))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCodes)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2)
+    require(seeds.length == nCodes,
+      s"corpus has ${seeds.length} rows < nCodes=$nCodes")
+    val dims = seeds.head.size
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      seeds.map(v => v.slice(j * sub, (j + 1) * sub).toArray))
+    for (_ <- 0 until iters) {
+      val cbFlat = typedLit(cb.flatten.flatten.toSeq)
+      val means = corpus
+        .select(VectorMath.toDouble(col(vecCol)).as("__v"),
+          VectorMath.pqEncode(col(vecCol), cbFlat, m, nCodes).as("__codes"))
+        .select(col("__v"), posexplode(col("__codes")).as(Seq("j", "c")))
+        .select(col("j"), col("c"),
+          posexplode(slice(col("__v"), col("j") * sub + 1, lit(sub))).as(Seq("d", "x")))
+        .groupBy(col("j"), col("c"), col("d")).agg(avg(col("x")).as("mu"))
+        .as[(Int, Int, Int, Double)].collect()
+        .groupBy(r => (r._1, r._2))
+      cb = Array.tabulate(m)(j => Array.tabulate(nCodes)(c =>
+        means.get((j, c))
+          .map(_.sortBy(_._3).map(_._4).toArray)
+          .getOrElse(cb(j)(c))))
+    }
+    cb
+  }
+
+  /** PRODUCT-QUANTIZED top-k — the billion-scale ANN design (IVF-PQ's
+    * compression half): both sides L2-normalize (so inner product =
+    * cosine), the corpus encodes to `m` small ints per row against
+    * per-subspace trained codebooks (m bytes/row where SQ8 spends
+    * dims bytes — a 100 TB float corpus scans as ~1.5 TB of PQ codes at
+    * m=8, dims=64), queries score every code ASYMMETRICALLY through the
+    * codebook (corpus floats never touched), and the exact float cosine
+    * re-ranks only the top `k·rerankFactor` pool per query — the same
+    * candidates-broadcast shape as [[sq8TopK]], corpus never shuffled. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, nCodes: Int = 16, trainIters: Int = 3,
+      rerankFactor: Int = 4): DataFrame = {
+    def normalized(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col(idCol).as(idAs), VectorMath.toDouble(col(vecCol)).as("__raw"))
+        .withColumn("__nrm", VectorMath.norm(col("__raw")))
+        .select(col(idAs), transform(col("__raw"), x => x / col("__nrm")).as(vecAs))
+    val cN = normalized(corpus, "neighbor_id", "__cv")
+    val qN = normalized(queries, "query_id", "__qv")
+
+    val cb = trainPqCodebooks(cN, "neighbor_id", "__cv", m, nCodes, trainIters)
+    val cbFlat = typedLit(cb.flatten.flatten.toSeq)
+
+    val codes = cN.select(col("neighbor_id"),
+      VectorMath.pqEncode(col("__cv"), cbFlat, m, nCodes).as("__code"))
+    val q = broadcast(qN)
+
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("__aip").desc, col("neighbor_id"))
+    val cands = codes
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorMath.pqIpAsym(col("__qv"), col("__code"), cbFlat, m, nCodes)
+          .as("__aip"))
+      .withColumn("__arank", row_number().over(wApprox))
+      .filter(col("__arank") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // exact re-rank of the pool only (cosine is scale-invariant: the
+    // normalized corpus projection serves as the float source)
+    val scored = cN.join(broadcast(cands), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorMath.cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** SQ8 scalar-quantized top-k: the corpus is pre-quantized to 1
     * byte/dimension against per-dimension corpus `[min,max]` bounds (the
     * memory-bandwidth play — a 100 TB float corpus scans as 25 TB of

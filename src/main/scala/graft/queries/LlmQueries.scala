@@ -280,6 +280,27 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** §2.3 #37d — product-quantized top-k through the full PQ machinery
+    * (normalize → train per-subspace codebooks → encode to m ints →
+    * asymmetric codebook scoring → candidate pool → exact re-rank),
+    * gated the way `ann_ivf` gates full-probe: with the pool covering
+    * the corpus, the machinery must be EXACTLY brute force — any encode/
+    * scoring/re-rank defect breaks the hash. The APPROXIMATE operating
+    * point (rerankFactor 8) is pinned separately by a measured recall
+    * floor in LlmOperatorsSpec; these near-random testdata embeddings
+    * (true cosines ~0.25) are PQ's worst case, so an exact-match gate at
+    * a small pool would pin corpus noise, not operator correctness. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+    Ann.pqTopK(
+        all.filter(col("vec_id") < 20), all.filter(col("vec_id") >= 20),
+        "vec_id", "embedding", k = 5,
+        m = 8, nCodes = 64, trainIters = 3, rerankFactor = 96)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cos_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** §2.3 #38 — heuristic language ID. */
   def textLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -619,6 +640,7 @@ object LlmQueries {
     "ann_lsh_sig" -> (annLshSig _),
     "ann_ivf" -> (annIvf _),
     "ann_sq8" -> (annSq8 _),
+    "ann_pq" -> (annPq _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
@@ -966,6 +988,19 @@ object LlmQueries {
     // same brute-force oracle as ann_topk: SQ8's exact re-rank must
     // round-trip the quantized pre-ranking back to the exact answer
     "ann_sq8" ->
+      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id >= 20),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.emb, c.emb) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS rank
+        |  FROM q CROSS JOIN c)
+        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
+        |FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // same exact-top-k truth as ann_sq8: PQ + re-rank must recover it
+    "ann_pq" ->
       """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id >= 20),
         |scored AS (
