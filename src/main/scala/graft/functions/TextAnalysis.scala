@@ -176,6 +176,23 @@ object TextAnalysis {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         IpRe, "<IP>"),
       PhoneRe, "<PHONE>")
+
+  /** struct<n_bytes,deflate_len> — the document's UTF-8 size and its
+    * DEFLATE-compressed size (zlib, fixed `level`). `deflate_len /
+    * n_bytes` is the Gopher-style compression-ratio quality signal:
+    * near-duplicate boilerplate and template soup compress far below
+    * natural prose, and machine-generated repetition is the classic
+    * low-ratio tell. Both fields are exact integers, so the gate
+    * signature is float-free. Single pass, codegen'd StaticInvoke —
+    * the Deflater is JDK zlib, no dependencies. */
+  def deflateStats(text: Column, level: Int = 6): Column = {
+    require(level >= 0 && level <= 9, s"deflate level must be in [0,9], got $level")
+    GraftBridge.column(StaticInvoke(
+      TextAnalysisImpl.getClass, TextAnalysisImpl.deflateType, "deflateStats",
+      Seq(GraftBridge.expression(text), GraftBridge.expression(lit(level))),
+      inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true, returnNullable = true))
+  }
 }
 
 /** Single-pass implementations behind [[TextAnalysis]]'s StaticInvoke
@@ -345,4 +362,27 @@ object TextAnalysisImpl {
   // Java regex \s = [ \t\n\x0B\f\r] (ASCII-only, unlike Character.isWhitespace)
   private def isJavaRegexWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  val deflateType: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("deflate_len", LongType, nullable = false)))
+
+  /** See [[TextAnalysis.deflateStats]]. Raw DEFLATE (nowrap) so the
+    * measurement is the entropy-coded stream alone — no zlib header/adler
+    * constant that would bias short documents. Deterministic for a given
+    * (input, level): Deflater wraps the JDK's bundled zlib with fixed
+    * default strategy. */
+  def deflateStats(text: UTF8String, level: Int): InternalRow = {
+    if (text == null) return null
+    val bytes = text.getBytes
+    val d = new java.util.zip.Deflater(level, true)
+    var total = 0L
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) total += d.deflate(buf)
+    } finally d.end()
+    new GenericInternalRow(Array[Any](bytes.length.toLong, total))
+  }
 }

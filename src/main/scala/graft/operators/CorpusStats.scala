@@ -142,4 +142,65 @@ object CorpusStats {
               (l, i) => !array_contains(col("__rm"), i)),
             "\n")).as(textCol))
   }
+
+  /** Per-document interpolated BIGRAM negative log-likelihood — the
+    * CCNet-style language-model perplexity filter, one notch above
+    * [[unigramNll]] (it catches shuffled-word salad that unigram
+    * statistics cannot: every token common, every transition improbable):
+    *
+    *   p(w2|w1) = λ_bg · c(w1 w2)/h(w1)  +  λ_uni · (c(w2)+1)/(T+V)
+    *   avg_nll  = mean over the doc's bigrams of −ln p
+    *
+    * where `h(w1)` is w1's count as a bigram HEAD (so the conditional
+    * sums to 1 over the observed continuations) and the unigram arm uses
+    * the same add-one smoothing as [[unigramNll]]. Scoring the training
+    * corpus itself means every scored bigram exists in the model — the
+    * smoothing arm handles the interpolation floor, not unseen events.
+    * `lambdaBg`/`lambdaUni` are SEPARATE parameters (not 1−λ) so both
+    * literals reach the plan exactly as given — `1 − 0.7` in IEEE double
+    * is not `0.3`, and the oracle writes `0.3`.
+    *
+    * The per-doc mean multiplies each DISTINCT bigram's rounded NLL
+    * (decimal) by its exact integer in-doc count before the decimal sum,
+    * so the aggregate is exact and partition-order-independent.
+    *
+    * Scale shape: the corpus token stream collapses to per-doc distinct
+    * bigrams (map-side partial agg) BEFORE any join; the bigram model —
+    * the one table that outgrows a broadcast at corpus scale (it grows
+    * ~linearly with corpus size where the vocab saturates) — joins on the
+    * bigram key both sides already hash on; the head-count and unigram
+    * tables are vocab-sized broadcasts; the 1-row totals broadcast; the
+    * final mean regroups on the doc id. Documents with fewer than two
+    * tokens have no bigrams and are absent from the result. */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+      lambdaBg: Double = 0.7, lambdaUni: Double = 0.3): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val ucounts = toks.groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val totals = ucounts.agg(sum(col("cu")).as("t_tokens"),
+      count(lit(1)).as("v_vocab"))
+    val bg = docs
+      .select(col(idCol), explode(TextAnalysis.wordNgrams(col(textCol), 2)).as("bg"))
+    val bgc = bg.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val hist = bgc
+      .groupBy(substring_index(col("bg"), " ", 1).as("__w1"))
+      .agg(sum(col("cbg")).as("ch"))
+    val tf = bg.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
+    tf
+      .join(bgc, Seq("bg"))
+      .withColumn("__head", substring_index(col("bg"), " ", 1))
+      .withColumn("__cont", substring_index(col("bg"), " ", -1))
+      .join(broadcast(hist), col("__head") === col("__w1"))
+      .join(broadcast(ucounts.withColumnRenamed("term", "__t")),
+        col("__cont") === col("__t"))
+      .crossJoin(broadcast(totals))
+      .withColumn("nll", -log(
+        lit(lambdaBg) * col("cbg") / col("ch") +
+          lit(lambdaUni) * (col("cu") + 1.0) / (col("t_tokens") + col("v_vocab"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        (sum(round(col("nll"), 6).cast("decimal(18,6)") * col("tf"))
+          .cast("double") / sum(col("tf"))).as("__avg_raw"))
+      .select(col(idCol), col("n_bigrams"), round(col("__avg_raw"), 6).as("avg_nll"))
+  }
 }

@@ -557,6 +557,48 @@ object LlmQueries {
         "doc_id", "text"),
       col("doc_id"))
 
+  /** §2.3 #52b — interpolated bigram-LM quality scoring (the CCNet-style
+    * perplexity filter): each doc's mean −ln p(w2|w1) under the corpus's
+    * own bigram model with an add-one-smoothed unigram interpolation
+    * floor. λ literals are written separately in both engines (0.7/0.3 —
+    * never `1 − λ`, which differs in IEEE double), and the per-doc mean
+    * is decimal-summed, so the gate is exact and partition-independent. */
+  def textBigramNll(s: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      CorpusStats.bigramNll(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", lambdaBg = 0.7, lambdaUni = 0.3),
+      col("doc_id"))
+
+  /** §2.3 #39c — compression-ratio quality signal (the Gopher rule):
+    * `deflate_len / n_bytes` per document under fixed-level raw DEFLATE.
+    * Template soup and near-duplicate boilerplate compress far below
+    * natural prose; the flag marks documents under a 0.25 ratio floor.
+    * DuckDB has no deflate, so the gate is the integer-sum signature
+    * companion ([[textCompressSig]]) — same regime as dedup_minhash. */
+  def textCompress(s: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.deflateStats(col("text")).as("__d"))
+        .select(col("doc_id"),
+          col("__d")("n_bytes").as("n_bytes"),
+          col("__d")("deflate_len").as("deflate_len"),
+          round(col("__d")("deflate_len").cast("double") / col("__d")("n_bytes"), 6)
+            .as("ratio_r"),
+          (col("__d")("deflate_len").cast("double") / col("__d")("n_bytes") <
+            lit(0.25)).as("low_entropy")),
+      col("doc_id"))
+
+  /** Golden-signature gate for [[textCompress]]: all-integer sums (byte
+    * and deflate totals are exact), so the pin is float-free and
+    * partition-independent. */
+  def textCompressSig(s: SparkSession, dir: String): DataFrame =
+    textCompress(s, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).cast("long").as("sum_bytes"),
+        sum(col("deflate_len")).cast("long").as("sum_deflate"),
+        sum(col("low_entropy").cast("int")).cast("long").as("n_low_entropy"))
+
   /** §2.3 — corpus-trained BPE vocabulary: the first 6 merge rounds of
     * distributed byte-pair-encoding training over the documents corpus.
     * Fully SQL-oracled: DuckDB replays the identical rounds (same
@@ -621,6 +663,9 @@ object LlmQueries {
     "text_tfidf" -> (textTfidf _),
     "text_boilerplate" -> (textBoilerplate _),
     "text_unigram_nll" -> (textUnigramNll _),
+    "text_bigram_nll" -> (textBigramNll _),
+    "text_compress" -> (textCompress _),
+    "text_compress_sig" -> (textCompressSig _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "text_filter" -> (textFilter _),
@@ -790,6 +835,38 @@ object LlmQueries {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(sum(round(nll, 6)::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_nll
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // λ literals written as 0.7/0.3 in BOTH engines (1-0.7 != 0.3 in
+    // IEEE double); per-doc mean decimal-summed over tf-weighted rounded
+    // NLLs — same reproducibility regime as text_unigram_nll
+    "text_bigram_nll" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |uni AS (SELECT unnest(toks) AS term FROM t),
+        |ucounts AS (SELECT term, count(*) AS cu FROM uni GROUP BY term),
+        |tot AS (SELECT sum(cu)::BIGINT AS t_tokens, count(*) AS v_vocab FROM ucounts),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+1], ' '))) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |bgc AS (SELECT bg, count(*) AS cbg FROM bg GROUP BY bg),
+        |hist AS (
+        |  SELECT split_part(bg, ' ', 1) AS w1, sum(cbg)::BIGINT AS ch
+        |  FROM bgc GROUP BY 1),
+        |tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY doc_id, bg),
+        |scored AS (
+        |  SELECT f.doc_id, f.tf,
+        |    -ln(0.7::DOUBLE * bgc.cbg / hist.ch +
+        |        0.3::DOUBLE * (uc.cu + 1.0::DOUBLE) / (tot.t_tokens + tot.v_vocab)) AS nll
+        |  FROM tf f
+        |  JOIN bgc USING (bg)
+        |  JOIN hist ON hist.w1 = split_part(f.bg, ' ', 1)
+        |  JOIN ucounts uc ON uc.term = split_part(f.bg, ' ', 2)
+        |  CROSS JOIN tot)
+        |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+        |  round(sum(round(nll, 6)::DECIMAL(18,6) * tf)::DOUBLE / sum(tf), 6) AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_boilerplate" ->
       """WITH corpus AS (
         |  SELECT doc_id,
@@ -951,6 +1028,11 @@ object LlmQueries {
     // implementation — any regression in shingling, hashing, banding,
     // winnowing, or verification moves the signature and fails the hash
     // compare. The driver's correctness gate always runs at sf0.01.
+    // integer-exact deflate totals at sf0.01 (JDK zlib, level 6, nowrap)
+    "text_compress_sig" ->
+      """SELECT CAST(500 AS BIGINT) AS n_docs, CAST(149174 AS BIGINT) AS sum_bytes,
+        |  CAST(71349 AS BIGINT) AS sum_deflate,
+        |  CAST(0 AS BIGINT) AS n_low_entropy""".stripMargin,
     "dedup_minhash_sig" ->
       """SELECT CAST(130 AS BIGINT) AS n_pairs, CAST(30007 AS BIGINT) AS sum_ida,
         |  CAST(1084397 AS BIGINT) AS sum_idb, CAST(116.230869 AS DOUBLE) AS sum_j""".stripMargin,

@@ -144,6 +144,52 @@ class CorpusStatsSpec extends AnyFunSuite with Matchers {
     out(2L) shouldBe ((2L, r6((nA + nC) / 2)))
   }
 
+  test("bigram NLL matches the hand-computed interpolated model") {
+    val docs = Seq((1L, "a b b a"), (2L, "a b")).toDF("doc_id", "text")
+    // uni: a=3, b=3, T=6, V=2 → smoothed p(a)=p(b)=4/8
+    // bigrams: "a b"=2, "b b"=1, "b a"=1; heads: a→2, b→2
+    // p(b|a)=.7*2/2+.3*.5=0.85  p(b|b)=.7*1/2+.3*.5=0.5  p(a|b)=0.5
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nAB = r6(-math.log(0.85)); val nHalf = r6(-math.log(0.5))
+    val out = CorpusStats.bigramNll(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    out(1L) shouldBe ((3L, r6((nAB + nHalf + nHalf) / 3)))
+    out(2L) shouldBe ((1L, nAB))
+    // a one-token doc has no bigrams and is absent, not zero
+    val single = CorpusStats.bigramNll(
+      Seq((1L, "a b"), (2L, "lonely")).toDF("doc_id", "text"), "doc_id", "text")
+    single.select("doc_id").as[Long].collect().toSet shouldBe Set(1L)
+  }
+
+  test("bigram NLL scores word salad above natural-order text") {
+    // identical token multiset, scrambled transitions: unigram NLL would
+    // tie these, the bigram model must separate them
+    val docs = ((1L to 10L).map(i => (i, "the cat sat on the mat")) :+
+      (11L, "sat the cat on mat the")).toDF("doc_id", "text")
+    val nll = CorpusStats.bigramNll(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    nll(11L) should be > (nll(1L) * 1.5)
+  }
+
+  test("deflate stats: repetition compresses below prose; nulls propagate") {
+    val docs = Seq(
+      (1L, "spam " * 200),
+      (2L, (1 to 200).map(i => s"w${i * 7919 % 1000}").mkString(" ")),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.deflateStats(col("text")).as("d"))
+      .select(col("doc_id"), col("d")("n_bytes").as("nb"),
+        col("d")("deflate_len").as("dl"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    out(3L) shouldBe ((None, None))
+    val rRep = out(1L)._2.get.toDouble / out(1L)._1.get
+    val rVar = out(2L)._2.get.toDouble / out(2L)._1.get
+    rRep should be < 0.05   // pure repetition: near-zero entropy
+    rVar should be > (rRep * 3)
+    out(1L)._1.get shouldBe 1000L // 200 × "spam " = exact utf-8 bytes
+  }
+
   test("boilerplate lines strip across docs; order survives; unique lines stay") {
     val docs = Seq(
       (1L, "HEADER\nalpha\nbeta\nFOOTER"),
