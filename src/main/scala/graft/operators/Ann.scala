@@ -272,6 +272,88 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-PQ top-k — the two halves of the billion-scale index COMBINED:
+    * IVF cell pruning cuts the SCAN to `nProbe/nCentroids` of the corpus,
+    * PQ codes cut the BANDWIDTH of what is scanned to `m` ints/row, the
+    * asymmetric codebook score ranks candidates without touching corpus
+    * floats, and the exact cosine re-rank recovers precision over the
+    * per-query pool. The PQ codebook is trained on the whole normalized
+    * corpus and SHARED across cells (the IVF-Flat-PQ variant — one
+    * codebook model instead of nCentroids residual codebooks; residual
+    * encoding trades model size for recall and is not needed at these
+    * dims). Both models are literal-sized: nCentroids×dims +
+    * m×nCodes×(dims/m) doubles baked into the plan, no joins to build.
+    *
+    * Exactness envelope (the gate): `nProbe = nCentroids` probes every
+    * cell and a pool covering the corpus makes the re-rank exhaustive —
+    * the result is then brute force THROUGH the full cell+code machinery.
+    * The approximate operating point is pinned by a measured recall floor
+    * (`LlmOperatorsSpec`). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, nCodes: Int = 16, trainIters: Int = 3,
+      rerankFactor: Int = 4): DataFrame = {
+    def normalized(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col(idCol).as(idAs), VectorMath.toDouble(col(vecCol)).as("__raw"))
+        .withColumn("__nrm", VectorMath.norm(col("__raw")))
+        .select(col(idAs), transform(col("__raw"), x => x / col("__nrm")).as(vecAs))
+    val cN = normalized(corpus, "neighbor_id", "__cv")
+    val qN = normalized(queries, "query_id", "__qv")
+
+    val centVecs = trainCentroids(cN, "neighbor_id", "__cv", nCentroids, trainIters)
+    val cb = trainPqCodebooks(cN, "neighbor_id", "__cv", m, nCodes, trainIters)
+    val cbFlat = typedLit(cb.flatten.flatten.toSeq)
+    val centArr = array(centVecs.map(v => typedLit(v)): _*)
+
+    def cellScores(vec: Column): Column =
+      transform(centArr, cv => VectorMath.cosine(vec, cv))
+    def bestCell(vec: Column): Column = {
+      val s = cellScores(vec)
+      (array_position(s, array_max(s)) - 1).cast("int")
+    }
+    def probeCells(vec: Column): Column = {
+      val s = cellScores(vec)
+      val ranked = array_sort(zip_with(s,
+        sequence(lit(0), lit(centVecs.length - 1)),
+        (sc, i) => struct(sc.as("s"), i.as("i"))))
+      transform(slice(reverse(ranked), 1, nProbe), e => e("i").cast("int"))
+    }
+
+    // corpus rows carry (cell, codes) only — m ints, never the floats;
+    // same two-step select + rand-taint quirks as ivfTopK (self-join
+    // attribute dedup vs lambda capture, see the comment there)
+    val corpusCells = cN
+      .select(col("neighbor_id"), col("__cv"))
+      .select(col("neighbor_id"),
+        VectorMath.pqEncode(col("__cv"), cbFlat, m, nCodes).as("__code"),
+        (bestCell(col("__cv")) + (rand(0) * 0).cast("int")).as("__cid"))
+    val queryCells = broadcast(
+      qN.withColumn("__cells", probeCells(col("__qv")))
+        .select(col("query_id"), col("__qv"), explode(col("__cells")).as("__cid")))
+
+    // each corpus row lives in exactly one cell → pairs meet at most once
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("__aip").desc, col("neighbor_id"))
+    val cands = corpusCells.join(queryCells, Seq("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorMath.pqIpAsym(col("__qv"), col("__code"), cbFlat, m, nCodes)
+          .as("__aip"))
+      .withColumn("__arank", row_number().over(wApprox))
+      .filter(col("__arank") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+
+    val q = broadcast(qN)
+    val scored = cN.join(broadcast(cands), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorMath.cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** SQ8 scalar-quantized top-k: the corpus is pre-quantized to 1
     * byte/dimension against per-dimension corpus `[min,max]` bounds (the
     * memory-bandwidth play — a 100 TB float corpus scans as 25 TB of

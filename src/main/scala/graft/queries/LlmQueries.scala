@@ -301,6 +301,23 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** §2.3 #37e — IVF-PQ through the combined machinery, gated at its
+    * exactness envelope (every cell probed + pool covering the corpus ≡
+    * brute force — the `ann_ivf`/`ann_pq` convention); the approximate
+    * operating point is pinned by a measured recall floor in
+    * LlmOperatorsSpec. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+    Ann.ivfPqTopK(
+        all.filter(col("vec_id") < 20), all.filter(col("vec_id") >= 20),
+        "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 16, m = 8, nCodes = 64, trainIters = 3,
+        rerankFactor = 96)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cos_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** §2.3 #38 — heuristic language ID. */
   def textLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -686,6 +703,7 @@ object LlmQueries {
     "ann_ivf" -> (annIvf _),
     "ann_sq8" -> (annSq8 _),
     "ann_pq" -> (annPq _),
+    "ann_ivf_pq" -> (annIvfPq _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
@@ -1070,6 +1088,19 @@ object LlmQueries {
     // same brute-force oracle as ann_topk: SQ8's exact re-rank must
     // round-trip the quantized pre-ranking back to the exact answer
     "ann_sq8" ->
+      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id >= 20),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.emb, c.emb) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS rank
+        |  FROM q CROSS JOIN c)
+        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
+        |FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // full-probe + full-pool IVF-PQ is exact → brute-force truth
+    "ann_ivf_pq" ->
       """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id >= 20),
         |scored AS (

@@ -201,12 +201,17 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
       nCentroids = 16, nProbe = 4, trainIters = 3))
     val pq = pairs(Ann.pqTopK(q, c, "vec_id", "embedding", k = 5,
       m = 8, nCodes = 64, trainIters = 3, rerankFactor = 8))
+    val ivfPq = pairs(Ann.ivfPqTopK(q, c, "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 4, m = 8, nCodes = 64, trainIters = 3,
+      rerankFactor = 8))
     val lshRecall = (exact & lsh).size.toDouble / exact.size
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
     val ivfTrainedRecall = (exact & ivfTrained).size.toDouble / exact.size
     val pqRecall = (exact & pq).size.toDouble / exact.size
+    val ivfPqRecall = (exact & ivfPq).size.toDouble / exact.size
     info(f"recall@5: lsh=$lshRecall%.2f ivf(4/16 probes)=$ivfRecall%.2f " +
-      f"ivf+3 Lloyd iters=$ivfTrainedRecall%.2f pq(8x64,rr8)=$pqRecall%.2f")
+      f"ivf+3 Lloyd iters=$ivfTrainedRecall%.2f pq(8x64,rr8)=$pqRecall%.2f " +
+      f"ivf-pq(4/16,8x64,rr8)=$ivfPqRecall%.2f")
     // floors pinned ~0.15 under measured values — catch parameter/algorithm
     // regressions, not statistical noise
     lshRecall should be >= 0.5
@@ -216,6 +221,10 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
     // case: 8 dims/code must separate a sliver of signal from noise —
     // measured 0.85 at this operating point, floor pinned ~0.2 under
     pqRecall should be >= 0.65
+    // the combined index multiplies both misses (cell pruning AND code
+    // ranking) — it can only lose recall vs either half alone
+    ivfPqRecall should be >= 0.35
+    ivfPqRecall should be <= pqRecall + 0.05
   }
 
   test("cosine fold matches direct computation") {
