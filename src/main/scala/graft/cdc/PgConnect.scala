@@ -336,6 +336,33 @@ object PgConnect {
       sys.error("unreachable")
     }
 
+    /** `COPY … TO STDOUT` over the simple-query protocol (the reference
+      * pipes `copy <rel> to stdout with (format csv, header true)`
+      * through pgx CopyTo at sync_service.go:207): CopyData payload
+      * bytes stream straight to `sink` — never buffered whole — and the
+      * byte count is returned. An ErrorResponse mid-COPY (disk error,
+      * cancelled backend) still drains to ReadyForQuery before
+      * throwing, leaving the connection usable. */
+    def copyOut(sql: String, sink: java.io.OutputStream): Long = {
+      send('Q', cstr(sql))
+      var total = 0L
+      var err: Option[ServerError] = None
+      while (true) {
+        readMessage() match {
+          case ('H', _) => () // CopyOutResponse: per-column formats; CSV is text
+          case ('d', body) => sink.write(body); total += body.length
+          case ('c', _) | ('C', _) | ('I', _) | ('N', _) | ('S', _) => ()
+          case ('E', eb) => err = Some(parseError(eb)) // Z still follows
+          case ('Z', _) =>
+            err.foreach(throw _)
+            return total
+          case (t, _) =>
+            throw new IOException(s"unexpected message '$t' in COPY OUT")
+        }
+      }
+      sys.error("unreachable")
+    }
+
     /** `CREATE_REPLICATION_SLOT … LOGICAL pgoutput EXPORT_SNAPSHOT` over
       * the replication connection (the walsender command the reference
       * issues at stream.go:53-68): returns the exported consistent
