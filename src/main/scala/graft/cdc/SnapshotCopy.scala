@@ -72,4 +72,46 @@ object SnapshotCopy {
     * reference always COPYs `header true`), PG text-format decode. */
   def read(spark: SparkSession, spooled: SpooledTable): DataFrame =
     PgCsv.read(spark, spooled.relation, spooled.path.toString, header = true)
+
+  // ------------------------------------------------- wire introspection --
+
+  private def quoteLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Column catalog for one table over the text protocol — the essential
+    * columns of the reference's introspection CTE (sync_service.go:
+    * 323-381: attname, indisprimary, atttypid, typcategory='A'),
+    * parameter-inlined because the simple-query protocol has no binds.
+    * For array columns the recorded OID is the ELEMENT type's (typelem),
+    * matching what pgoutput tuple data carries. */
+  def introspectSql(schema: String, table: String): String =
+    s"""select a.attname,
+       |  coalesce(i.indisprimary, false) as pk,
+       |  case when pgt.typcategory = 'A' then pgt.typelem else a.atttypid end as oid,
+       |  pgt.typcategory = 'A' as is_array
+       |from pg_attribute a
+       |  join pg_class c on c.oid = a.attrelid
+       |  join pg_namespace n on n.oid = c.relnamespace
+       |  left join pg_type pgt on a.atttypid = pgt.oid
+       |  left join pg_index i on a.attrelid = i.indrelid
+       |    and a.attnum = any (i.indkey) and i.indisprimary
+       |where a.attnum > 0 and not a.attisdropped
+       |  and c.relkind in ('r', 'p')
+       |  and n.nspname = ${quoteLit(schema)} and c.relname = ${quoteLit(table)}
+       |order by a.attnum""".stripMargin
+
+  /** Introspect over an open wire connection (no JDBC): text-protocol
+    * booleans arrive as `t`/`f`, OIDs as decimal text. */
+  def introspectRelation(conn: PgConnect.Conn, schema: String,
+      table: String): Relation = {
+    val res = conn.simpleQuery(introspectSql(schema, table))
+    val cols = res.rows.map { r =>
+      RelColumn(
+        name = r(0).getOrElse(sys.error("null attname")),
+        pgOid = r(2).getOrElse(sys.error("null oid")).toInt,
+        isIdentity = r(1).contains("t"),
+        isArray = r(3).contains("t"))
+    }
+    require(cols.nonEmpty, s"table not found (or has no columns): $schema.$table")
+    Relation(schema, table, cols)
+  }
 }

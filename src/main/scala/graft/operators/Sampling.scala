@@ -109,4 +109,34 @@ object Sampling {
         floor((col("cum_weight") - weight) / lit(maxPerBin)).cast("long"))
       .drop("__h")
   }
+
+  /** Deterministic shard id in `[0, nShards)`: the same engine-stable
+    * md5 draw as [[splitLabel]], parsed from hex (Spark `conv`, DuckDB
+    * `('0x'||h)::INT` — both yield the identical integer) and reduced
+    * mod `nShards`. Shard membership is a pure function of (key, salt,
+    * nShards) — re-running the export, on any cluster size, writes the
+    * SAME documents into the same shard. */
+  def shardId(key: Column, salt: String, nShards: Int): Column = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    (conv(hexPrefix(key, salt), 16, 10).cast("int") % nShards).as("shard_id")
+  }
+
+  /** Per-shard export manifest — the receipt a training-data delivery
+    * ships beside its shards: document count, token total, and a
+    * content signature (md5 over the numerically-sorted id list) that
+    * any engine can recompute to verify the shard it received is the
+    * shard that was written. One hash-partition shuffle on shard_id;
+    * the id lists are shard-sized (corpus/nShards), never corpus-sized
+    * on one node. */
+  def shardManifest(docs: DataFrame, idCol: String, tokens: Column,
+      salt: String, nShards: Int): DataFrame =
+    docs
+      .select(col(idCol), shardId(col(idCol), salt, nShards),
+        tokens.as("__nt"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).cast("long").as("n_tokens"),
+        md5(array_join(
+          transform(sort_array(collect_list(col(idCol))), _.cast("string")),
+          ",")).as("content_sig"))
 }

@@ -191,6 +191,20 @@ object LlmQueries {
         "doc_id", col("n_tokens"), salt = "pack", maxPerBin = 512L),
       col("doc_id"))
 
+  /** §2.3 #43g — shard-manifest export: every document deterministically
+    * assigned to one of 8 shards (same md5 draw as the split/sample
+    * family, so shard membership survives re-runs and engine swaps) and
+    * each shard summarized by count, token total, and an
+    * order-independent content signature any engine can recompute to
+    * verify the delivery. */
+  def qShardManifest(s: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      graft.operators.Sampling.shardManifest(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", TextAnalysis.tokenCount(col("text")).cast("long"),
+        salt = "shard", nShards = 8),
+      col("shard_id"))
+
   /** §2.3 #35 — embedding near-dup: top-50 all-pairs cosine on a bounded
     * id range (bucketed LSH variant gated separately in ann_lsh). */
   def embedNeardup(s: SparkSession, dir: String): DataFrame = {
@@ -696,6 +710,7 @@ object LlmQueries {
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_token_budget_mix" -> (qTokenBudgetMix _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_shard_manifest" -> (qShardManifest _),
     "embed_neardup" -> (embedNeardup _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
@@ -984,6 +999,20 @@ object LlmQueries {
         |ORDER BY doc_id""".stripMargin,
     // same md5-hex-prefix string compare, fraction thresholds in hex:
     // 0.9 -> e666, 0.95 -> f333, 0.25 -> 4000
+    // shard = md5-hex-prefix parsed as int mod 8 (Spark conv ≡ DuckDB
+    // '0x' cast); content_sig = md5 over the numerically-sorted id list
+    "q_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+        |      % 8) AS shard_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT shard_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+        |    AS content_sig
+        |FROM d GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "q_hash_split" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'

@@ -110,6 +110,45 @@ class SnapshotCopySpec extends AnyFunSuite with Matchers {
       .sortBy(_._1).toSeq shouldBe Seq((10L, "12.5"), (11L, "0.99"))
   }
 
+  test("wire introspection parses text-protocol catalog rows into a Relation") {
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new DataInputStream(s.getInputStream)
+      val out = new DataOutputStream(s.getOutputStream)
+      readStartup(in)
+      sendTrustReady(out)
+      val (tq, q) = readMsg(in)
+      tq shouldBe 'Q'
+      new String(q, 0, q.length - 1, UTF_8) shouldBe
+        SnapshotCopy.introspectSql("public", "users")
+      sendMsg(out, 'T', rowDesc("attname", "pk", "oid", "is_array"))
+      sendMsg(out, 'D', dataRow("id", "t", "20", "f"))
+      sendMsg(out, 'D', dataRow("name", "f", "25", "f"))
+      sendMsg(out, 'D', dataRow("tags", "f", "25", "t")) // text[] → elem oid
+      sendMsg(out, 'C', cstr("SELECT 3"))
+      sendMsg(out, 'Z', Array('I'.toByte))
+      s.close()
+    })
+    t.start()
+
+    val socket = new Socket("127.0.0.1", server.getLocalPort)
+    val conn = new PgConnect.Conn(
+      new DataInputStream(socket.getInputStream),
+      new DataOutputStream(socket.getOutputStream))
+    conn.startup(PgConnect.Config(user = "graft", database = "appdb",
+      replication = false))
+    val rel = SnapshotCopy.introspectRelation(conn, "public", "users")
+    t.join(5000)
+    server.close()
+    socket.close()
+
+    rel shouldBe Relation("public", "users", Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("name", PgTypes.TextOid),
+      RelColumn("tags", PgTypes.TextOid, isArray = true)))
+  }
+
   test("ErrorResponse mid-COPY drains to ReadyForQuery and throws; conn survives") {
     val server2 = new ServerSocket(0)
     val t2 = new Thread(() => {

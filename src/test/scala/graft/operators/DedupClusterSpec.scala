@@ -169,4 +169,28 @@ class DedupClusterSpec extends AnyFunSuite with Matchers {
       .filter(Sampling.sampledBy(col("id"), "s", 0.25)).count()
     n.toDouble shouldBe 2000.0 +- 200.0
   }
+
+  test("shard manifest partitions the corpus completely and verifiably") {
+    val docs = spark.range(0, 500)
+      .selectExpr("id AS doc_id", "'w ' || CAST(id % 7 AS STRING) AS text")
+    val m = Sampling.shardManifest(docs, "doc_id", lit(2L), "sh", nShards = 8)
+      .collect().map(r => (r.getAs[Int]("shard_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("content_sig")))
+    m.map(_._1).toSet.subsetOf((0 until 8).toSet) shouldBe true
+    m.map(_._2).sum shouldBe 500L            // every doc in exactly one shard
+    m.map(_._3).sum shouldBe 1000L           // token totals add up
+    m.map(_._2).max should be < 150L         // roughly balanced, not skewed
+    // signature is recomputable: shard 0's sig = md5 of its sorted ids
+    val ids0 = docs
+      .filter(Sampling.shardId(col("doc_id"), "sh", 8) === 0)
+      .select("doc_id").as[Long].collect().sorted
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(ids0.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    m.find(_._1 == 0).get._4 shouldBe expect
+    // deterministic across runs
+    Sampling.shardManifest(docs, "doc_id", lit(2L), "sh", nShards = 8)
+      .collect().map(r => (r.getInt(0), r.getString(3))).toMap
+      .foreach { case (sid, sig) => m.find(_._1 == sid).get._4 shouldBe sig }
+  }
 }
