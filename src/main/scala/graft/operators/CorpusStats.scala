@@ -143,6 +143,42 @@ object CorpusStats {
             "\n")).as(textCol))
   }
 
+  /** RefinedWeb-style GLOBAL exact line dedup: every non-blank line that
+    * already occurred anywhere earlier in the corpus (first occurrence =
+    * smallest `(doc, position)`) is removed; the first occurrence stays.
+    * Complements [[removeBoilerplateLines]]: boilerplate removal deletes
+    * ALL occurrences of lines crossing a document-frequency threshold,
+    * line dedup keeps exactly ONE canonical copy of every distinct line
+    * corpus-wide. Blank lines are structure and never dedup.
+    *
+    * Scale shape: document text never shuffles — the keep-first window
+    * partitions on `md5(line)` PROJECTED BEFORE the exchange, so the
+    * shuffle carries `(id, pos:int, hash)` per line occurrence, not the
+    * line text; removal positions regroup on the doc id and the
+    * reconstruction is the same columnar indexed filter as boilerplate
+    * removal. A doc whose every line was seen earlier comes back empty. */
+  def dedupLinesGlobal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occurrences = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .filter(length(trim(col("__line"))) > 0)
+      // hash BEFORE the window's exchange: the line text stays columnar
+      // in the scan and never crosses the wire
+      .select(col(idCol), col("__pos"), md5(col("__line")).as("__h"))
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
+    val removed = occurrences
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .groupBy(col(idCol)).agg(collect_set(col("__pos")).as("__rm"))
+    docs.join(removed, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("__rm").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(split(col(textCol), "\n"),
+              (l, i) => !array_contains(col("__rm"), i)),
+            "\n")).as(textCol))
+  }
+
   /** Per-document interpolated BIGRAM negative log-likelihood — the
     * CCNet-style language-model perplexity filter, one notch above
     * [[unigramNll]] (it catches shuffled-word salad that unigram

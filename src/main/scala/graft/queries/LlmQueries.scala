@@ -577,6 +577,19 @@ object LlmQueries {
       col("doc_id"))
   }
 
+  /** §2.3 #51b — global exact line dedup (the RefinedWeb rule, keep-first
+    * semantics): a shared footer line is planted on every document, so
+    * the gate proves only the FIRST occurrence survives and every doc
+    * whose content line duplicates an earlier doc's collapses. */
+  def textLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"), lit("\n=== SHARED FOOTER ===")).as("text"))
+    orderedSmall(
+      CorpusStats.dedupLinesGlobal(docs, "doc_id", "text")
+        .select(col("doc_id"), length(col("text")).as("n_chars_kept"), col("text")),
+      col("doc_id"))
+  }
+
   /** §2.3 #52 — unigram-NLL quality scoring (perplexity proxy): each
     * doc's mean −ln p(token) under the corpus's own add-one-smoothed
     * unigram distribution. Decimal-summed per doc, so the gate is exact
@@ -694,6 +707,7 @@ object LlmQueries {
     "text_tfidf" -> (textTfidf _),
     "text_boilerplate" -> (textBoilerplate _),
     "text_unigram_nll" -> (textUnigramNll _),
+    "text_line_dedup" -> (textLineDedup _),
     "text_bigram_nll" -> (textBigramNll _),
     "text_compress" -> (textCompress _),
     "text_compress_sig" -> (textCompressSig _),
@@ -868,6 +882,31 @@ object LlmQueries {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(sum(round(nll, 6)::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_nll
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // keep-first = row_number over md5(line) ordered by (doc, pos);
+    // 1-based DuckDB positions vs 0-based Spark are internal only
+    "text_line_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text || chr(10) || '=== SHARED FOOTER ===' AS text
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) AS i,
+        |    unnest(string_split(text, chr(10))) AS line
+        |  FROM corpus),
+        |ranked AS (
+        |  SELECT doc_id, i, line,
+        |    row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, i) AS rn
+        |  FROM pos WHERE length(trim(line)) > 0),
+        |kept AS (
+        |  SELECT doc_id, i, line FROM pos WHERE length(trim(line)) = 0
+        |  UNION ALL
+        |  SELECT doc_id, i, line FROM ranked WHERE rn = 1),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, length(coalesce(r.text, '')) AS n_chars_kept,
+        |  coalesce(r.text, '') AS text
+        |FROM corpus c LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
     // λ literals written as 0.7/0.3 in BOTH engines (1-0.7 != 0.3 in
     // IEEE double); per-doc mean decimal-summed over tf-weighted rounded
     // NLLs — same reproducibility regime as text_unigram_nll

@@ -144,6 +144,23 @@ class CorpusStatsSpec extends AnyFunSuite with Matchers {
     out(2L) shouldBe ((2L, r6((nA + nC) / 2)))
   }
 
+  test("global line dedup keeps first occurrence, blank structure, doc order") {
+    val docs = Seq(
+      (1L, "alpha\n\nshared\nbeta"),
+      (2L, "shared\ngamma\nalpha"),
+      (3L, "shared")).toDF("doc_id", "text")
+    val out = CorpusStats.dedupLinesGlobal(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "alpha\n\nshared\nbeta" // first occurrences all stay
+    out(2L) shouldBe "gamma"                 // shared+alpha seen in doc 1
+    out(3L) shouldBe ""                      // everything seen earlier
+    // in-doc repeats dedup too: only the first copy inside a doc stays
+    val rep = CorpusStats.dedupLinesGlobal(
+      Seq((1L, "x\nx\ny")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    rep(1L) shouldBe "x\ny"
+  }
+
   test("bigram NLL matches the hand-computed interpolated model") {
     val docs = Seq((1L, "a b b a"), (2L, "a b")).toDF("doc_id", "text")
     // uni: a=3, b=3, T=6, V=2 → smoothed p(a)=p(b)=4/8
