@@ -216,4 +216,25 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("BroadcastNestedLoopJoin") // 1-row totals × term rows
     p should include("partial_count")
   }
+
+  test("bigram NLL: model joins on the bigram key, head/unigram tables broadcast") {
+    val p = plan(operators.CorpusStats.bigramNll(
+      sources.Tables.documents(spark, dir), "doc_id", "text"))
+    // the bigram model (the table that outgrows a broadcast at corpus
+    // scale) must NOT be forced broadcast: its join keys on `bg`, which
+    // both sides already hash on — shuffle join is the 100 TB shape
+    p should include("BroadcastHashJoin")    // hist + unigram sides
+    p should include("partial_count")        // map-side combine on counts
+    // token rows collapse to per-doc distinct bigrams BEFORE any join
+    p.indexOf("HashAggregate") should be >= 0
+  }
+
+  test("global line dedup: the window exchange carries (id,pos,hash), never line text") {
+    val p = plan(operators.CorpusStats.dedupLinesGlobal(
+      sources.Tables.documents(spark, dir), "doc_id", "text"))
+    // the md5 projection must sit under the window's hashpartitioning —
+    // the exchange ships the 32-char digest, not document lines
+    p should include("hashpartitioning(__h")
+    p should not include "hashpartitioning(__line"
+  }
 }
