@@ -643,6 +643,38 @@ object LlmQueries {
         sum(col("deflate_len")).cast("long").as("sum_deflate"),
         sum(col("low_entropy").cast("int")).cast("long").as("n_low_entropy"))
 
+  /** §2.3 #39d — TRAINED quality classifier (the fastText/CCNet-style
+    * filter step, distilled to its scalable core): full-batch logistic
+    * regression over the gate-proven text features (stopword / punct /
+    * upper ratios) with label `lang = 'en'`, 3 deterministic GD
+    * iterations at lr 0.5, then per-doc scoring. The DuckDB oracle
+    * REPLAYS ALL THREE training iterations (decimal-summed gradients,
+    * 6-dp-rounded sigmoid, fixed association) and the scoring pass —
+    * the entire train-then-classify pipeline is cross-engine verified,
+    * like the BPE trainer. */
+  def textQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val st = TextAnalysis.textStats(col("text"))
+    val feats = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"),
+        st.as("__st"))
+      .select(col("doc_id"), col("y"),
+        (TextAnalysis.statsField(col("__st"), "en").cast("double") /
+          TextAnalysis.statsField(col("__st"), "n_tokens")).as("x_stop"),
+        (TextAnalysis.statsField(col("__st"), "n_punct").cast("double") /
+          TextAnalysis.statsField(col("__st"), "n_chars")).as("x_punct"),
+        (TextAnalysis.statsField(col("__st"), "n_upper").cast("double") /
+          TextAnalysis.statsField(col("__st"), "n_chars")).as("x_upper"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = graft.operators.QualityClassifier.train(
+      feats, "y", Seq("x_stop", "x_punct", "x_upper"), lr = 0.5, iters = 3)
+    orderedSmall(
+      graft.operators.QualityClassifier
+        .score(feats, w, Seq("x_stop", "x_punct", "x_upper"))
+        .select(col("doc_id"), col("y"), col("p").as("p_en"),
+          col("pred").as("pred_en")),
+      col("doc_id"))
+  }
+
   /** §2.3 — corpus-trained BPE vocabulary: the first 6 merge rounds of
     * distributed byte-pair-encoding training over the documents corpus.
     * Fully SQL-oracled: DuckDB replays the identical rounds (same
@@ -711,6 +743,7 @@ object LlmQueries {
     "text_bigram_nll" -> (textBigramNll _),
     "text_compress" -> (textCompress _),
     "text_compress_sig" -> (textCompressSig _),
+    "text_quality_classifier" -> (textQualityClassifier _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "text_filter" -> (textFilter _),
@@ -822,6 +855,27 @@ object LlmQueries {
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** One GD-iteration gradient CTE for the classifier oracle: the same
+    * decimal-rounded sums the Spark trainer aggregates. `p` is the
+    * (6-dp-rounded) sigmoid under the PREVIOUS iteration's weights. */
+  private def qcGrad(name: String, p: String, from: String): String =
+    s"""$name AS (
+       |  SELECT
+       |    sum(round((y - $p), 9)::DECIMAL(28,9))::DOUBLE AS g0,
+       |    sum(round((y - $p) * x1, 9)::DECIMAL(28,9))::DOUBLE AS g1,
+       |    sum(round((y - $p) * x2, 9)::DECIMAL(28,9))::DOUBLE AS g2,
+       |    sum(round((y - $p) * x3, 9)::DECIMAL(28,9))::DOUBLE AS g3
+       |  FROM $from)""".stripMargin
+  /** Rounded sigmoid under weights (b, a1, a2, a3) — fixed left-assoc
+    * order, matching QualityClassifier.prob exactly. */
+  private def qcP(b: String, a1: String, a2: String, a3: String): String =
+    s"round(1.0::DOUBLE/(1.0::DOUBLE+exp(-($b + $a1*x1 + $a2*x2 + $a3*x3))), 6)"
+  private def qcW(name: String, wPrev: String, g: String): String =
+    s"""$name AS (
+       |  SELECT b + 0.5::DOUBLE * g0 / n AS b, a1 + 0.5::DOUBLE * g1 / n AS a1,
+       |    a2 + 0.5::DOUBLE * g2 / n AS a2, a3 + 0.5::DOUBLE * g3 / n AS a3
+       |  FROM $wPrev CROSS JOIN $g CROSS JOIN nn)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "text_bpe_vocab" -> bpeOracle(6),
     "text_bpe_encode" -> bpeEncodeOracle(6),
@@ -882,6 +936,32 @@ object LlmQueries {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(sum(round(nll, 6)::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_nll
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the oracle retrains the classifier: 3 GD iterations with the same
+    // decimal-summed gradients, 6-dp sigmoid, and w + (lr*g)/n update
+    "text_quality_classifier" -> {
+      val p = qcP("b", "a1", "a2", "a3")
+      s"""WITH f AS (
+         |  SELECT doc_id, (lang = 'en')::INT AS y,
+         |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |        x -> x IN ($enList)))::DOUBLE
+         |      / len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS x1,
+         |    length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
+         |      / length(text) AS x2,
+         |    length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+         |      / length(text) AS x3
+         |  FROM documents),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM f),
+         |w0 AS (SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS a1,
+         |  0.0::DOUBLE AS a2, 0.0::DOUBLE AS a3),
+         |${qcGrad("gr1", p, "f CROSS JOIN w0")},
+         |${qcW("w1", "w0", "gr1")},
+         |${qcGrad("gr2", p, "f CROSS JOIN w1")},
+         |${qcW("w2", "w1", "gr2")},
+         |${qcGrad("gr3", p, "f CROSS JOIN w2")},
+         |${qcW("w3", "w2", "gr3")}
+         |SELECT doc_id, y, $p AS p_en, $p >= 0.5::DOUBLE AS pred_en
+         |FROM f CROSS JOIN w3 ORDER BY doc_id""".stripMargin
+    },
     // keep-first = row_number over md5(line) ordered by (doc, pos);
     // 1-based DuckDB positions vs 0-based Spark are internal only
     "text_line_dedup" ->
