@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorMath
+
+/** Distributed power-iteration PCA over an embedding column — the
+  * standard dimensionality/structure step of an embedding pipeline
+  * (top principal direction for whitening, dedup projection, or drift
+  * monitoring), built on the same EXACT-training regime as
+  * [[QualityClassifier]]: every per-row contribution to the matrix-vector
+  * product is decimal-rounded and decimal-summed, so the iteration is
+  * partition-order-independent and replayable in another engine.
+  *
+  * One iteration of `v ← normalize(Σᵢ (xᵢ·v)·xᵢ)` (power iteration on the
+  * Gram matrix XᵀX without ever materializing it):
+  *   - `xᵢ·v` is a pure projection against the literal `v` (no join);
+  *   - the per-dimension sums posexplode to `(dim, contribution)` and
+  *     hash-aggregate with map-side partials — dims×partitions rows
+  *     shuffle, never the corpus;
+  *   - the normalization runs driver-side on the dims-sized vector with
+  *     the SAME decimal discipline, so both engines see one value.
+  *
+  * The model (v, λ) is dims-sized; corpus passes = iterations + 1. */
+object Pca {
+
+  /** Top principal direction + eigenvalue estimate (the final iterate's
+    * pre-normalization norm). Deterministic seed: the uniform unit
+    * vector `1/√dims` (exact in binary for power-of-two dims). */
+  def powerIteration(corpus: DataFrame, vecCol: String,
+      iters: Int): (Array[Double], Double) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val vecs = corpus.select(VectorMath.toDouble(col(vecCol)).as("__x"))
+    val dims = vecs.select(size(col("__x"))).head().getInt(0)
+    var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    var lambda = 0.0
+    for (_ <- 0 until iters) {
+      val vLit = typedLit(v.toSeq)
+      val w = vecs
+        .select(col("__x"), VectorMath.dot(col("__x"), vLit).as("__p"))
+        .select(posexplode(col("__x")).as(Seq("__d", "__xd")), col("__p"))
+        .groupBy(col("__d"))
+        .agg(sum(round(col("__p") * col("__xd"), 9).cast("decimal(28,9)"))
+          .cast("double").as("__w"))
+        .orderBy(col("__d"))
+        .collect().map(_.getDouble(1))
+      require(w.length == dims, s"ragged vectors: got ${w.length} dims, expected $dims")
+      // driver-side normalization under the same decimal discipline the
+      // SQL replay uses: sum of 9-dp-rounded squares, exactly
+      val sq = w.map(x => BigDecimal(x * x).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+        .sum
+      lambda = math.sqrt(sq.toDouble)
+      require(lambda > 0, "degenerate corpus: zero matrix-vector product")
+      v = w.map(_ / lambda)
+    }
+    (v, lambda)
+  }
+
+  /** Per-row projection onto the trained direction (adds `proj`). */
+  def project(corpus: DataFrame, vecCol: String, v: Array[Double]): DataFrame =
+    corpus.withColumn("proj",
+      VectorMath.dot(VectorMath.toDouble(col(vecCol)), typedLit(v.toSeq)))
+}

@@ -332,6 +332,22 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** §2.3 #47b — power-iteration PCA over the embedding corpus: 3
+    * iterations of `v ← normalize(Σ (x·v)x)` under the decimal-exact
+    * training regime, then every vector's projection onto the learned
+    * direction. The DuckDB oracle REPLAYS the full iteration (per-dim
+    * decimal sums, decimal-squared norm) — training and scoring both
+    * cross-engine verified. */
+  def embedPca(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (v, lambda) = graft.operators.Pca.powerIteration(emb, "embedding", iters = 3)
+    orderedSmall(
+      graft.operators.Pca.project(emb, "embedding", v)
+        .select(col("vec_id"), round(col("proj"), 6).as("proj_r"),
+          round(lit(lambda), 6).as("lambda_r")),
+      col("vec_id"))
+  }
+
   /** §2.3 #38 — heuristic language ID. */
   def textLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -766,6 +782,7 @@ object LlmQueries {
     "ann_sq8" -> (annSq8 _),
     "ann_pq" -> (annPq _),
     "ann_ivf_pq" -> (annIvfPq _),
+    "embed_pca" -> (embedPca _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
@@ -1247,6 +1264,29 @@ object LlmQueries {
         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
         |FROM scored WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // the oracle replays all 3 power iterations: per-dim decimal sums,
+    // decimal-squared norms, seed 1/√64 = 0.125 exact in binary
+    "embed_pca" -> {
+      def wCte(i: Int, vPrev: String) =
+        s"""w$i AS (
+           |  SELECT d, sum(round(p * x[d], 9)::DECIMAL(28,9))::DOUBLE AS w
+           |  FROM (SELECT x, list_inner_product(x, (SELECT v FROM $vPrev)) AS p FROM f)
+           |  CROSS JOIN dims GROUP BY d)""".stripMargin
+      def nCte(i: Int) =
+        s"n$i AS (SELECT sqrt(sum(round(w*w, 9)::DECIMAL(28,9))::DOUBLE) AS nrm FROM w$i)"
+      def vCte(i: Int) =
+        s"v$i AS (SELECT list(w / (SELECT nrm FROM n$i) ORDER BY d) AS v FROM w$i)"
+      s"""WITH f AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+         |v0 AS (SELECT list_transform(generate_series(1, 64), i -> 0.125::DOUBLE) AS v),
+         |${wCte(1, "v0")}, ${nCte(1)}, ${vCte(1)},
+         |${wCte(2, "v1")}, ${nCte(2)}, ${vCte(2)},
+         |${wCte(3, "v2")}, ${nCte(3)}, ${vCte(3)}
+         |SELECT vec_id,
+         |  round(list_inner_product(x, (SELECT v FROM v3)), 6) AS proj_r,
+         |  round((SELECT nrm FROM n3), 6) AS lambda_r
+         |FROM f ORDER BY vec_id""".stripMargin
+    },
     // full-probe + full-pool IVF-PQ is exact → brute-force truth
     "ann_ivf_pq" ->
       """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 20),
