@@ -606,6 +606,29 @@ object LlmQueries {
       col("doc_id"))
   }
 
+  /** §2.3 #52c — corpus-ADAPTIVE quality filter: the CCNet move of
+    * thresholding each document's LM score against a corpus percentile
+    * instead of a fixed constant (fixed thresholds rot as the corpus
+    * mix shifts; percentiles self-calibrate). Keeps docs at or below
+    * the P90 unigram NLL. The gate uses the EXACT interpolated
+    * percentile (deterministic, DuckDB `quantile_cont` ≡ Spark
+    * `percentile`, both `lo + frac·(hi−lo)` over the 6-dp-rounded
+    * scores); at 100 TB the drop-in is `percentile_approx` with the
+    * same broadcast-threshold plan shape — one extra 1-row aggregate,
+    * the corpus streams once either way. */
+  def textAdaptiveFilter(s: SparkSession, dir: String): DataFrame = {
+    val scored = CorpusStats.unigramNll(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+    val thr = scored.agg(expr("percentile(avg_nll, 0.9)").as("t"))
+    orderedSmall(
+      scored.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("avg_nll"),
+          round(col("t"), 6).as("p90_r"),
+          (col("avg_nll") <= round(col("t"), 6)).as("kept")),
+      col("doc_id"))
+  }
+
   /** §2.3 #52 — unigram-NLL quality scoring (perplexity proxy): each
     * doc's mean −ln p(token) under the corpus's own add-one-smoothed
     * unigram distribution. Decimal-summed per doc, so the gate is exact
@@ -755,6 +778,7 @@ object LlmQueries {
     "text_tfidf" -> (textTfidf _),
     "text_boilerplate" -> (textBoilerplate _),
     "text_unigram_nll" -> (textUnigramNll _),
+    "text_adaptive_filter" -> (textAdaptiveFilter _),
     "text_line_dedup" -> (textLineDedup _),
     "text_bigram_nll" -> (textBigramNll _),
     "text_compress" -> (textCompress _),
@@ -953,6 +977,27 @@ object LlmQueries {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(sum(round(nll, 6)::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_nll
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // threshold = exact interpolated P90 (quantile_cont ≡ Spark
+    // percentile) over the 6-dp-rounded NLL scores
+    "text_adaptive_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        |tot AS (SELECT sum(c)::BIGINT AS t_tokens, count(*) AS v_vocab FROM counts),
+        |nll AS (
+        |  SELECT t.doc_id,
+        |    -ln((counts.c + 1.0::DOUBLE) / (tot.t_tokens + tot.v_vocab)) AS nll
+        |  FROM toks t JOIN counts USING (term) CROSS JOIN tot),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(sum(round(nll, 6)::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_nll
+        |  FROM nll GROUP BY doc_id),
+        |thr AS (SELECT quantile_cont(avg_nll, 0.9::DOUBLE) AS t FROM scored)
+        |SELECT doc_id, avg_nll, round(t, 6) AS p90_r,
+        |  avg_nll <= round(t, 6) AS kept
+        |FROM scored CROSS JOIN thr ORDER BY doc_id""".stripMargin,
     // the oracle retrains the classifier: 3 GD iterations with the same
     // decimal-summed gradients, 6-dp sigmoid, and w + (lr*g)/n update
     "text_quality_classifier" -> {
