@@ -211,6 +211,55 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** §2.2 #28c — sequential conversion funnel (view → click → purchase,
+    * strictly ordered by time): per-user stage reached plus the step
+    * timestamps. Each step is a filtered aggregate joined on `user_id` —
+    * every join co-keyed on the same column the aggregates hash on, no
+    * window over the full event stream, no self-join explosion. All
+    * time comparisons run in the MICROSECOND domain on both engines
+    * (the parquet carries nanos; comparing raw nanos against Spark's
+    * micros-truncated timestamps would disagree on sub-µs gaps). */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1_us"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).filter(col("us") > col("t1_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2_us"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id")).filter(col("us") > col("t2_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3_us"))
+    ev.select(col("user_id")).distinct()
+      .join(s1, Seq("user_id"), "left").join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3_us").isNotNull, 3).when(col("t2_us").isNotNull, 2)
+          .when(col("t1_us").isNotNull, 1).otherwise(0).as("stage"),
+        col("t1_us"), col("t2_us"), col("t3_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** §2.2 #28d — cohort retention: users grouped by signup day, retained
+    * = any activity exactly 1 day later (D1) / within days 1-7 (D7).
+    * Activity dedups to (user, day) BEFORE the cohort join — the join
+    * input is bounded by users×days, not raw events — and every join is
+    * co-keyed on `user_id`. UTC day boundaries on both engines. */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val activity = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    cohort.join(activity, Seq("user_id"))
+      .withColumn("dd", datediff(col("day"), col("cohort_day")))
+      .groupBy(col("cohort_day"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count_distinct(when(col("dd") === 1, col("user_id"))).as("d1_retained"),
+        count_distinct(when(col("dd").between(1, 7), col("user_id"))).as("d7_retained"))
+      .orderBy(col("cohort_day"))
+  }
+
   /** §2.2 #29 — exact percentiles per group (interpolating, rounded for
     * cross-engine float stability). */
   def qPercentiles(s: SparkSession, dir: String): DataFrame = {
@@ -398,6 +447,44 @@ object Analytics {
         |  count(*) FILTER (event_type = 'error') AS n_error,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DOUBLE) AS purchase_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // UTC day boundaries; datediff(day, cohort) in days on both engines
+    "q_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, min(date_trunc('day', ts)::DATE) AS cohort_day
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day FROM events),
+        |j AS (
+        |  SELECT c.cohort_day, a.user_id, (a.day - c.cohort_day) AS dd
+        |  FROM cohort c JOIN activity a USING (user_id))
+        |SELECT cohort_day, count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT CASE WHEN dd = 1 THEN user_id END) AS d1_retained,
+        |  count(DISTINCT CASE WHEN dd BETWEEN 1 AND 7 THEN user_id END) AS d7_retained
+        |FROM j GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+    // all comparisons in the microsecond domain (epoch_us) — the parquet
+    // carries nanos, Spark's loader truncates to micros
+    "q_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1_us FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1_us
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2_us
+        |  GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CASE WHEN t3_us IS NOT NULL THEN 3 WHEN t2_us IS NOT NULL THEN 2
+        |       WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |  t1_us, t2_us, t3_us
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,
@@ -671,6 +758,8 @@ object Analytics {
     "q_gapfill" -> (qGapfill _),
     "q_pivot" -> (qPivot _),
     "q_sessionize" -> (qSessionize _),
+    "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _),
     "q_percentiles" -> (qPercentiles _),
     "q_union_dedup" -> (qUnionDedup _),
     "q17_small_quantity" -> (q17SmallQuantity _),
