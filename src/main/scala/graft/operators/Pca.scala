@@ -61,4 +61,29 @@ object Pca {
   def project(corpus: DataFrame, vecCol: String, v: Array[Double]): DataFrame =
     corpus.withColumn("proj",
       VectorMath.dot(VectorMath.toDouble(col(vecCol)), typedLit(v.toSeq)))
+
+  /** Deflate: subtract each vector's component along `v` — the input to
+    * the NEXT power iteration (Hotelling deflation, how top-k PCA
+    * extracts successive components). Pure elementwise projection; the
+    * subtraction is exact in IEEE given identical `x·v`, so deflated
+    * training stays cross-engine replayable. */
+  def deflate(corpus: DataFrame, vecCol: String, v: Array[Double],
+      outCol: String): DataFrame = {
+    val vLit = typedLit(v.toSeq)
+    val x = VectorMath.toDouble(col(vecCol))
+    corpus
+      .withColumn("__p", VectorMath.dot(x, vLit)) // one dot, not one per dim
+      .withColumn(outCol, zip_with(x, vLit, (xi, vi) => xi - col("__p") * vi))
+      .drop("__p")
+  }
+
+  /** Top-2 components by power iteration + deflation. Returns
+    * ((v1, λ1), (v2, λ2)). */
+  def top2(corpus: DataFrame, vecCol: String,
+      iters: Int): ((Array[Double], Double), (Array[Double], Double)) = {
+    val first = powerIteration(corpus, vecCol, iters)
+    val deflated = deflate(corpus, vecCol, first._1, "__defl")
+    val second = powerIteration(deflated, "__defl", iters)
+    (first, second)
+  }
 }

@@ -348,6 +348,27 @@ object LlmQueries {
       col("vec_id"))
   }
 
+  /** §2.3 #47c — top-2 PCA via Hotelling deflation: component 1 as in
+    * [[embedPca]], then every vector deflates by its v1 component and
+    * the same exact power iteration extracts v2. Projections report each
+    * component's own variance axis (p2 over the DEFLATED vectors — with
+    * exact orthogonality the two definitions coincide; over floats this
+    * one is the variance v2 actually captured). Oracle replays BOTH
+    * chains and the deflation. */
+  def embedPca2(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val ((v1, l1), (v2, l2)) = graft.operators.Pca.top2(emb, "embedding", iters = 3)
+    val defl = graft.operators.Pca.deflate(emb, "embedding", v1, "__defl")
+    val p1 = graft.operators.Pca.project(defl, "embedding", v1)
+      .withColumnRenamed("proj", "__p1")
+    orderedSmall(
+      graft.operators.Pca.project(p1, "__defl", v2)
+        .select(col("vec_id"),
+          round(col("__p1"), 6).as("p1_r"), round(col("proj"), 6).as("p2_r"),
+          round(lit(l1), 6).as("l1_r"), round(lit(l2), 6).as("l2_r")),
+      col("vec_id"))
+  }
+
   /** §2.3 #38 — heuristic language ID. */
   def textLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -807,6 +828,7 @@ object LlmQueries {
     "ann_pq" -> (annPq _),
     "ann_ivf_pq" -> (annIvfPq _),
     "embed_pca" -> (embedPca _),
+    "embed_pca2" -> (embedPca2 _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
@@ -900,7 +922,7 @@ object LlmQueries {
     * decimal-rounded sums the Spark trainer aggregates. `p` is the
     * (6-dp-rounded) sigmoid under the PREVIOUS iteration's weights. */
   private def qcGrad(name: String, p: String, from: String): String =
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
        |  SELECT
        |    sum(round((y - $p), 9)::DECIMAL(28,9))::DOUBLE AS g0,
        |    sum(round((y - $p) * x1, 9)::DECIMAL(28,9))::DOUBLE AS g1,
@@ -912,7 +934,7 @@ object LlmQueries {
   private def qcP(b: String, a1: String, a2: String, a3: String): String =
     s"round(1.0::DOUBLE/(1.0::DOUBLE+exp(-($b + $a1*x1 + $a2*x2 + $a3*x3))), 6)"
   private def qcW(name: String, wPrev: String, g: String): String =
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
        |  SELECT b + 0.5::DOUBLE * g0 / n AS b, a1 + 0.5::DOUBLE * g1 / n AS a1,
        |    a2 + 0.5::DOUBLE * g2 / n AS a2, a3 + 0.5::DOUBLE * g3 / n AS a3
        |  FROM $wPrev CROSS JOIN $g CROSS JOIN nn)""".stripMargin
@@ -1318,10 +1340,10 @@ object LlmQueries {
            |  FROM (SELECT x, list_inner_product(x, (SELECT v FROM $vPrev)) AS p FROM f)
            |  CROSS JOIN dims GROUP BY d)""".stripMargin
       def nCte(i: Int) =
-        s"n$i AS (SELECT sqrt(sum(round(w*w, 9)::DECIMAL(28,9))::DOUBLE) AS nrm FROM w$i)"
+        s"n$i AS MATERIALIZED (SELECT sqrt(sum(round(w*w, 9)::DECIMAL(28,9))::DOUBLE) AS nrm FROM w$i)"
       def vCte(i: Int) =
-        s"v$i AS (SELECT list(w / (SELECT nrm FROM n$i) ORDER BY d) AS v FROM w$i)"
-      s"""WITH f AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        s"v$i AS MATERIALIZED (SELECT list(w / (SELECT nrm FROM n$i) ORDER BY d) AS v FROM w$i)"
+      s"""WITH f AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
          |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
          |v0 AS (SELECT list_transform(generate_series(1, 64), i -> 0.125::DOUBLE) AS v),
          |${wCte(1, "v0")}, ${nCte(1)}, ${vCte(1)},
@@ -1331,6 +1353,38 @@ object LlmQueries {
          |  round(list_inner_product(x, (SELECT v FROM v3)), 6) AS proj_r,
          |  round((SELECT nrm FROM n3), 6) AS lambda_r
          |FROM f ORDER BY vec_id""".stripMargin
+    },
+    // both chains + the deflation replayed; lambdas reference v via
+    // CROSS JOIN (DuckDB forbids subqueries inside lambdas)
+    "embed_pca2" -> {
+      def wCte(name: String, src: String, vPrev: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT d, sum(round(p * x[d], 9)::DECIMAL(28,9))::DOUBLE AS w
+           |  FROM (SELECT x, list_inner_product(x, (SELECT v FROM $vPrev)) AS p FROM $src)
+           |  CROSS JOIN dims GROUP BY d)""".stripMargin
+      def nCte(name: String, w: String) =
+        s"$name AS MATERIALIZED (SELECT sqrt(sum(round(w*w, 9)::DECIMAL(28,9))::DOUBLE) AS nrm FROM $w)"
+      def vCte(name: String, w: String, n: String) =
+        s"$name AS MATERIALIZED (SELECT list(w / (SELECT nrm FROM $n) ORDER BY d) AS v FROM $w)"
+      s"""WITH f AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+         |v0 AS (SELECT list_transform(generate_series(1, 64), i -> 0.125::DOUBLE) AS v),
+         |${wCte("w1", "f", "v0")}, ${nCte("n1", "w1")}, ${vCte("v1", "w1", "n1")},
+         |${wCte("w2", "f", "v1")}, ${nCte("n2", "w2")}, ${vCte("v2", "w2", "n2")},
+         |${wCte("w3", "f", "v2")}, ${nCte("n3", "w3")}, ${vCte("v3", "w3", "n3")},
+         |fd AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(generate_series(1, 64),
+         |    i -> x[i] - list_inner_product(x, v) * v[i]) AS x
+         |  FROM f CROSS JOIN v3),
+         |${wCte("w21", "fd", "v0")}, ${nCte("n21", "w21")}, ${vCte("v21", "w21", "n21")},
+         |${wCte("w22", "fd", "v21")}, ${nCte("n22", "w22")}, ${vCte("v22", "w22", "n22")},
+         |${wCte("w23", "fd", "v22")}, ${nCte("n23", "w23")}, ${vCte("v23", "w23", "n23")}
+         |SELECT f.vec_id,
+         |  round(list_inner_product(f.x, (SELECT v FROM v3)), 6) AS p1_r,
+         |  round(list_inner_product(fd.x, (SELECT v FROM v23)), 6) AS p2_r,
+         |  round((SELECT nrm FROM n3), 6) AS l1_r,
+         |  round((SELECT nrm FROM n23), 6) AS l2_r
+         |FROM f JOIN fd USING (vec_id) ORDER BY f.vec_id""".stripMargin
     },
     // full-probe + full-pool IVF-PQ is exact → brute-force truth
     "ann_ivf_pq" ->

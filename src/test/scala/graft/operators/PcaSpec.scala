@@ -29,6 +29,20 @@ class PcaSpec extends AnyFunSuite with Matchers {
     (proj(199L) > proj(100L)) ^ (proj(0L) > proj(100L)) shouldBe true
   }
 
+  test("deflated second component is orthogonal and subordinate") {
+    // 3-D: dominant axis (1,1,0), secondary (0,0,1), tiny noise on the rest
+    val df = (0 until 300).map { i =>
+      val t = (i - 150).toDouble
+      val u = ((i * 7) % 30 - 15).toDouble
+      (i.toLong, Seq(t, t, u * 3))
+    }.toDF("id", "vec")
+    val ((v1, l1), (v2, l2)) = Pca.top2(df, "vec", iters = 10)
+    l1 should be > l2
+    val dot12 = v1.zip(v2).map { case (a, b) => a * b }.sum
+    math.abs(dot12) should be < 1e-6
+    math.abs(v2(2)) shouldBe 1.0 +- 0.01 // the z axis is the runner-up
+  }
+
   test("iteration is partition-independent (decimal-summed contributions)") {
     val a = Pca.powerIteration(anisotropic.repartition(13), "vec", iters = 4)
     val b = Pca.powerIteration(anisotropic.repartition(2), "vec", iters = 4)
