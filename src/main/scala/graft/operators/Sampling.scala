@@ -110,6 +110,32 @@ object Sampling {
       .drop("__h")
   }
 
+  /** RENDER the packed bins of [[packSequences]] into actual training
+    * sequences: within each `(bucket, bin)` the documents concatenate in
+    * the same md5-hash order the packer assigned them, separated by
+    * `sep` (the EOS marker). Output per bin: doc count, token total, and
+    * the md5 of the rendered sequence — the verifiable artifact digest
+    * (emitting the digest instead of megabytes of text keeps the gate
+    * surface small; the `array_join` that produced it IS the sequence).
+    *
+    * Scale shape: one shuffle on `(bucket, bin)` — the same partitioning
+    * the packer's window already used; each group holds ≤ maxPerBin
+    * tokens of text by construction, so the per-group sort+join is
+    * bounded by the context size, never by the corpus. */
+  def renderPackedSequences(df: DataFrame, keyCol: String, textCol: String,
+      weight: Column, salt: String, maxPerBin: Long, sep: String): DataFrame = {
+    val packed = packSequences(df, keyCol, weight, salt, maxPerBin)
+      .withColumn("__h", md5(concat(lit(salt), col(keyCol).cast("string"))))
+    packed
+      .groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(weight).cast("long").as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("__h"), col(textCol).as("t")))),
+            e => e("t")),
+          sep)).as("seq_md5"))
+  }
+
   /** Deterministic shard id in `[0, nShards)`: the same engine-stable
     * md5 draw as [[splitLabel]], parsed from hex (Spark `conv`, DuckDB
     * `('0x'||h)::INT` — both yield the identical integer) and reduced

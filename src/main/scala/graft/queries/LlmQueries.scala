@@ -191,6 +191,20 @@ object LlmQueries {
         "doc_id", col("n_tokens"), salt = "pack", maxPerBin = 512L),
       col("doc_id"))
 
+  /** §2.3 #43h — packed-sequence RENDERING: the bins of #43f become the
+    * actual training artifacts — docs concatenate in packer order with
+    * an EOS separator; the gate carries each bin's doc count, token
+    * total and rendered-sequence digest (the concat that produced the
+    * digest IS the sequence, without megabytes of gate surface). */
+  def qPackRender(s: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      graft.operators.Sampling.renderPackedSequences(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "text", col("n_tokens"), salt = "pack", maxPerBin = 512L,
+        sep = "\n<|eos|>\n"),
+      col("bucket"), col("bin"))
+
   /** §2.3 #43g — shard-manifest export: every document deterministically
     * assigned to one of 8 shards (same md5 draw as the split/sample
     * family, so shard membership survives re-runs and engine swaps) and
@@ -818,6 +832,7 @@ object LlmQueries {
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_token_budget_mix" -> (qTokenBudgetMix _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_pack_render" -> (qPackRender _),
     "q_shard_manifest" -> (qShardManifest _),
     "embed_neardup" -> (embedNeardup _),
     "ann_topk" -> (annTopk _),
@@ -1202,6 +1217,31 @@ object LlmQueries {
         |ORDER BY doc_id""".stripMargin,
     // same md5-hex-prefix string compare, fraction thresholds in hex:
     // 0.9 -> e666, 0.95 -> f333, 0.25 -> 4000
+    // same window as q_pack_sequences; the bin text renders in packer
+    // (md5) order with the chr(10)<|eos|>chr(10) separator, then digests
+    "q_pack_render" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+        |    md5('pack' || CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(sum(n_tokens) OVER (
+        |      PARTITION BY substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |      ORDER BY md5('pack' || CAST(doc_id AS VARCHAR))
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM base),
+        |b AS (
+        |  SELECT bucket, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+        |    text, n_tokens, h
+        |  FROM w)
+        |SELECT bucket, bin, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+        |  md5(string_agg(text, chr(10) || '<|eos|>' || chr(10) ORDER BY h, text))
+        |    AS seq_md5
+        |FROM b GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin,
     // shard = md5-hex-prefix parsed as int mod 8 (Spark conv ≡ DuckDB
     // '0x' cast); content_sig = md5 over the numerically-sorted id list
     "q_shard_manifest" ->

@@ -170,6 +170,29 @@ class DedupClusterSpec extends AnyFunSuite with Matchers {
     n.toDouble shouldBe 2000.0 +- 200.0
   }
 
+  test("rendered packed sequences cover every doc and digest deterministically") {
+    val docs = (0L until 60L).map(i => (i, s"doc$i word" * 3, 6L))
+      .toDF("id", "text", "wt")
+    val rendered = Sampling.renderPackedSequences(docs, "id", "text",
+      col("wt"), "p", maxPerBin = 30L, sep = "<eos>")
+      .collect().map(r => ((r.getAs[String]("bucket"), r.getAs[Long]("bin")),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[String]("seq_md5"))))
+      .toMap
+    rendered.values.map(_._1).sum shouldBe 60L      // every doc in exactly one bin
+    rendered.values.map(_._2).sum shouldBe 360L     // token totals add up
+    // bins agree with the packer's assignment
+    val bins = Sampling.packSequences(docs, "id", col("wt"), "p", maxPerBin = 30L)
+      .groupBy(col("bucket"), col("bin")).count()
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    bins.foreach { case (k, n) => rendered(k)._1 shouldBe n }
+    // digest is stable across partitionings
+    val again = Sampling.renderPackedSequences(docs.repartition(7), "id", "text",
+      col("wt"), "p", maxPerBin = 30L, sep = "<eos>")
+      .collect().map(r => ((r.getAs[String]("bucket"), r.getAs[Long]("bin")),
+        r.getAs[String]("seq_md5"))).toMap
+    rendered.foreach { case (k, v) => again(k) shouldBe v._3 }
+  }
+
   test("shard manifest partitions the corpus completely and verifiably") {
     val docs = spark.range(0, 500)
       .selectExpr("id AS doc_id", "'w ' || CAST(id % 7 AS STRING) AS text")
