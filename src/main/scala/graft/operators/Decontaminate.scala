@@ -109,6 +109,45 @@ object Decontaminate {
       (col("n_hits").cast("double") / col("n_ngrams") >= threshold).as("contaminated"))
   }
 
+  /** Per-EVAL-item contamination report — the mirror of [[overlap]]: for
+    * each evaluation document, how many of ITS distinct n-grams occur
+    * anywhere in the training corpus. This is the view a benchmark owner
+    * reads ("which eval items are burned?") where [[overlap]] is the view
+    * the corpus owner reads ("which training docs to drop?").
+    *
+    * Scale shape: the eval side is small by definition, so its distinct
+    * n-gram set broadcasts INTO the corpus scan as a semi-join — the
+    * corpus contributes only the n-grams that match an eval n-gram
+    * (near-zero on a clean corpus), which are then dedup'd (corpus-
+    * occurrence counts don't matter for this view, membership does) and
+    * joined back to the per-eval-doc gram table. The corpus is never
+    * shuffled; the only exchanges carry eval-sized gram sets.
+    *
+    * Output: `(idCol, n_ngrams, n_hit, hit_ratio, burned)` — one row per
+    * eval doc with ≥1 n-gram; `n_hit` counts its distinct n-grams found
+    * in train, `burned` = hit_ratio ≥ threshold. */
+  def reportPerEval(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val evalGrams = eval
+      .select(col(idCol), explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__ngram"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalSet = evalGrams.select(col("__ngram")).distinct()
+    val hitGrams = train
+      .select(explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__ngram"))
+      .join(broadcast(evalSet), Seq("__ngram"), "left_semi")
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    evalGrams
+      .join(hitGrams, Seq("__ngram"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col(idCol), col("n_ngrams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_ngrams")).as("hit_ratio"),
+        (col("n_hit").cast("double") / col("n_ngrams") >= threshold).as("burned"))
+  }
+
   /** Rows of `probe` whose `colName` MIGHT be in `build`'s `colName` set,
     * by a ~1%-fpp Bloom filter built distributed over the build side and
     * broadcast as serialized bytes. Probe and build hash through the same

@@ -179,6 +179,35 @@ object Dedup {
       .drop("__cc_id", "__cc_label")
   }
 
+  /** Quality-aware canonical selection: keep the HIGHEST-`score` document
+    * of each duplicate cluster (ties broken toward the minimum id) and
+    * every unpaired doc — the production policy when near-dup clusters
+    * mix a clean original with truncated or boilerplate-padded copies
+    * and "min id" would keep an arbitrary one.
+    *
+    * Scale shape: the cluster map is |nodes-in-pairs| rows, so it
+    * broadcasts to score the members (the corpus is never shuffled); the
+    * per-cluster argmax reduces over nodes only; the survivor map
+    * broadcasts back. */
+  def keepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column): DataFrame = {
+    val cc = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
+    // score only the clustered members: broadcast the node map into the
+    // corpus scan, reduce (score, -id) lexicographically per cluster
+    val best = docs
+      .join(broadcast(cc), docs(idCol) === col("__cc_id"))
+      .groupBy(col("__cc_label"))
+      .agg(max(struct(score.as("s"), (-col("__cc_id")).as("neg_id"))).as("__b"))
+      .select(col("__cc_label").as("__kb_label"),
+        (-col("__b.neg_id")).as("__keep_id"))
+    val survivorByNode = cc.join(best, col("__cc_label") === col("__kb_label"))
+      .select(col("__cc_id").as("__kb_id"), col("__keep_id"))
+    docs.join(broadcast(survivorByNode), docs(idCol) === col("__kb_id"), "left_outer")
+      .filter(col("__keep_id").isNull || col("__keep_id") === docs(idCol))
+      .drop("__kb_id", "__keep_id")
+  }
+
   /** Embedding near-duplicate pairs: exact cosine over LSH-bucketed
     * candidates (random-hyperplane signature). For corpora small enough to
     * broadcast, pass `bucketBits = 0` to verify all pairs. */

@@ -340,6 +340,22 @@ object Analytics {
   /** Oracle SQL (DuckDB) for each query above — column names and ordering
     * must match the Spark output exactly. */
   val oracle: Map[String, String] = Map(
+    // one UNION arm per profiled column; min/max formatted exactly as the
+    // operator does (doubles via DECIMAL(18,2), timestamps via DATE)
+    "q_profile" -> {
+      def arm(c: String, minmax: String => String) =
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           |  (count(*) - count($c))::BIGINT AS n_null,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  ${minmax(s"min($c)")} AS min_s, ${minmax(s"max($c)")} AS max_s
+           |FROM lineitem""".stripMargin
+      val plain = (e: String) => s"$e::VARCHAR"
+      val dbl = (e: String) => s"$e::DECIMAL(18,2)::VARCHAR"
+      val ts = (e: String) => s"$e::DATE::VARCHAR"
+      Seq(arm("l_orderkey", plain), arm("l_linenumber", plain),
+        arm("l_quantity", dbl), arm("l_returnflag", plain),
+        arm("l_shipdate", ts)).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -680,6 +696,17 @@ object Analytics {
       .orderBy(col("word"))
   }
 
+  /** §2.2 #30o — one-pass column profiler ([[graft.operators.Profile]]):
+    * row/null/exact-distinct counts and native-typed min/max per column
+    * in a single aggregate over the scan (the ingestion-time data-quality
+    * summary; `exact = false` swaps the distinct counts to HLL sketches
+    * at 100 TB). Doubles render through DECIMAL(18,2), timestamps
+    * through DATE, so the strings are engine-stable. */
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(Tables.lineitem(s, dir),
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"))
+      .orderBy(col("col_name"))
+
   /** §2.2 #30j — the `spark.sql` entry path: TPC-H Q6 (forecasting
     * revenue change) run as SQL text over [[Tables.registerAll]] temp
     * views. Same Catalyst plan as the DataFrame API — scans stay pruned
@@ -770,6 +797,7 @@ object Analytics {
     "q_range_join" -> (qRangeJoin _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_explode_agg" -> (qExplodeAgg _),
+    "q_profile" -> (qProfile _),
     "q6_sql_revenue" -> (qSqlQ6 _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_salted_agg" -> (qSaltedAgg _),

@@ -598,6 +598,59 @@ object LlmQueries {
       col("doc_id"))
   }
 
+  /** §2.3 #48b — per-EVAL-item contamination report, the mirror view of
+    * [[decontamOverlap]]: which eval items are burned, and how badly.
+    * Half the eval docs (doc_id % 14 == 0) are planted into train, so
+    * the gate exercises burned, partially-hit, and clean eval items. */
+  def decontamReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % 7 === 0)
+    val trainDocs = docs.filter(col("doc_id") % 7 =!= 0)
+      .unionByName(docs.filter(col("doc_id") % 14 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    orderedSmall(
+      Decontaminate.reportPerEval(trainDocs, evalDocs, "doc_id", "text",
+        n = 5, threshold = 0.5),
+      col("doc_id"))
+  }
+
+  /** §2.3 #31d — repeated-span detection
+    * ([[graft.operators.SpanDedup]]): per document, how many of its
+    * 8-token spans occur at another (doc, position) site anywhere in the
+    * corpus, and how many tokens their island-merged union covers — the
+    * positioned-fingerprint form of exact-substring training-data dedup.
+    * The synthetic corpus has a real cross-doc repeated-phrase signal
+    * (~1k duplicated 8-grams at sf0.01), so nothing is planted. */
+  def textDupSpans(s: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      graft.operators.SpanDedup.duplicatedSpanStats(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 8),
+      col("doc_id"))
+
+  /** §2.3 #31e — quality-aware survivor selection
+    * ([[Dedup.keepBest]]): the planted two-generation copy chain of
+    * [[dedupClusterKeep]], but each generation appends a longer tail and
+    * the survivor policy is "keep the longest" (score = length) — so the
+    * LAST generation wins where min-id would keep the original. Output
+    * is the surviving corpus (id, length). */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def gen(offset: Int, tail: String) =
+      docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + offset).as("doc_id"),
+          concat(col("text"), lit(tail)).as("text"))
+    val corpus = docs.unionByName(gen(100000, " v1")).unionByName(gen(200000, " v2xx"))
+    val base = docs.filter(col("doc_id") % 20 === 0).select(col("doc_id"))
+    val pairs = base.select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      .unionByName(base.select((col("doc_id") + 100000).as("id_a"),
+        (col("doc_id") + 200000).as("id_b")))
+    orderedSmall(
+      Dedup.keepBest(corpus, "doc_id", pairs, length(col("text")))
+        .select(col("doc_id"), length(col("text")).cast("long").as("len")),
+      col("doc_id"))
+  }
+
   /** §2.3 #49 — corpus heavy-hitter bigrams (boilerplate detection).
     * Deterministic cut: total order (count DESC, ngram ASC) before the
     * top-20 limit. */
@@ -828,6 +881,9 @@ object LlmQueries {
     "dedup_simhash_sig" -> (dedupSimhashSig _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_cluster_keep" -> (dedupClusterKeep _),
+    "dedup_keep_best" -> (dedupKeepBest _),
+    "text_dup_spans" -> (textDupSpans _),
+    "decontam_report" -> (decontamReport _),
     "q_hash_split" -> (qHashSplit _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_token_budget_mix" -> (qTokenBudgetMix _),
@@ -1182,6 +1238,71 @@ object LlmQueries {
         |SELECT doc_id, rank, term, tf,
         |  round(tfidf, 6) AS tfidf_r, round(bm25, 6) AS bm25_r
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // closed form of the planted chain under keep-longest: the v2xx
+    // generation (longest tail) survives each cluster; everything
+    // unclustered survives untouched
+    "dedup_keep_best" ->
+      """SELECT doc_id, len FROM (
+        |  SELECT doc_id, length(text)::BIGINT AS len
+        |  FROM documents WHERE doc_id % 20 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, (length(text) + 5)::BIGINT
+        |  FROM documents WHERE doc_id % 20 = 0
+        |) t ORDER BY doc_id""".stripMargin,
+    // positioned 8-gram fingerprints: spans duplicated across (doc,pos)
+    // sites, per-doc site count + island-merged token coverage via the
+    // same running-max window as the Spark plan
+    "text_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        |  FROM toks WHERE len(t) >= 8),
+        |spans AS (
+        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS g
+        |  FROM st),
+        |dup AS (SELECT g FROM spans GROUP BY g HAVING count(*) > 1),
+        |dp AS (SELECT doc_id, pos FROM spans JOIN dup USING (g)),
+        |cov AS (
+        |  SELECT doc_id, greatest(0, pos + 8 - greatest(coalesce(
+        |      max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos), pos)) AS c
+        |  FROM dp)
+        |SELECT doc_id, count(*) AS n_dup_spans, sum(c)::BIGINT AS dup_tokens
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // per-eval view: distinct 5-grams per eval doc, membership-probed
+    // against the distinct train gram set (half the eval docs planted)
+    "decontam_report" ->
+      """WITH eval_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |train_docs AS (
+        |  SELECT text FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT text FROM documents WHERE doc_id % 14 = 0),
+        |eval_ng AS (
+        |  SELECT DISTINCT doc_id, ngram FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |        generate_series(1, len(toks) - 4),
+        |        i -> array_to_string(toks[i:i+4], ' '))) AS ngram
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |          FROM eval_docs)
+        |    WHERE len(toks) >= 5)),
+        |train_ng AS (
+        |  SELECT DISTINCT unnest(list_transform(
+        |      generate_series(1, len(toks) - 4),
+        |      i -> array_to_string(toks[i:i+4], ' '))) AS ngram
+        |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM train_docs)
+        |  WHERE len(toks) >= 5)
+        |SELECT e.doc_id, count(*) AS n_ngrams,
+        |  sum(CASE WHEN t.ngram IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit,
+        |  sum(CASE WHEN t.ngram IS NULL THEN 0 ELSE 1 END)::DOUBLE / count(*)
+        |    AS hit_ratio,
+        |  sum(CASE WHEN t.ngram IS NULL THEN 0 ELSE 1 END)::DOUBLE / count(*) >= 0.5
+        |    AS burned
+        |FROM eval_ng e LEFT JOIN train_ng t USING (ngram)
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
     // closed form of the planted chain: originals keep themselves; both
     // copy generations collapse (transitively) onto the original's cluster
     "dedup_cluster_keep" ->

@@ -170,6 +170,16 @@ class DedupClusterSpec extends AnyFunSuite with Matchers {
     n.toDouble shouldBe 2000.0 +- 200.0
   }
 
+  test("keepBest keeps the highest-score member, min id on ties, unpaired docs") {
+    val docs = Seq((1L, "aa", 5L), (2L, "bb", 9L), (3L, "cc", 9L),
+      (10L, "dd", 1L)).toDF("id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBest(docs, "id", pairs, col("score"))
+    kept.columns.toSeq shouldBe Seq("id", "text", "score") // corpus shape intact
+    kept.select("id").as[Long].collect().sorted shouldBe
+      Array(2L, 10L) // 9-score tie between 2 and 3 -> min id 2; 10 unpaired
+  }
+
   test("rendered packed sequences cover every doc and digest deterministically") {
     val docs = (0L until 60L).map(i => (i, s"doc$i word" * 3, 6L))
       .toDF("id", "text", "wt")

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+class ProfileSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profile counts rows/nulls/distincts and formats typed min/max") {
+    val df = Seq((1L, Option(2.5), "a"), (2L, Option.empty[Double], "b"),
+      (2L, Option(10.0), "a")).toDF("k", "v", "s")
+    val p = Profile.profile(df, Seq("k", "v", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    p("k") shouldBe (3L, 0L, 2L, "1", "2")
+    p("v") shouldBe (3L, 1L, 2L, "2.50", "10.00") // decimal-rendered doubles
+    p("s") shouldBe (3L, 0L, 2L, "a", "b")
+  }
+
+  test("approximate mode stays near the exact distinct counts") {
+    val df = spark.range(0, 1000).selectExpr("id % 97 AS m")
+    val nd = Profile.profile(df, Seq("m"), exact = false)
+      .collect()(0).getLong(3)
+    nd.toDouble shouldBe 97.0 +- 10.0
+  }
+
+  test("unknown columns are rejected up front") {
+    an[IllegalArgumentException] should be thrownBy
+      Profile.profile(Seq((1, 2)).toDF("a", "b"), Seq("a", "nope"))
+  }
+}
