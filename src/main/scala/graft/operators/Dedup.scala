@@ -179,6 +179,38 @@ object Dedup {
       .drop("__cc_id", "__cc_label")
   }
 
+  /** Incremental dedup of a NEW batch against an EXISTING corpus — the
+    * production shape for continuous ingestion (a daily crawl appended
+    * to a 100 TB training set): a batch row survives iff its content
+    * signature occurs nowhere in the corpus AND it is the first
+    * occurrence (min id) of its signature within the batch.
+    *
+    * Scale shape: the batch's distinct signature set is batch-sized, so
+    * it broadcasts INTO the corpus scan as a semi-join — the corpus
+    * contributes only signatures the batch actually carries (typically a
+    * tiny kill set), which broadcast back as an anti-join. The corpus is
+    * never shuffled and never rescanned per batch row; nothing larger
+    * than the batch ever crosses an exchange. */
+  def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, normalize: Boolean = false): DataFrame = {
+    def sig(c: Column) = {
+      val t = if (normalize) regexp_replace(trim(lower(c)), "\\s+", " ") else c
+      concat(md5(t), lit(":"), length(t).cast("string"))
+    }
+    val batchSigs = batch.select(sig(col(textCol)).as("__sig")).distinct()
+    val killSet = corpus.select(sig(col(textCol)).as("__sig"))
+      .join(broadcast(batchSigs), Seq("__sig"), "left_semi")
+      .distinct()
+    val withSig = batch.withColumn("__sig", sig(col(textCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__sig")).orderBy(col(idCol))
+    withSig
+      .join(broadcast(killSet), Seq("__sig"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__sig", "__rn")
+  }
+
   /** Quality-aware canonical selection: keep the HIGHEST-`score` document
     * of each duplicate cluster (ties broken toward the minimum id) and
     * every unpaired doc — the production policy when near-dup clusters

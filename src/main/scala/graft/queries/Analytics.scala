@@ -340,6 +340,17 @@ object Analytics {
   /** Oracle SQL (DuckDB) for each query above — column names and ordering
     * must match the Spark output exactly. */
   val oracle: Map[String, String] = Map(
+    // the Morton interleave rebuilt term by term in SQL bit arithmetic
+    "q_zorder" -> {
+      val z = (0 until 8).flatMap(i => Seq(
+        s"((((l_partkey % 256) >> $i) & 1) << ${2 * i})",
+        s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})"))
+        .mkString("(", " | ", ")")
+      s"""SELECT ($z >> 10) AS z_bucket, count(*) AS n,
+         |  min(l_partkey % 256) AS min_x, max(l_partkey % 256) AS max_x,
+         |  min(l_suppkey % 256) AS min_y, max(l_suppkey % 256) AS max_y
+         |FROM lineitem GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    },
     // one UNION arm per profiled column; min/max formatted exactly as the
     // operator does (doubles via DECIMAL(18,2), timestamps via DATE)
     "q_profile" -> {
@@ -707,6 +718,24 @@ object Analytics {
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"))
       .orderBy(col("col_name"))
 
+  /** §2.2 #30p — z-order layout ([[graft.operators.Layout]]): Morton
+    * codes over (partkey, suppkey) mod 256, aggregated per 1024-wide
+    * z-bucket with each bucket's 2-D bounding box — the min/max tightness
+    * that makes z-ordered files skippable on BOTH dimensions. The oracle
+    * recomputes the bit interleave term by term. */
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val x = col("l_partkey") % 256
+    val y = col("l_suppkey") % 256
+    Tables.lineitem(s, dir)
+      .select(Layout.zValue2(x, y, 8).as("z"), x.as("x"), y.as("y"))
+      .groupBy(shiftright(col("z"), 10).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("z_bucket"))
+  }
+
   /** §2.2 #30j — the `spark.sql` entry path: TPC-H Q6 (forecasting
     * revenue change) run as SQL text over [[Tables.registerAll]] temp
     * views. Same Catalyst plan as the DataFrame API — scans stay pruned
@@ -798,6 +827,7 @@ object Analytics {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_explode_agg" -> (qExplodeAgg _),
     "q_profile" -> (qProfile _),
+    "q_zorder" -> (qZorder _),
     "q6_sql_revenue" -> (qSqlQ6 _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_salted_agg" -> (qSaltedAgg _),

@@ -651,6 +651,25 @@ object LlmQueries {
       col("doc_id"))
   }
 
+  /** §2.3 #31f — incremental batch-vs-corpus dedup
+    * ([[Dedup.dedupAgainstCorpus]]): the continuous-ingestion shape. The
+    * planted batch carries docs already in the corpus (doc_id % 6 == 0,
+    * killed by the corpus set) and within-batch copies (+70000 ids,
+    * killed by keep-first), so both kill paths gate. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 70000).as("doc_id"), col("text")))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      .unionByName(docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text")))
+    orderedSmall(
+      Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text")
+        .select(col("doc_id"), length(col("text")).cast("long").as("len")),
+      col("doc_id"))
+  }
+
   /** §2.3 #49 — corpus heavy-hitter bigrams (boilerplate detection).
     * Deterministic cut: total order (count DESC, ngram ASC) before the
     * top-20 limit. */
@@ -882,6 +901,7 @@ object LlmQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_cluster_keep" -> (dedupClusterKeep _),
     "dedup_keep_best" -> (dedupKeepBest _),
+    "dedup_incremental" -> (dedupIncremental _),
     "text_dup_spans" -> (textDupSpans _),
     "decontam_report" -> (decontamReport _),
     "q_hash_split" -> (qHashSplit _),
@@ -1249,6 +1269,30 @@ object LlmQueries {
         |  SELECT doc_id + 200000, (length(text) + 5)::BIGINT
         |  FROM documents WHERE doc_id % 20 = 0
         |) t ORDER BY doc_id""".stripMargin,
+    // batch-vs-corpus anti-join on (md5:len) signatures + keep-first
+    // within the batch, replayed literally
+    "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 70000, text FROM documents WHERE doc_id % 9 = 0),
+        |corpus AS (
+        |  SELECT text FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT text FROM documents WHERE doc_id % 6 = 0),
+        |csigs AS (
+        |  SELECT DISTINCT md5(text) || ':' || length(text)::VARCHAR AS sig
+        |  FROM corpus),
+        |surv AS (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (
+        |      PARTITION BY md5(text) || ':' || length(text)::VARCHAR
+        |      ORDER BY doc_id) AS rn
+        |  FROM batch
+        |  WHERE md5(text) || ':' || length(text)::VARCHAR
+        |    NOT IN (SELECT sig FROM csigs))
+        |SELECT doc_id, length(text)::BIGINT AS len FROM surv
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // positioned 8-gram fingerprints: spans duplicated across (doc,pos)
     // sites, per-doc site count + island-merged token coverage via the
     // same running-max window as the Spark plan

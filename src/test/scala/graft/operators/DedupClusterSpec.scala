@@ -180,6 +180,21 @@ class DedupClusterSpec extends AnyFunSuite with Matchers {
       Array(2L, 10L) // 9-score tie between 2 and 3 -> min id 2; 10 unpaired
   }
 
+  test("dedupAgainstCorpus kills corpus-known and batch-repeat rows") {
+    val batch = Seq((1L, "fresh one"), (2L, "known text"), (3L, "fresh two"),
+      (4L, "fresh one"), (5L, "fresh three")).toDF("id", "text")
+    val corpus = Seq((100L, "known text"), (101L, "other corpus junk")).toDF("id", "text")
+    val kept = Dedup.dedupAgainstCorpus(batch, corpus, "id", "text")
+      .select("id").as[Long].collect().sorted
+    // 2 dies (in corpus); 4 dies (repeat of 1 within batch, keep-first)
+    kept shouldBe Array(1L, 3L, 5L)
+    // normalization folds whitespace/case variants onto corpus entries
+    val keptNorm = Dedup.dedupAgainstCorpus(
+      Seq((1L, "  KNOWN   text ")).toDF("id", "text"), corpus, "id", "text",
+      normalize = true).count()
+    keptNorm shouldBe 0L
+  }
+
   test("rendered packed sequences cover every doc and digest deterministically") {
     val docs = (0L until 60L).map(i => (i, s"doc$i word" * 3, 6L))
       .toDF("id", "text", "wt")
