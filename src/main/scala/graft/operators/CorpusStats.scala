@@ -239,4 +239,40 @@ object CorpusStats {
           .cast("double") / sum(col("tf"))).as("__avg_raw"))
       .select(col(idCol), col("n_bigrams"), round(col("__avg_raw"), 6).as("avg_nll"))
   }
+
+  /** Source-to-source n-gram overlap matrix (SURVEY.md §2.3 #48c): for
+    * every pair of corpus sources, how many distinct word n-grams they
+    * share and the Jaccard of their gram sets — the dataset-curation
+    * view that finds mirrored crawls, re-scraped dumps, and common
+    * boilerplate BETWEEN datasets before they are mixed.
+    *
+    * Scale shape: one distinct over `(source, gram)`, then grams reduce
+    * to their source SET (bounded by the number of sources, never by
+    * corpus size) and each gram emits its ≤C(s,2) source pairs — the
+    * matrix aggregation is over pair keys, so nothing corpus-sized
+    * crosses the second exchange. No text survives the first projection. */
+  def sourceOverlapMatrix(docs: DataFrame, srcCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = docs
+      .select(col(srcCol).as("src"),
+        explode(graft.functions.TextAnalysis.wordNgrams(col(textCol), n)).as("__g"))
+      .distinct()
+    val totals = grams.groupBy(col("src")).agg(count(lit(1)).as("__n"))
+    val pairs = grams
+      .groupBy(col("__g")).agg(sort_array(collect_set(col("src"))).as("__srcs"))
+      .filter(size(col("__srcs")) > 1)
+      .select(col("__srcs"), posexplode(col("__srcs")))
+      .toDF("__srcs", "__i", "src_a")
+      .select(col("src_a"), col("__i"), posexplode(col("__srcs")))
+      .toDF("src_a", "__i", "__j", "src_b")
+      .filter(col("__i") < col("__j"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(totals.select(col("src").as("src_a"), col("__n").as("__na"))), "src_a")
+      .join(broadcast(totals.select(col("src").as("src_b"), col("__n").as("__nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"),
+        (col("shared").cast("double") /
+          (col("__na") + col("__nb") - col("shared"))).as("sim"))
+  }
 }

@@ -78,8 +78,73 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → minhash → band →
-    * bucket-join → exact-Jaccard verify ≥ threshold. */
+    * bucket-join → exact-Jaccard verify ≥ threshold — with EXACT-DEDUP
+    * COLLAPSE first: identical texts carry identical signatures, bands,
+    * and Jaccards (every stage is a pure function of text), so each
+    * distinct text runs the sketch pipeline ONCE through its minimum-id
+    * representative and rep-level pairs expand back to member pairs.
+    * On duplicate-heavy corpora (the common case that makes near-dup
+    * worth running) this cuts band-join candidates quadratically in the
+    * copy multiplicity: m exact copies are C(m,2) all-pairs work direct,
+    * one rep plus an output-sized expansion here. Output is row-identical
+    * to [[minhashPairsDirect]] (spec-pinned).
+    *
+    * Scale shape: signatures are computed partition-locally in the scan;
+    * the collapse shuffles `(md5, id, sig)` — ~300 bytes/row, never
+    * text; verify ships text for candidate REPRESENTATIVES only; the
+    * expansions are joins on the rep ids carrying member-id lists
+    * (bounded by copy multiplicity — run [[exactGroups]] removal first
+    * if the corpus has million-copy boilerplate groups). */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol))
+    val grouped = base
+      .select(col(idCol), md5(col(textCol)).as("__th"),
+        graft.functions.Sketches.minhashSig(col(textCol), shingleK, numHashes).as("sig"))
+      .groupBy(col("__th"))
+      .agg(min(col(idCol)).as("__rep"),
+        collect_list(col(idCol)).as("__members"),
+        first(col("sig")).as("sig")) // all sigs in a group are identical
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repSigs = grouped.select(col("__rep").as(idCol), col("sig"))
+    val cands = minhashCandidates(repSigs, idCol, bands, numHashes / bands)
+    val verified = jaccardVerify(cands, base, idCol, textCol, shingleK)
+      .filter(col("jaccard") >= threshold)
+    // cross-group: every member pair of a verified rep pair, normalized
+    val cross = verified
+      .join(grouped.select(col("__rep").as("id_a"), col("__members").as("__ma")), "id_a")
+      .join(grouped.select(col("__rep").as("id_b"), col("__members").as("__mb")), "id_b")
+      .select(col("jaccard"), explode(col("__ma")).as("__x"), col("__mb"))
+      .select(col("jaccard"), col("__x"), explode(col("__mb")).as("__y"))
+      .select(least(col("__x"), col("__y")).as("id_a"),
+        greatest(col("__x"), col("__y")).as("id_b"), col("jaccard"))
+    // within-group: exact copies always band-collide, so each multi-member
+    // group contributes all its pairs at the kernel's self-Jaccard (1.0
+    // for any text with shingles — evaluated through the same kernel so
+    // degenerate shingle-less texts behave exactly as in the direct plan)
+    val within = grouped
+      .filter(size(col("__members")) > 1)
+      .join(base, col("__rep") === base(idCol))
+      .select(col("__members"),
+        graft.functions.Sketches.jaccard(col(textCol), col(textCol), shingleK)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("jaccard"), col("__members"), posexplode(col("__members")))
+      .toDF("jaccard", "__m", "__i", "__x")
+      .select(col("jaccard"), col("__x"), col("__i"), posexplode(col("__m")))
+      .toDF("jaccard", "__x", "__i", "__j", "__y")
+      .filter(col("__i") < col("__j"))
+      .select(least(col("__x"), col("__y")).as("id_a"),
+        greatest(col("__x"), col("__y")).as("id_b"), col("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** The collapse-free formulation of [[minhashPairs]]: every document
+    * through sketch/band/verify individually. Same rows (the spec pins
+    * it); quadratic in exact-copy multiplicity. Kept as the equivalence
+    * oracle. */
+  def minhashPairsDirect(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
     val sigs = minhashSignature(docs, idCol, textCol, shingleK, numHashes)

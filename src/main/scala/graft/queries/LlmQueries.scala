@@ -670,6 +670,55 @@ object LlmQueries {
       col("doc_id"))
   }
 
+  /** §2.3 #48c — source-to-source 5-gram overlap matrix
+    * ([[CorpusStats.sourceOverlapMatrix]]): shared distinct grams and
+    * set-Jaccard per source pair — the pre-mixing curation view. The
+    * synthetic corpus shares real cross-source phrases (32 nonzero
+    * pairs at sf0.01), so nothing is planted. */
+  def decontamMatrix(s: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      CorpusStats.sourceOverlapMatrix(Tables.documents(s, dir), "source", "text", n = 5),
+      col("src_a"), col("src_b"))
+
+  /** §2.3 #31d (filter form) — span-level dedup as a document filter:
+    * drop documents whose duplicated-span coverage exceeds 30% of their
+    * tokens ([[graft.operators.SpanDedup.dropMostlyDuplicated]]). */
+  def textSpanFilter(s: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      graft.operators.SpanDedup.dropMostlyDuplicated(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 8, maxDupFrac = 0.3)
+        .select(col("doc_id")),
+      col("doc_id"))
+
+  /** §2.3 #31g — snapshot diff between two corpus versions (dataset
+    * versioning: which docs were added / removed / changed between
+    * yesterday's corpus and today's). Full outer join on id comparing
+    * content hashes — the exchange carries `(id, md5)`, 24 bytes/row,
+    * never text; unchanged rows drop before the output. The planted v2
+    * removes `% 13 == 0`, appends to `% 11 == 0`, and adds `+90000`
+    * copies of `% 17 == 0`. */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" upd")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 90000).as("doc_id"), col("text")))
+    val a = docs.select(col("doc_id"), md5(col("text")).as("__h1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("__h2"))
+    orderedSmall(
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("__h1").isNull, lit("added"))
+            .when(col("__h2").isNull, lit("removed"))
+            .when(col("__h1") =!= col("__h2"), lit("changed")))
+        .filter(col("status").isNotNull)
+        .select(col("doc_id"), col("status")),
+      col("doc_id"))
+  }
+
   /** §2.3 #49 — corpus heavy-hitter bigrams (boilerplate detection).
     * Deterministic cut: total order (count DESC, ngram ASC) before the
     * top-20 limit. */
@@ -902,8 +951,11 @@ object LlmQueries {
     "dedup_cluster_keep" -> (dedupClusterKeep _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_incremental" -> (dedupIncremental _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "text_dup_spans" -> (textDupSpans _),
+    "text_span_filter" -> (textSpanFilter _),
     "decontam_report" -> (decontamReport _),
+    "decontam_matrix" -> (decontamMatrix _),
     "q_hash_split" -> (qHashSplit _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_token_budget_mix" -> (qTokenBudgetMix _),
@@ -1293,6 +1345,24 @@ object LlmQueries {
         |    NOT IN (SELECT sig FROM csigs))
         |SELECT doc_id, length(text)::BIGINT AS len FROM surv
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // v2 rebuilt literally; status from hash comparison on the full outer
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' upd' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 90000, md5(text) FROM documents WHERE doc_id % 17 = 0)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.h1 IS NULL THEN 'added'
+        |       WHEN v2.h2 IS NULL THEN 'removed'
+        |       WHEN v1.h1 <> v2.h2 THEN 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE CASE WHEN v1.h1 IS NULL THEN 'added'
+        |       WHEN v2.h2 IS NULL THEN 'removed'
+        |       WHEN v1.h1 <> v2.h2 THEN 'changed' END IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     // positioned 8-gram fingerprints: spans duplicated across (doc,pos)
     // sites, per-doc site count + island-merged token coverage via the
     // same running-max window as the Spark plan
@@ -1315,6 +1385,52 @@ object LlmQueries {
         |  FROM dp)
         |SELECT doc_id, count(*) AS n_dup_spans, sum(c)::BIGINT AS dup_tokens
         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // span stats + whitespace token totals -> 30% coverage filter; the
+    // fraction literal is ::DOUBLE so both engines compare in IEEE
+    "text_span_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        |  FROM toks WHERE len(t) >= 8),
+        |spans AS (
+        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS g
+        |  FROM st),
+        |dup AS (SELECT g FROM spans GROUP BY g HAVING count(*) > 1),
+        |dp AS (SELECT doc_id, pos FROM spans JOIN dup USING (g)),
+        |cov AS (
+        |  SELECT doc_id, greatest(0, pos + 8 - greatest(coalesce(
+        |      max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos), pos)) AS c
+        |  FROM dp),
+        |stats AS (SELECT doc_id, sum(c)::BIGINT AS dup_tokens FROM cov GROUP BY doc_id)
+        |SELECT k.doc_id FROM (
+        |  SELECT doc_id, len(t)::BIGINT AS n FROM toks) k
+        |LEFT JOIN stats s ON k.doc_id = s.doc_id
+        |WHERE coalesce(s.dup_tokens, 0)::DOUBLE <= k.n::DOUBLE * 0.3::DOUBLE
+        |ORDER BY k.doc_id""".stripMargin,
+    // distinct (source, 5-gram) -> source-set per gram -> pair counts;
+    // sim = exact int/int Jaccard of the two gram sets
+    "decontam_matrix" ->
+      """WITH g AS (
+        |  SELECT DISTINCT source AS src, unnest(list_transform(
+        |      generate_series(1, len(toks) - 4),
+        |      i -> array_to_string(toks[i:i+4], ' '))) AS gram
+        |  FROM (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 5),
+        |tot AS (SELECT src, count(*)::BIGINT AS n FROM g GROUP BY src),
+        |sh AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared,
+        |  shared::DOUBLE / (ta.n + tb.n - shared) AS sim
+        |FROM sh
+        |JOIN tot ta ON ta.src = sh.src_a
+        |JOIN tot tb ON tb.src = sh.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     // per-eval view: distinct 5-grams per eval doc, membership-probed
     // against the distinct train gram set (half the eval docs planted)
     "decontam_report" ->

@@ -258,4 +258,19 @@ class CorpusStatsSpec extends AnyFunSuite with Matchers {
     row._2 shouldBe 6L
     row._3 shouldBe 2L
   }
+
+  test("source overlap matrix counts distinct shared grams with set Jaccard") {
+    val docs = Seq(
+      ("a", "one two three four"),   // grams: {one two, two three, three four}
+      ("a", "one two extra words"),  // adds {one two(dup), two extra, extra words}
+      ("b", "one two three zz"),     // shares {one two, two three} with a
+      ("c", "totally disjoint text here")).toDF("source", "text")
+    val m = CorpusStats.sourceOverlapMatrix(docs, "source", "text", n = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // a has 5 distinct grams, b has 3, shared 2 -> jaccard 2/(5+3-2)
+    m(("a", "b"))._1 shouldBe 2L
+    m(("a", "b"))._2 shouldBe 2.0 / 6.0
+    m.keySet shouldBe Set(("a", "b")) // c appears in no pair
+  }
 }

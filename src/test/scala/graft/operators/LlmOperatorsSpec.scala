@@ -33,6 +33,33 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
     pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
   }
 
+  test("collapsed minhash pipeline is row-identical to the direct plan") {
+    // exact-copy families (the collapse target), near-dups, unrelated
+    // docs, and shingle-less short texts (the degenerate all-zero-sig
+    // edge where every short doc band-collides with every other)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (5L, "completely different content about spark query engines at scale"),
+      (6L, "completely different content about spark query engines at scale"),
+      (7L, "ab"), (8L, "ab"), (9L, "xy"),
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().map { case (a, b, j) =>
+          (a, b, if (j.isNaN) Double.MaxValue else j) }.sorted.toSeq
+    val fast = rows(Dedup.minhashPairs(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5))
+    val direct = rows(Dedup.minhashPairsDirect(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5))
+    fast shouldBe direct
+    // sanity: the copy families actually expanded
+    fast.map(r => (r._1, r._2)) should contain allOf ((1L, 2L), (1L, 3L),
+      (2L, 3L), (5L, 6L), (7L, 8L))
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, others far") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
