@@ -431,7 +431,47 @@ object CdcQueries {
         element_at(col("values"), "bal").cast("double").as("bal")), col("id_before"))
   }
 
+  /** §2.1 #3c — SCD Type 2 history from the synthesized per-user change
+    * stream ([[graft.cdc.Scd2.history]]): every I/U change becomes a
+    * version row with its `[valid_from, valid_to)` LSN interval; the
+    * final 'error' event is a DELETE that closes the last version
+    * without opening one. */
+  private def scd2Changes(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .select(col("user_id"), col("event_id").as("lsn"),
+        col("value").as("val"),
+        when(col("rn") === 1, "I")
+          .when(col("rn") === col("n") && col("event_type") === "error", "D")
+          .otherwise("U").as("op"))
+  }
+
+  def cdcScd2(s: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      Scd2.history(scd2Changes(s, dir), Seq("user_id"), "lsn", "op")
+        .select(col("user_id"), col("val"), col("valid_from"),
+          col("valid_to"), col("is_current")),
+      col("user_id"), col("valid_from"))
+
+  /** §2.1 #3d — point-in-time (time-travel) read of the SCD2 history as
+    * of the mid-stream LSN: versions whose interval contains the cutoff.
+    * Keys deleted before the cutoff are absent; keys born after it are
+    * absent; everything else shows the value it had AT the cutoff. */
+  def cdcTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val hist = Scd2.history(scd2Changes(s, dir), Seq("user_id"), "lsn", "op")
+    val cutoff = Tables.events(s, dir)
+      .agg(floor(max(col("event_id")) / 2).cast("long").as("__cut"))
+    orderedSmall(
+      Scd2.asOf(hist.crossJoin(broadcast(cutoff)), col("__cut"))
+        .select(col("user_id"), col("val"), col("valid_from")),
+      col("user_id"), col("valid_from"))
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_scd2" -> (cdcScd2 _),
+    "cdc_time_travel" -> (cdcTimeTravel _),
     "cdc_compact" -> (cdcCompact _),
     "cdc_compact_fast" -> (cdcCompactFast _),
     "cdc_compact_lineitem" -> (cdcCompactLineitem _),
@@ -452,6 +492,50 @@ object CdcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the lead() window replays validity intervals; D rows close their
+    // predecessor (supply the lead LSN) but emit no version
+    "cdc_scd2" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_id AS lsn, value AS val,
+        |    CASE WHEN rn = 1 THEN 'I'
+        |         WHEN rn = n AND event_type = 'error' THEN 'D'
+        |         ELSE 'U' END AS op
+        |  FROM ranked),
+        |v AS (
+        |  SELECT user_id, val, op, lsn AS valid_from,
+        |    lead(lsn) OVER (PARTITION BY user_id ORDER BY lsn) AS valid_to
+        |  FROM ch)
+        |SELECT user_id, val, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM v WHERE op <> 'D'
+        |ORDER BY user_id, valid_from""".stripMargin,
+    "cdc_time_travel" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_id AS lsn, value AS val,
+        |    CASE WHEN rn = 1 THEN 'I'
+        |         WHEN rn = n AND event_type = 'error' THEN 'D'
+        |         ELSE 'U' END AS op
+        |  FROM ranked),
+        |v AS (
+        |  SELECT user_id, val, op, lsn AS valid_from,
+        |    lead(lsn) OVER (PARTITION BY user_id ORDER BY lsn) AS valid_to
+        |  FROM ch),
+        |c AS (SELECT max(event_id) // 2 AS cut FROM events)
+        |SELECT user_id, val, valid_from
+        |FROM v, c
+        |WHERE op <> 'D' AND valid_from <= cut
+        |  AND (valid_to IS NULL OR valid_to > cut)
+        |ORDER BY user_id, valid_from""".stripMargin,
     // golden oracle: the engine's type surface is a fixed contract
     // (snowflake_target.go:675-714 getSfType re-expressed for Spark) —
     // pinning it catches accidental mapping drift
