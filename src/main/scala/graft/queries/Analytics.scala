@@ -340,6 +340,28 @@ object Analytics {
   /** Oracle SQL (DuckDB) for each query above — column names and ordering
     * must match the Spark output exactly. */
   val oracle: Map[String, String] = Map(
+    "q_fk_check" ->
+      """WITH lp AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey + 2000000000 FROM lineitem WHERE l_orderkey % 997 = 0),
+        |f1 AS (
+        |  SELECT 'lineitem->orders' AS fk, count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+        |  FROM lp LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON lp.l_orderkey = o.o_orderkey),
+        |f2 AS (
+        |  SELECT 'orders->customer' AS fk, count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+        |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o_custkey = c.c_custkey)
+        |SELECT * FROM f1 UNION ALL SELECT * FROM f2 ORDER BY fk""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  min(l_extendedprice)::DECIMAL(18,2)::VARCHAR AS lo,
+        |  max(l_extendedprice)::DECIMAL(18,2)::VARCHAR AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
     // the Morton interleave rebuilt term by term in SQL bit arithmetic
     "q_zorder" -> {
       val z = (0 until 8).flatMap(i => Seq(
@@ -736,6 +758,44 @@ object Analytics {
       .orderBy(col("z_bucket"))
   }
 
+  /** §2.2 #30q — referential-integrity audit: per foreign key, row and
+    * orphan counts via a left join against the distinct parent keys
+    * (sum-of-nulls, one pass per edge; the parent key set is
+    * dim-distinct, so at 100 TB the join is broadcast or
+    * shuffle-on-keys, never fact×fact). Orphans are planted
+    * (`% 997`-keyed copies shifted past the key space) so the gate
+    * exercises a nonzero count. */
+  def qFkCheck(s: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, child: DataFrame, fkCol: String,
+        parent: DataFrame, pkCol: String): DataFrame =
+      child.select(col(fkCol))
+        .join(parent.select(col(pkCol)).distinct(),
+          col(fkCol) === col(pkCol), "left_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col(pkCol).isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+    val li = Tables.lineitem(s, dir)
+    val liPlanted = li.select(col("l_orderkey"))
+      .unionByName(li.filter(col("l_orderkey") % 997 === 0)
+        .select((col("l_orderkey") + 2000000000L).as("l_orderkey")))
+    audit("lineitem->orders", liPlanted, "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey")
+      .unionByName(audit("orders->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+      .orderBy(col("fk"))
+  }
+
+  /** §2.2 #30r — equi-width histogram profile of a numeric column (the
+    * distribution half of [[qProfile]]): fixed-width bins, one
+    * aggregate, bin bounds re-derivable from the bin id. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).cast("decimal(18,2)").cast("string").as("lo"),
+        max(col("l_extendedprice")).cast("decimal(18,2)").cast("string").as("hi"))
+      .orderBy(col("bin"))
+
   /** §2.2 #30j — the `spark.sql` entry path: TPC-H Q6 (forecasting
     * revenue change) run as SQL text over [[Tables.registerAll]] temp
     * views. Same Catalyst plan as the DataFrame API — scans stay pruned
@@ -828,6 +888,8 @@ object Analytics {
     "q_explode_agg" -> (qExplodeAgg _),
     "q_profile" -> (qProfile _),
     "q_zorder" -> (qZorder _),
+    "q_fk_check" -> (qFkCheck _),
+    "q_histogram" -> (qHistogram _),
     "q6_sql_revenue" -> (qSqlQ6 _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_salted_agg" -> (qSaltedAgg _),
