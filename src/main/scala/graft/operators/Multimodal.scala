@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * ImageIO cannot parse (audio/video/corrupt/non-image) fall back to
   * [[Multimodal.stubDecode]] — deterministic fake features — so the
   * pipeline stays total over arbitrary corpora and the oracle-gated
-  * queries (which feed text bytes) stay pinned. Audio/video codecs are
-  * still declared stubs.
+  * queries (which feed text bytes) stay pinned.
+  *
+  * AUDIO decode is REAL for the formats the JDK parses (WAV/AIFF/AU via
+  * `javax.sound.sampled`, headless-safe): stream geometry and PCM signal
+  * stats come from the actual container; compressed codecs (MP3/OGG) and
+  * video remain declared stubs — no codec libraries in the JDK.
   */
 object Multimodal {
 
@@ -76,6 +80,90 @@ object Multimodal {
         col(payloadCol).cast("binary").as("media"),
         lit(format).as("format"))
       .as[MediaRecord]
+  }
+
+  /** Decoded audio features: PCM stream geometry plus first-channel
+    * signal statistics (RMS in [-1,1] units, positive-going zero
+    * crossings — the cheap voice/music/silence discriminators). */
+  final case class AudioFeatures(id: Long, nBytes: Int, sampleRate: Int,
+      channels: Int, nFrames: Long, durationMs: Long, rms: Double,
+      zeroCrossings: Long)
+
+  /** REAL audio decode: `javax.sound.sampled` parses WAV/AIFF/AU headers
+    * and hands back the PCM stream — pure JDK, headless-safe (no mixer
+    * is ever opened). Handles 16-bit signed PCM, either endianness, any
+    * channel count (stats walk the first channel). None for anything the
+    * JDK cannot parse (MP3/OGG/corrupt/non-audio) — the stub-fallback
+    * cue. Total: never throws. */
+  def readAudioFeatures(id: Long, bytes: Array[Byte]): Option[AudioFeatures] =
+    if (bytes == null || bytes.length == 0) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              || fmt.getSampleSizeInBits != 16) None
+          else {
+            val data = in.readAllBytes()
+            val frameSize = fmt.getFrameSize
+            val nFrames = data.length / frameSize
+            var sumSq = 0.0
+            var zc = 0L
+            var prev = 0.0
+            var f = 0
+            while (f < nFrames) {
+              val off = f * frameSize
+              val raw =
+                if (fmt.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
+                else (data(off + 1) << 8) | (data(off) & 0xff)
+              val s = raw.toShort / 32768.0
+              sumSq += s * s
+              if (f > 0 && prev <= 0.0 && s > 0.0) zc += 1
+              prev = s
+              f += 1
+            }
+            val sr = fmt.getSampleRate.toInt
+            Some(AudioFeatures(id, bytes.length, sr, fmt.getChannels, nFrames,
+              if (sr > 0) nFrames * 1000L / sr else 0L,
+              math.sqrt(sumSq / math.max(nFrames, 1)), zc))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+  /** ==== STUB ==== audio fallback for payloads the JDK cannot parse:
+    * zeroed geometry, so undecodable rows are visible, not fabricated. */
+  def stubAudioFeatures(r: MediaRecord): AudioFeatures =
+    AudioFeatures(r.id, r.media.length, 0, 0, 0L, 0L, 0.0, 0L)
+
+  /** Partition-local batched audio decode; same batching contract as
+    * [[decodeFeatures]]. */
+  def audioFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map(r =>
+      readAudioFeatures(r.id, r.media).getOrElse(stubAudioFeatures(r)))))
+  }
+
+  /** PCM-16 mono samples → a complete WAV container (RIFF header + data),
+    * via the same JDK audio stack the decoder uses. Deterministic — the
+    * synthesis half of the audio gate and specs. */
+  def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+      true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** One sampled frame of a media payload (video frame / audio window). */

@@ -475,6 +475,36 @@ object LlmQueries {
       col("doc_id"))
   }
 
+  /** §2.3 #42e — REAL audio decode, oracle-gated: each doc_id < 100 gets
+    * a deterministic mono sine WAV synthesized ON THE EXECUTORS
+    * (`Multimodal.wavBytes`, 8 kHz, `1 + id%3` seconds, `200 + (id%5)·100`
+    * Hz at half amplitude), then flows through the production decode path
+    * ([[Multimodal.audioFeatures]] → `javax.sound.sampled`). The oracle
+    * recomputes geometry ANALYTICALLY from doc_id and asserts the decoded
+    * RMS sits at the sine's a/√2 — so the gate proves the WAV container
+    * round-trip recovers the true PCM stream, not a byte-length stub. */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 100).as[Long]
+    val media = ids.map { id =>
+      val sr = 8000
+      val seconds = 1 + (id % 3).toInt
+      val freq = 200 + (id % 5).toInt * 100
+      val n = sr * seconds
+      val samples = Array.tabulate(n)(i =>
+        (math.sin(2 * math.Pi * freq * i / sr) * 16384).toShort)
+      Multimodal.MediaRecord(id, Multimodal.wavBytes(samples, sr), "wav")
+    }
+    orderedSmall(
+      Multimodal.audioFeatures(media, batchSize = 32).toDF()
+        .select(col("id").as("doc_id"),
+          col("sampleRate").as("sample_rate"), col("channels"),
+          col("nFrames").as("n_frames"), col("durationMs").as("duration_ms"),
+          (abs(col("rms") - lit(0.5 / math.sqrt(2.0))) < 0.005).as("rms_ok")),
+      col("doc_id"))
+  }
+
   /** §2.3 #42b — multimodal fan-out: strided frame sampling over binary
     * payloads (1 → n rows, partition-local), frames fingerprinted for the
     * oracle compare. */
@@ -979,6 +1009,7 @@ object LlmQueries {
     "doc_fingerprint_sig" -> (docFingerprintSig _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode_roundtrip" -> (multimodalDecodeRoundtrip _),
+    "multimodal_audio" -> (multimodalAudio _),
     "multimodal_frames" -> (multimodalFrames _),
     "q_sql_functions" -> (sqlFunctions _),
     "text_redact" -> (textRedact _),
@@ -1838,6 +1869,15 @@ object LlmQueries {
     "multimodal_decode_roundtrip" ->
       """SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS width,
         |  CAST(3 + doc_id % 7 AS INT) AS height
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // the analytic truth of the synthesized PCM stream: geometry from
+    // doc_id, rms_ok because a half-amplitude sine's RMS is a/sqrt(2)
+    "multimodal_audio" ->
+      """SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  8000 * (1 + doc_id % 3) AS n_frames,
+        |  1000 * (1 + doc_id % 3) AS duration_ms,
+        |  true AS rms_ok
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     // documents are ASCII (octet_length = length verified), so text
     // substring is byte-exact for the frame windows

@@ -132,6 +132,29 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
     feats(1L).height shouldBe (n / 64) % 64
   }
 
+  test("real audio decode: WAV round-trip recovers PCM geometry and signal stats") {
+    val sr = 8000
+    val freq = 440
+    val samples = Array.tabulate(sr)(i =>
+      (math.sin(2 * math.Pi * freq * i / sr) * 16384).toShort)
+    val wav = Multimodal.wavBytes(samples, sr)
+    val f = Multimodal.readAudioFeatures(7L, wav).get
+    f.sampleRate shouldBe sr
+    f.channels shouldBe 1
+    f.nFrames shouldBe sr.toLong
+    f.durationMs shouldBe 1000L
+    f.rms shouldBe (0.5 / math.sqrt(2.0)) +- 0.005
+    f.zeroCrossings.toDouble shouldBe freq.toDouble +- 2.0 // 1 rising/cycle
+    // non-audio bytes fall back to the zeroed stub through the Dataset op
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, wav, "wav"),
+      Multimodal.MediaRecord(2L, "not audio at all".getBytes, "txt")).toDS()
+    val out = Multimodal.audioFeatures(ds).collect().map(a => a.id -> a).toMap
+    out(1L).nFrames shouldBe sr.toLong
+    out(2L).sampleRate shouldBe 0
+    out(2L).nFrames shouldBe 0L
+  }
+
   test("real image decode: PNG/JPEG dimensions from the bitstream, stub fallback for non-images") {
     import spark.implicits._
     // real fixture bytes: a 8x5 PNG and a 12x7 JPEG encoded by ImageIO
