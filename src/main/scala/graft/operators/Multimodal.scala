@@ -166,6 +166,69 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** One decoded video frame's geometry + top-left pixel (the cheap
+    * per-frame integrity probe). */
+  final case class VideoFrameInfo(id: Long, frameIdx: Int, width: Int,
+      height: Int, rgb0: Int)
+
+  /** REAL multi-frame decode for the one video-shaped container the JDK
+    * parses natively: animated GIF (ImageIO's GIF reader exposes every
+    * frame via `getNumImages(true)`/`read(i)`). None when no installed
+    * reader claims the bytes or it holds no frames — the stub-fallback
+    * cue. MP4/MKV/AVI need codec libraries the JDK lacks and remain
+    * declared stubs. Total: never throws. */
+  def readVideoFrames(bytes: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
+    if (bytes == null || bytes.length == 0) None
+    else
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); None }
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            if (n <= 0) None else Some((0 until n).map(r.read(_)))
+          } finally { r.dispose(); iis.close() }
+        }
+      } catch { case _: Exception => None }
+
+  /** Per-frame geometry/probe rows for every decodable multi-frame
+    * payload (1 → n fan-out, partition-local, no shuffle); undecodable
+    * payloads emit a single zeroed stub row so they stay visible. */
+  def videoFrameFeatures(ds: Dataset[MediaRecord]): Dataset[VideoFrameInfo] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      readVideoFrames(r.media) match {
+        case Some(frames) => frames.iterator.zipWithIndex.map { case (f, i) =>
+          VideoFrameInfo(r.id, i, f.getWidth, f.getHeight,
+            f.getRGB(0, 0) & 0xFFFFFF)
+        }
+        case None => Iterator.single(VideoFrameInfo(r.id, -1, 0, 0, 0))
+      }
+    }
+  }
+
+  /** Solid-color frames → a complete animated GIF, via the JDK's own GIF
+    * writer — the synthesis half of the video gate and specs. Solid
+    * frames survive GIF palettization exactly, so decoded pixels are
+    * bit-comparable. */
+  def gifBytes(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   /** One sampled frame of a media payload (video frame / audio window). */
   final case class MediaFrame(id: Long, frameIdx: Int, offset: Long,
       frameBytes: Array[Byte])

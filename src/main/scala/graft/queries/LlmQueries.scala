@@ -505,6 +505,42 @@ object LlmQueries {
       col("doc_id"))
   }
 
+  /** §2.3 #42f — REAL multi-frame (video-shape) decode, oracle-gated:
+    * each doc_id < 60 gets an animated GIF of `2 + id%4` solid-color
+    * frames (`8 + id%5` × `6 + id%3`) written ON THE EXECUTORS by the
+    * JDK's GIF writer, then decoded through the production multi-frame
+    * path ([[Multimodal.videoFrameFeatures]]). Geometry and frame count
+    * are analytic from doc_id; `rgb_ok` proves the decoded top-left
+    * pixel survived the container round-trip bit-exactly (solid frames
+    * are palettization-stable). */
+  def multimodalVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 60).as[Long]
+    val media = ids.map { id =>
+      val w = 8 + (id % 5).toInt
+      val h = 6 + (id % 3).toInt
+      val frames = (0 until 2 + (id % 4).toInt).map { i =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color((10 + 40 * i) % 256, (id % 200).toInt, 50))
+        g.fillRect(0, 0, w, h)
+        g.dispose()
+        img
+      }
+      Multimodal.MediaRecord(id, Multimodal.gifBytes(frames), "gif")
+    }
+    orderedSmall(
+      Multimodal.videoFrameFeatures(media).toDF()
+        .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
+          col("width"), col("height"),
+          (col("rgb0") ===
+            (((lit(10) + lit(40) * col("frameIdx")) % 256) * 65536 +
+              (col("id") % 200) * 256 + 50)).as("rgb_ok")),
+      col("doc_id"), col("frame_idx"))
+  }
+
   /** §2.3 #42b — multimodal fan-out: strided frame sampling over binary
     * payloads (1 → n rows, partition-local), frames fingerprinted for the
     * oracle compare. */
@@ -1010,6 +1046,7 @@ object LlmQueries {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode_roundtrip" -> (multimodalDecodeRoundtrip _),
     "multimodal_audio" -> (multimodalAudio _),
+    "multimodal_video" -> (multimodalVideo _),
     "multimodal_frames" -> (multimodalFrames _),
     "q_sql_functions" -> (sqlFunctions _),
     "text_redact" -> (textRedact _),
@@ -1879,6 +1916,17 @@ object LlmQueries {
         |  1000 * (1 + doc_id % 3) AS duration_ms,
         |  true AS rms_ok
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // analytic truth of the synthesized animation: frame fan-out and
+    // geometry from doc_id; rgb_ok because solid GIF frames round-trip
+    "multimodal_video" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(8 + doc_id % 5 AS INT) AS width,
+        |  CAST(6 + doc_id % 3 AS INT) AS height,
+        |  true AS rgb_ok
+        |FROM (
+        |  SELECT doc_id, unnest(generate_series(0, CAST(1 + doc_id % 4 AS BIGINT))) AS f
+        |  FROM documents WHERE doc_id < 60)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // documents are ASCII (octet_length = length verified), so text
     // substring is byte-exact for the frame windows
     "multimodal_frames" ->

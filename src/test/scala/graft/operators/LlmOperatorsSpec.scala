@@ -155,6 +155,34 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
     out(2L).nFrames shouldBe 0L
   }
 
+  test("real multi-frame decode: animated GIF frames, geometry, and pixels round-trip") {
+    val frames = (0 until 3).map { i =>
+      val img = new java.awt.image.BufferedImage(10, 7,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(20 * i + 5, 99, 50))
+      g.fillRect(0, 0, 10, 7)
+      g.dispose()
+      img
+    }
+    val gif = Multimodal.gifBytes(frames)
+    val decoded = Multimodal.readVideoFrames(gif).get
+    decoded.length shouldBe 3
+    decoded.zipWithIndex.foreach { case (f, i) =>
+      f.getWidth shouldBe 10
+      f.getHeight shouldBe 7
+      (f.getRGB(0, 0) & 0xFFFFFF) shouldBe ((20 * i + 5) << 16 | 99 << 8 | 50)
+    }
+    // undecodable payloads surface as one zeroed row through the Dataset op
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, gif, "gif"),
+      Multimodal.MediaRecord(2L, "junk bytes".getBytes, "bin")).toDS()
+    val rows = Multimodal.videoFrameFeatures(ds).collect()
+      .groupBy(_.id).map { case (k, v) => k -> v.sortBy(_.frameIdx) }
+    rows(1L).map(_.frameIdx) shouldBe Array(0, 1, 2)
+    rows(2L).map(_.frameIdx) shouldBe Array(-1)
+  }
+
   test("real image decode: PNG/JPEG dimensions from the bitstream, stub fallback for non-images") {
     import spark.implicits._
     // real fixture bytes: a 8x5 PNG and a 12x7 JPEG encoded by ImageIO
