@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph ranking (SURVEY.md §2.2 #30s): PageRank by power
+  * iteration over an edge list — the canonical "importance over a
+  * linked corpus" operator (host ranking for crawl prioritization,
+  * citation weighting for document sampling).
+  *
+  * Determinism contract (the same regime as the trained classifier and
+  * PCA): per-edge contributions are cast to DECIMAL before the
+  * aggregation, so the sum is exact and partition-order-independent,
+  * and each new rank is rounded — every iteration is bit-reproducible
+  * and a SQL engine can replay the whole training chain.
+  *
+  * Scale shape: ranks are one row per node; each iteration is one join
+  * (ranks ⋈ edges on src — both sides hash-partitioned on the join key,
+  * reusable across iterations) plus one aggregation on dst with
+  * map-side partials. Nothing edge-squared; lineage is cut per
+  * iteration with a localCheckpoint so iteration k does not replay
+  * 1..k-1.
+  */
+object Graph {
+
+  /** `iters` PageRank iterations over directed `edges(src, dst)`.
+    * Assumes no dangling nodes (every node that appears has ≥1
+    * out-edge) — symmetrize the edge list for undirected graphs, which
+    * also guarantees this. Output: `(node, rank)` for every node,
+    * ranks rounded to `scale` places each iteration.
+    *
+    * `teleport` is passed SEPARATELY from `damping` rather than derived
+    * as `1 - damping`: `1.0 - 0.85` is not the double `0.15`, and the
+    * replaying oracle writes both as literals (the bigram-NLL lambda
+    * lesson). */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      teleport: Double = 0.15, scale: Int = 12): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val nodes = e.select(col("src").as("node")).distinct()
+      .unionByName(e.select(col("dst").as("node")).distinct())
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    var ranks = nodes.withColumn("rank", round(lit(1.0) / n, scale))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val contrib = e
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("__deg")).cast("decimal(28,18)").as("__c"))
+      ranks = contrib
+        .groupBy(col("node"))
+        .agg(round(
+          lit(teleport / n) +
+            lit(damping) * sum(col("__c")).cast("double"),
+          scale).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+}

@@ -340,6 +340,34 @@ object Analytics {
   /** Oracle SQL (DuckDB) for each query above — column names and ordering
     * must match the Spark output exactly. */
   val oracle: Map[String, String] = Map(
+    // every power iteration replayed: decimal-summed contributions (order-
+    // independent), teleport/damping as separate literals (1-0.85 != 0.15
+    // in IEEE), MATERIALIZED to stop DuckDB re-inlining the chain
+    "q_pagerank" -> {
+      def iter(prev: String, out: String) =
+        s"""$out AS MATERIALIZED (
+           |  SELECT e.dst AS node,
+           |    round(0.15::DOUBLE / nn.n + 0.85::DOUBLE *
+           |      CAST(sum(CAST(r.rank / deg.d AS DECIMAL(28,18))) AS DOUBLE), 12)
+           |      AS rank
+           |  FROM e JOIN deg USING (src) JOIN $prev r ON r.node = e.src, nn
+           |  GROUP BY e.dst, nn.n)""".stripMargin
+      s"""WITH sp AS MATERIALIZED (
+         |  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst FROM sp UNION SELECT dst, src FROM sp),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),
+         |nn AS MATERIALIZED (
+         |  SELECT count(*)::BIGINT AS n FROM (SELECT DISTINCT src FROM e)),
+         |r0 AS MATERIALIZED (
+         |  SELECT src AS node, round(1.0::DOUBLE / nn.n, 12) AS rank
+         |  FROM (SELECT DISTINCT src FROM e), nn),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, round(rank, 6) AS rank_r FROM r3 ORDER BY node""".stripMargin
+    },
     "q_fk_check" ->
       """WITH lp AS (
         |  SELECT l_orderkey FROM lineitem
@@ -796,6 +824,21 @@ object Analytics {
         max(col("l_extendedprice")).cast("decimal(18,2)").cast("string").as("hi"))
       .orderBy(col("bin"))
 
+  /** §2.2 #30s — PageRank over the symmetrized supplier↔part bipartite
+    * graph ([[graft.operators.Graph.pageRank]], 3 iterations): node
+    * importance by power iteration with decimal-summed (order-
+    * independent) contributions — the oracle replays every iteration.
+    * Node ids namespace the two key spaces (`2k` / `2k+1`). */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(s, dir)
+      .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = sp.unionByName(sp.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.pageRank(edges, iters = 3)
+      .select(col("node"), round(col("rank"), 6).as("rank_r"))
+      .orderBy(col("node"))
+  }
+
   /** §2.2 #30j — the `spark.sql` entry path: TPC-H Q6 (forecasting
     * revenue change) run as SQL text over [[Tables.registerAll]] temp
     * views. Same Catalyst plan as the DataFrame API — scans stay pruned
@@ -890,6 +933,7 @@ object Analytics {
     "q_zorder" -> (qZorder _),
     "q_fk_check" -> (qFkCheck _),
     "q_histogram" -> (qHistogram _),
+    "q_pagerank" -> (qPagerank _),
     "q6_sql_revenue" -> (qSqlQ6 _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_salted_agg" -> (qSaltedAgg _),

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+class GraphSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sym(pairs: (Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("one iteration on the path graph matches the hand computation") {
+    // a-b-c: deg a=c=1, b=2; r0=1/3 each
+    // r1(a)=r1(c)=0.15/3+0.85*(1/3)/2 ; r1(b)=0.15/3+0.85*(1/3+1/3)
+    val r = Graph.pageRank(sym((1L, 2L), (2L, 3L)), iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r(1L) shouldBe (0.05 + 0.85 / 6.0) +- 1e-9
+    r(3L) shouldBe r(1L)
+    r(2L) shouldBe (0.05 + 0.85 * (2.0 / 3.0)) +- 1e-9 // a and c each send (1/3)/1
+  }
+
+  test("rank mass is conserved and symmetric graphs stay symmetric") {
+    val r = Graph.pageRank(sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)),
+      iters = 3).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.values.sum shouldBe 1.0 +- 1e-6
+    // the 4-cycle is vertex-transitive: all ranks equal
+    r.values.toSet.size shouldBe 1
+  }
+
+  test("higher-degree nodes rank higher on a star") {
+    val r = Graph.pageRank(sym((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)),
+      iters = 5).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r(10L) should be > r(1L) * 2
+    Seq(1L, 2L, 3L, 4L).map(r).toSet.size shouldBe 1 // leaves tie
+  }
+
+  test("ranks are partition-count independent (decimal-summed contributions)") {
+    val e = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val a = Graph.pageRank(e, iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val b = Graph.pageRank(e.repartition(7), iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    a shouldBe b
+  }
+}
