@@ -340,6 +340,26 @@ object Analytics {
   /** Oracle SQL (DuckDB) for each query above — column names and ordering
     * must match the Spark output exactly. */
   val oracle: Map[String, String] = Map(
+    // exact-decimal moments (2-decimal values cast losslessly), identical
+    // double expression order on both sides, 3-sigma outlier count
+    "q_anomaly" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(value::DECIMAL(18,2)) AS s,
+        |    sum(value::DECIMAL(18,2) * value::DECIMAL(18,2)) AS ss
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n, s::DOUBLE / n AS mean,
+        |    sqrt((ss::DOUBLE - n * (s::DOUBLE / n) * (s::DOUBLE / n)) / (n - 1))
+        |      AS std
+        |  FROM st)
+        |SELECT e.event_type, m.n, round(m.mean, 4) AS mean_r,
+        |  round(m.std, 4) AS std_r,
+        |  sum(CASE WHEN abs(e.value - m.mean) > 3 * m.std THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_outliers
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY e.event_type, m.n, m.mean, m.std
+        |ORDER BY e.event_type""".stripMargin,
     // every power iteration replayed: decimal-summed contributions (order-
     // independent), teleport/damping as separate literals (1-0.85 != 0.15
     // in IEEE), MATERIALIZED to stop DuckDB re-inlining the chain
@@ -839,6 +859,31 @@ object Analytics {
       .orderBy(col("node"))
   }
 
+  /** §2.2 #28e — z-score anomaly detection over the event stream: per
+    * event type, mean/σ from EXACT decimal sums (values carry 2
+    * decimals, so the cast loses nothing and the moments are
+    * order-independent), then count the events beyond 3σ. Two tiny
+    * aggregations + a broadcast join back — the corpus never shuffles
+    * on the (5-value, maximally skewed) type key. */
+  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val vdec = col("value").cast("decimal(18,2)")
+    def meanE = col("s").cast("double") / col("n")
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(vdec).as("s"), sum(vdec * vdec).as("ss"))
+      .select(col("event_type"), col("n"), meanE.as("mean"),
+        sqrt((col("ss").cast("double") - col("n") * meanE * meanE) /
+          (col("n") - 1)).as("std"))
+    ev.join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        round(max(col("mean")), 4).as("mean_r"),
+        round(max(col("std")), 4).as("std_r"),
+        sum(when(abs(col("value") - col("mean")) > lit(3) * col("std"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** §2.2 #30j — the `spark.sql` entry path: TPC-H Q6 (forecasting
     * revenue change) run as SQL text over [[Tables.registerAll]] temp
     * views. Same Catalyst plan as the DataFrame API — scans stay pruned
@@ -934,6 +979,7 @@ object Analytics {
     "q_fk_check" -> (qFkCheck _),
     "q_histogram" -> (qHistogram _),
     "q_pagerank" -> (qPagerank _),
+    "q_anomaly" -> (qAnomaly _),
     "q6_sql_revenue" -> (qSqlQ6 _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_salted_agg" -> (qSaltedAgg _),
