@@ -300,7 +300,7 @@ object ScaleLadder {
     "cdc_compact_lineitem", "cdc_compact_fast", "decontam_overlap",
     "dedup_exact", "cdc_compact", "cdc_merge_into",
     "cdc_incremental_agg", "dedup_minhash", "dedup_simhash",
-    "ann_topk", "ann_ivf", "text_tfidf", "text_dup_spans")
+    "ann_topk", "ann_ivf", "text_tfidf", "text_dup_spans", "q_pagerank")
 
   private val Stride = 1_000_000_000L
 

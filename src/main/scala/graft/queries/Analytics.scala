@@ -340,6 +340,31 @@ object Analytics {
   /** Oracle SQL (DuckDB) for each query above — column names and ordering
     * must match the Spark output exactly. */
   val oracle: Map[String, String] = Map(
+    "q_transitions" ->
+      """WITH steps AS (
+        |  SELECT user_id, event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM steps
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  n::DOUBLE / sum(n) OVER (PARTITION BY from_type) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // 2^(-age/halflife) rounded to 9 places then decimal-multiplied by
+    // the lossless 2-decimal value: the sum is order-independent and any
+    // libm ulp wobble dies in the rounding (bigram-NLL regime)
+    "q_decay_agg" ->
+      """WITH m AS (SELECT max(epoch_us(ts)) AS tmax FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  round(CAST(sum(
+        |    round(pow(2.0, -(m.tmax - epoch_us(ts))::DOUBLE / 604800000000.0), 9)
+        |      ::DECIMAL(18,9) * value::DECIMAL(18,2)) AS DOUBLE), 4)
+        |    AS decayed_sum
+        |FROM events, m
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // exact-decimal moments (2-decimal values cast losslessly), identical
     // double expression order on both sides, 3-sigma outlier count
     "q_anomaly" ->
@@ -884,6 +909,47 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** §2.2 #28f — behavioral transition matrix (first-order Markov view
+    * of the event stream): per user, each consecutive event-type pair
+    * counts one transition; probabilities are exact int/int divisions.
+    * One window shuffle on user_id (the natural event partitioning),
+    * then a tiny (types²) aggregation. */
+  def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("to_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+    steps
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** §2.2 #28g — time-decay weighted aggregate (recency-weighted value
+    * per event type, half-life 7 days against the stream's max
+    * timestamp): weights are `2^(-age/halflife)` rounded then
+    * decimal-summed, so the aggregation is order-independent and
+    * SQL-replayable despite the transcendental (the bigram-NLL
+    * round-then-sum regime). Timestamps compare in the micros domain —
+    * the engines' common integer currency. */
+  def qDecayAgg(s: SparkSession, dir: String): DataFrame = {
+    val halflifeUs = 7.0 * 24 * 3600 * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")).as("__us"))
+    val tmax = ev.agg(max(col("__us")).as("__tmax"))
+    ev.crossJoin(broadcast(tmax))
+      .select(col("event_type"),
+        (round(pow(lit(2.0), -(col("__tmax") - col("__us")) / halflifeUs), 9)
+          .cast("decimal(18,9)") * col("value").cast("decimal(18,2)")).as("__wv"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__wv")).cast("double"), 4).as("decayed_sum"))
+      .orderBy(col("event_type"))
+  }
+
   /** §2.2 #30j — the `spark.sql` entry path: TPC-H Q6 (forecasting
     * revenue change) run as SQL text over [[Tables.registerAll]] temp
     * views. Same Catalyst plan as the DataFrame API — scans stay pruned
@@ -980,6 +1046,8 @@ object Analytics {
     "q_histogram" -> (qHistogram _),
     "q_pagerank" -> (qPagerank _),
     "q_anomaly" -> (qAnomaly _),
+    "q_transitions" -> (qTransitions _),
+    "q_decay_agg" -> (qDecayAgg _),
     "q6_sql_revenue" -> (qSqlQ6 _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_salted_agg" -> (qSaltedAgg _),

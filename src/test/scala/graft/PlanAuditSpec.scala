@@ -237,4 +237,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("hashpartitioning(__h")
     p should not include "hashpartitioning(__line"
   }
+
+  test("span dedup: exchanges carry span fingerprints and positions, never text") {
+    val p = plan(operators.SpanDedup.duplicatedSpanStats(
+      sources.Tables.documents(spark, dir), "doc_id", "text", k = 8))
+    // the dup-site aggregation and the join both hash on the md5 span
+    // fingerprint; the raw text column must not survive past the scan's
+    // posexplode projection into any exchange
+    p should include("hashpartitioning(span_md5")
+    p should not include "hashpartitioning(text"
+    // the scan stage projects text once for the kernel, but no Exchange
+    // row carries it: every hashpartitioning is on span_md5 or doc_id
+    val parts = "hashpartitioning\\(([a-zA-Z_0-9#]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    parts.forall(c => c.startsWith("span_md5") || c.startsWith("doc_id")) shouldBe true
+  }
 }
