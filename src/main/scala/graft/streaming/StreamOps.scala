@@ -32,4 +32,25 @@ object StreamOps {
       tsCol: String, watermark: String): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Streaming corpus ingestion — the LLM-pipeline front door as one
+    * continuous flow: quality-gate each arriving document (single-pass
+    * token-count kernel, same threshold semantics as the batch
+    * `text_filter`), then drop content duplicates within the watermark
+    * keyed on the `(md5, length)` signature. Dedup state holds ~40 bytes
+    * per distinct recent document — never text — and the watermark
+    * bounds it. A batch frame takes the same filter+signature path with
+    * a plain distinct-on-signature (Spark rejects watermark dedup on
+    * batch plans), so backfill and live ingestion share one call. */
+  def corpusIngest(docs: DataFrame, textCol: String, tsCol: String,
+      minTokens: Int, watermark: String): DataFrame = {
+    val sig = docs
+      .filter(graft.functions.TextAnalysis.tokenCount(col(textCol)) >= minTokens)
+      .withColumn("__sig",
+        concat(md5(col(textCol)), lit(":"), length(col(textCol))))
+    val deduped =
+      if (docs.isStreaming) dedupWithinWatermark(sig, Seq("__sig"), tsCol, watermark)
+      else sig.dropDuplicates("__sig")
+    deduped.drop("__sig")
+  }
 }

@@ -51,4 +51,33 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
       rows shouldBe Set((1L, "first"), (2L, "b"), (3L, "c"))
     } finally q.stop()
   }
+
+  test("corpus ingest filters low-quality docs and dedups content continuously") {
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.corpusIngest(
+      mem.toDS().toDF("id", "ts", "text"), "text", "ts",
+      minTokens = 5, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("ci")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts(0), "a good long document with plenty of tokens"),
+        (2L, ts(1), "too short"),
+        (3L, ts(2), "a good long document with plenty of tokens"))
+      q.processAllAvailable()
+      mem.addData(
+        (4L, ts(3), "a good long document with plenty of tokens"), // still dup
+        (5L, ts(4), "another unique document that clears the bar"))
+      q.processAllAvailable()
+      val ids = spark.table("ci").select("id").as[Long].collect().toSet
+      ids shouldBe Set(1L, 5L) // 2 under-quality; 3 and 4 content dups
+      // batch frames take the same path (watermark no-op)
+      val batch = Seq(
+        (10L, ts(0), "a good long document with plenty of tokens"),
+        (11L, ts(1), "a good long document with plenty of tokens"),
+        (12L, ts(2), "tiny")).toDF("id", "ts", "text")
+      StreamOps.corpusIngest(batch, "text", "ts", 5, "1 hour")
+        .count() shouldBe 1L
+    } finally q.stop()
+  }
 }
