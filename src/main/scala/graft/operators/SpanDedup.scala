@@ -78,13 +78,16 @@ object SpanDedup {
     * sparse — joined back without shuffling the corpus side payload. */
   def dropMostlyDuplicated(docs: DataFrame, idCol: String, textCol: String,
       k: Int, maxDupFrac: Double): DataFrame = {
+    // collision-proof internal names: drop-by-name after a join removes
+    // ALL columns with that name, so a corpus column literally called
+    // "dup_tokens" must not be shadowed by the stats side
     val stats = duplicatedSpanStats(docs, idCol, textCol, k)
-      .select(col(idCol).as("__sd_id"), col("dup_tokens"))
+      .select(col(idCol).as("__sd_id"), col("dup_tokens").as("__sd_dup"))
     docs
-      .withColumn("__n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__sd_n", TextAnalysis.tokenCount(col(textCol)).cast("long"))
       .join(stats, docs(idCol) === col("__sd_id"), "left_outer")
-      .filter(coalesce(col("dup_tokens"), lit(0L)).cast("double") <=
-        col("__n_tokens").cast("double") * maxDupFrac)
-      .drop("__sd_id", "dup_tokens", "__n_tokens")
+      .filter(coalesce(col("__sd_dup"), lit(0L)).cast("double") <=
+        col("__sd_n").cast("double") * maxDupFrac)
+      .drop("__sd_id", "__sd_dup", "__sd_n")
   }
 }
