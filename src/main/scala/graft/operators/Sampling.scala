@@ -110,6 +110,34 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): each
+    * row draws a deterministic uniform from its salted md5 (13 hex
+    * digits → 52 mantissa bits, exact in a double) and ranks by the
+    * exponential key `u^(1/w)` — the classic distributed one-pass
+    * weighted reservoir, here as a rank-per-stratum expression. Keys are
+    * ROUNDED to 9 places with the row id as tiebreak so the selection
+    * order is engine-stable (libm `pow` may wobble an ulp); heavier rows
+    * win proportionally to weight, and the whole draw replays from
+    * `(salt, id, weight)` alone. Spark plans the per-stratum top-k as a
+    * window rank over the stratum partitioning — one shuffle, k rows per
+    * stratum survive. */
+  def weightedSampleKey(key: Column, weight: Column, salt: String): Column = {
+    val u = (conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 13),
+      16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    round(pow(u, lit(1.0) / weight.cast("double")), 9)
+  }
+
+  /** Top-`k` rows per stratum under [[weightedSampleKey]] order. */
+  def weightedSamplePerStratum(df: DataFrame, idCol: String, stratum: Column,
+      weight: Column, salt: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(weightedSampleKey(col(idCol), weight, salt).desc, col(idCol))
+    df.withColumn("__wsr", row_number().over(w))
+      .filter(col("__wsr") <= k)
+      .drop("__wsr")
+  }
+
   /** RENDER the packed bins of [[packSequences]] into actual training
     * sequences: within each `(bucket, bin)` the documents concatenate in
     * the same md5-hash order the packer assigned them, separated by

@@ -785,6 +785,20 @@ object LlmQueries {
       col("doc_id"))
   }
 
+  /** §2.3 #43i — weighted sampling without replacement
+    * ([[graft.operators.Sampling.weightedSamplePerStratum]],
+    * Efraimidis–Spirakis): top-5 docs per source under the
+    * `u^(1/n_tokens)` exponential-key order — longer documents win
+    * proportionally, the draw replays from (salt, id, weight) alone. */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    orderedSmall(
+      graft.operators.Sampling.weightedSamplePerStratum(docs, "doc_id",
+        col("source"), col("n_tokens"), "wsr", 5),
+      col("source"), col("doc_id"))
+  }
+
   /** §2.3 #49 — corpus heavy-hitter bigrams (boilerplate detection).
     * Deterministic cut: total order (count DESC, ngram ASC) before the
     * top-20 limit. */
@@ -1018,6 +1032,7 @@ object LlmQueries {
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_incremental" -> (dedupIncremental _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "text_dup_spans" -> (textDupSpans _),
     "text_span_filter" -> (textSpanFilter _),
     "decontam_report" -> (decontamReport _),
@@ -1413,6 +1428,27 @@ object LlmQueries {
         |    NOT IN (SELECT sig FROM csigs))
         |SELECT doc_id, length(text)::BIGINT AS len FROM surv
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // Efraimidis-Spirakis keys replayed: 13 md5 hex digits -> exact
+    // 52-bit uniform, pow key rounded to 9 with doc_id tiebreak
+    "q_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    round(pow(
+        |      ((('0x' || substr(md5('wsr' || CAST(doc_id AS VARCHAR)), 1, 13))
+        |        ::BIGINT)::DOUBLE + 0.5) / 4503599627370496.0,
+        |      1.0 / n_tokens::DOUBLE), 9) AS key
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rn
+        |  FROM k)
+        |SELECT doc_id, source, n_tokens FROM r WHERE rn <= 5
+        |ORDER BY source, doc_id""".stripMargin,
     // v2 rebuilt literally; status from hash comparison on the full outer
     "q_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

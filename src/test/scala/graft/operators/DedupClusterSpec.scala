@@ -195,6 +195,26 @@ class DedupClusterSpec extends AnyFunSuite with Matchers {
     keptNorm shouldBe 0L
   }
 
+  test("weighted sampling: exact k per stratum, weight-proportional, deterministic") {
+    val docs = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", if (i == 42L || i == 43L) 100000L else 1L))
+      .toDF("id", "src", "w")
+    val picked = Sampling.weightedSamplePerStratum(docs, "id", col("src"),
+      col("w"), "s1", 10)
+    val bySrc = picked.select("src", "id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    bySrc("a").size shouldBe 10
+    bySrc("b").size shouldBe 10
+    // the overwhelming weights win their stratum essentially surely
+    bySrc("a") should contain(42L)
+    bySrc("b") should contain(43L)
+    // replays identically regardless of partitioning
+    val again = Sampling.weightedSamplePerStratum(docs.repartition(11), "id",
+      col("src"), col("w"), "s1", 10)
+      .select("id").as[Long].collect().toSet
+    again shouldBe (bySrc("a") ++ bySrc("b"))
+  }
+
   test("rendered packed sequences cover every doc and digest deterministically") {
     val docs = (0L until 60L).map(i => (i, s"doc$i word" * 3, 6L))
       .toDF("id", "text", "wt")
