@@ -157,12 +157,23 @@ object CorpusStats {
     * line text; removal positions regroup on the doc id and the
     * reconstruction is the same columnar indexed filter as boilerplate
     * removal. A doc whose every line was seen earlier comes back empty. */
-  def dedupLinesGlobal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def dedupLinesGlobal(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    dedupUnitsGlobal(docs, idCol, textCol, sep = "\n")
+
+  /** [[dedupLinesGlobal]] generalized to any exact unit separator — pass
+    * `"\n\n"` for RefinedWeb's PARAGRAPH-granularity pass (both
+    * granularities run in production pipelines: paragraphs catch
+    * reflowed copies whose lines differ, lines catch shared headers
+    * inside unique paragraphs). The separator is treated literally
+    * (regex-quoted) and rejoins losslessly. */
+  def dedupUnitsGlobal(docs: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
     val occurrences = docs
       .select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+        posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__line")))
       .filter(length(trim(col("__line"))) > 0)
-      // hash BEFORE the window's exchange: the line text stays columnar
+      // hash BEFORE the window's exchange: the unit text stays columnar
       // in the scan and never crosses the wire
       .select(col(idCol), col("__pos"), md5(col("__line")).as("__h"))
     val w = Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
@@ -174,9 +185,9 @@ object CorpusStats {
       .select(col(idCol),
         when(col("__rm").isNull, col(textCol))
           .otherwise(array_join(
-            filter(split(col(textCol), "\n"),
+            filter(split(col(textCol), sepRe),
               (l, i) => !array_contains(col("__rm"), i)),
-            "\n")).as(textCol))
+            sep)).as(textCol))
   }
 
   /** Per-document interpolated BIGRAM negative log-likelihood — the

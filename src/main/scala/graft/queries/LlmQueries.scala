@@ -842,6 +842,22 @@ object LlmQueries {
       col("doc_id"))
   }
 
+  /** §2.3 #51c — PARAGRAPH-granularity global dedup
+    * ([[CorpusStats.dedupUnitsGlobal]] at `"\n\n"`): the planted shared
+    * disclaimer is a two-LINE paragraph, so the gate separates the
+    * granularities — paragraph dedup removes it as one unit where line
+    * dedup would treat its lines independently. */
+  def textParaDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit("\n\n=== SHARED DISCLAIMER ===\nplease do not redistribute"))
+        .as("text"))
+    orderedSmall(
+      CorpusStats.dedupUnitsGlobal(docs, "doc_id", "text", sep = "\n\n")
+        .select(col("doc_id"), length(col("text")).as("n_chars_kept"), col("text")),
+      col("doc_id"))
+  }
+
   /** §2.3 #52c — corpus-ADAPTIVE quality filter: the CCNet move of
     * thresholding each document's LM score against a corpus percentile
     * instead of a fixed constant (fixed thresholds rot as the corpus
@@ -1016,6 +1032,7 @@ object LlmQueries {
     "text_unigram_nll" -> (textUnigramNll _),
     "text_adaptive_filter" -> (textAdaptiveFilter _),
     "text_line_dedup" -> (textLineDedup _),
+    "text_para_dedup" -> (textParaDedup _),
     "text_bigram_nll" -> (textBigramNll _),
     "text_compress" -> (textCompress _),
     "text_compress_sig" -> (textCompressSig _),
@@ -1292,6 +1309,34 @@ object LlmQueries {
         |  SELECT doc_id, i, line FROM ranked WHERE rn = 1),
         |rebuilt AS (
         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, length(coalesce(r.text, '')) AS n_chars_kept,
+        |  coalesce(r.text, '') AS text
+        |FROM corpus c LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
+    // same replay as text_line_dedup at paragraph granularity: units
+    // split on the double newline, keep-first by (doc, pos)
+    "text_para_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text || chr(10) || chr(10) ||
+        |    '=== SHARED DISCLAIMER ===' || chr(10) || 'please do not redistribute'
+        |    AS text
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, chr(10) || chr(10)), 1) AS i,
+        |    unnest(string_split(text, chr(10) || chr(10))) AS unit
+        |  FROM corpus),
+        |ranked AS (
+        |  SELECT doc_id, i, unit,
+        |    row_number() OVER (PARTITION BY md5(unit) ORDER BY doc_id, i) AS rn
+        |  FROM pos WHERE length(trim(unit)) > 0),
+        |kept AS (
+        |  SELECT doc_id, i, unit FROM pos WHERE length(trim(unit)) = 0
+        |  UNION ALL
+        |  SELECT doc_id, i, unit FROM ranked WHERE rn = 1),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(unit, chr(10) || chr(10) ORDER BY i) AS text
         |  FROM kept GROUP BY doc_id)
         |SELECT c.doc_id, length(coalesce(r.text, '')) AS n_chars_kept,
         |  coalesce(r.text, '') AS text
