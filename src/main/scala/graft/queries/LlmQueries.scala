@@ -858,6 +858,26 @@ object LlmQueries {
       col("doc_id"))
   }
 
+  /** §2.3 #45b — URL/domain filtering (the crawl-pipeline front gate:
+    * drop documents from blocklisted hosts, keep the parsed domain as
+    * provenance). URLs are planted deterministically (the corpus has
+    * none); extraction is one Java/RE2-compatible `regexp_extract`, the
+    * blocklist a broadcast semi-anti-join — at 100 TB the list side is
+    * tiny and the corpus never shuffles. */
+  def textUrlFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit("https://host"), col("doc_id") % 7,
+        lit(".example.com/doc/"), col("doc_id")).as("url"))
+    val domain = regexp_extract(col("url"), "^https?://([^/]+)/", 1)
+    val block = s.createDataFrame(
+      Seq(Tuple1("host0.example.com"), Tuple1("host3.example.com"))
+    ).toDF("bad_domain")
+    orderedSmall(
+      docs.withColumn("domain", domain)
+        .join(broadcast(block), col("domain") === col("bad_domain"), "left_anti"),
+      col("doc_id"))
+  }
+
   /** §2.3 #52c — corpus-ADAPTIVE quality filter: the CCNet move of
     * thresholding each document's LM score against a corpus percentile
     * instead of a fixed constant (fixed thresholds rot as the corpus
@@ -1033,6 +1053,7 @@ object LlmQueries {
     "text_adaptive_filter" -> (textAdaptiveFilter _),
     "text_line_dedup" -> (textLineDedup _),
     "text_para_dedup" -> (textParaDedup _),
+    "text_url_filter" -> (textUrlFilter _),
     "text_bigram_nll" -> (textBigramNll _),
     "text_compress" -> (textCompress _),
     "text_compress_sig" -> (textCompressSig _),
@@ -1314,6 +1335,19 @@ object LlmQueries {
         |  coalesce(r.text, '') AS text
         |FROM corpus c LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY c.doc_id""".stripMargin,
+    // planted URLs, RE2/Java-shared extraction pattern, NOT IN blocklist
+    "text_url_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^https?://([^/]+)/', 1) AS domain
+        |FROM d
+        |WHERE regexp_extract(url, '^https?://([^/]+)/', 1)
+        |  NOT IN ('host0.example.com', 'host3.example.com')
+        |ORDER BY doc_id""".stripMargin,
     // same replay as text_line_dedup at paragraph granularity: units
     // split on the double newline, keep-first by (doc, pos)
     "text_para_dedup" ->
