@@ -344,7 +344,11 @@ object ScaleLadder {
     // round-trips through Tables.events' nanos path unchanged
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val plans: Seq[(String, Seq[String])] = Seq(
-      "lineitem"   -> Seq("l_orderkey"),
+      // l_suppkey/l_partkey shift too so the q_pagerank ladder graph is
+      // 10 DISJOINT copies (10x nodes and edges), not 10x duplicate rows
+      // of one graph that the pipeline's distinct() collapses — that
+      // would make its ratio an artifact, not a scaling receipt
+      "lineitem"   -> Seq("l_orderkey", "l_suppkey", "l_partkey"),
       "events"     -> Seq("event_id", "user_id"),
       "customer"   -> Seq("c_custkey"),
       "orders"     -> Seq("o_orderkey", "o_custkey"),

@@ -276,6 +276,39 @@ object Dedup {
       .drop("__sig", "__rn")
   }
 
+  /** NEAR-dup screening of a new batch against an existing corpus — the
+    * fuzzy companion of [[dedupAgainstCorpus]] (which only catches exact
+    * content): batch documents whose MinHash bands collide with any
+    * corpus document AND whose exact Jaccard clears `threshold` are
+    * dropped; the rest survive.
+    *
+    * Scale shape: the corpus side is a banded signature table — 8 rows
+    * of ~16 bytes per document, the persistent near-dup INDEX a real
+    * pipeline materializes once and bucket-joins per batch; the probe
+    * side is batch-sized. Only band-colliding candidate pairs ship text
+    * into the Jaccard verify. */
+  def neardupAgainstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 5, numHashes: Int = 64, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val rows = numHashes / bands
+    def banded(df: DataFrame, outId: String) =
+      minhashSignature(df, idCol, textCol, shingleK, numHashes)
+        .select(col(idCol).as(outId),
+          posexplode(array((0 until bands).map(b =>
+            hash(slice(col("sig"), b * rows + 1, rows))): _*)))
+        .toDF(outId, "__band", "__bsig")
+    val cands = banded(batch, "__b_id")
+      .join(banded(corpus, "__c_id"), Seq("__band", "__bsig"))
+      .select(col("__b_id"), col("__c_id")).distinct()
+    val bTxt = batch.select(col(idCol).as("__b_id"), col(textCol).as("__bt"))
+    val cTxt = corpus.select(col(idCol).as("__c_id"), col(textCol).as("__ct"))
+    val hit = cands.join(bTxt, "__b_id").join(cTxt, "__c_id")
+      .filter(graft.functions.Sketches.jaccard(col("__bt"), col("__ct"), shingleK)
+        >= threshold)
+      .select(col("__b_id")).distinct()
+    batch.join(hit, batch(idCol) === col("__b_id"), "left_anti")
+  }
+
   /** Quality-aware canonical selection: keep the HIGHEST-`score` document
     * of each duplicate cluster (ties broken toward the minimum id) and
     * every unpaired doc — the production policy when near-dup clusters

@@ -799,6 +799,25 @@ object LlmQueries {
       col("source"), col("doc_id"))
   }
 
+  /** §2.3 #31h — NEAR-dup incremental screening
+    * ([[Dedup.neardupAgainstCorpus]]): the fuzzy half of continuous
+    * ingestion. Planted batch: lightly-edited copies of corpus docs
+    * (screened out through band-collision + Jaccard verify) and
+    * hex-digest rows (no shingle overlap with prose — kept). At the
+    * fixed data and hash constants the outcome is deterministic, so the
+    * closed-form oracle is exact. */
+  def dedupNeardupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 40000).as("doc_id"),
+        concat(col("text"), lit(" tiny edit")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 40000).as("doc_id"), md5(col("text")).as("text")))
+    orderedSmall(
+      Dedup.neardupAgainstCorpus(batch, docs, "doc_id", "text"),
+      col("doc_id"))
+  }
+
   /** §2.3 #49 — corpus heavy-hitter bigrams (boilerplate detection).
     * Deterministic cut: total order (count DESC, ngram ASC) before the
     * top-20 limit. */
@@ -1069,6 +1088,7 @@ object LlmQueries {
     "dedup_cluster_keep" -> (dedupClusterKeep _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_neardup_incremental" -> (dedupNeardupIncremental _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_weighted_sample" -> (qWeightedSample _),
     "text_dup_spans" -> (textDupSpans _),
@@ -1507,6 +1527,12 @@ object LlmQueries {
         |    NOT IN (SELECT sig FROM csigs))
         |SELECT doc_id, length(text)::BIGINT AS len FROM surv
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // closed form: edited copies screen out (band-collide + verify),
+    // hex-digest rows share no prose shingles and survive
+    "dedup_neardup_incremental" ->
+      """SELECT doc_id + 40000 AS doc_id, md5(text) AS text
+        |FROM documents WHERE doc_id % 10 = 5
+        |ORDER BY doc_id""".stripMargin,
     // Efraimidis-Spirakis keys replayed: 13 md5 hex digits -> exact
     // 52-bit uniform, pow key rounded to 9 with doc_id tiebreak
     "q_weighted_sample" ->
