@@ -261,4 +261,37 @@ class DedupClusterSpec extends AnyFunSuite with Matchers {
       .collect().map(r => (r.getInt(0), r.getString(3))).toMap
       .foreach { case (sid, sig) => m.find(_._1 == sid).get._4 shouldBe sig }
   }
+
+  test("neardupAgainstCorpus: exact copies die, sub-threshold lookalikes survive") {
+    val prose = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((100L, prose),
+      (101L, "completely different corpus text about shipping priorities"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (1L, prose),                       // exact copy: every band collides, J=1
+      (2L, "unrelated fresh document with no shingles in common whatsoever"),
+      (3L, prose)                        // second exact copy: multi-collision
+    ).toDF("id", "text")
+    val kept = Dedup.neardupAgainstCorpus(batch, corpus, "id", "text")
+    kept.columns.toSeq shouldBe Seq("id", "text") // batch shape intact
+    kept.select("id").as[Long].collect().sorted shouldBe Array(2L)
+
+    // Jaccard verify gate: a doc whose true shingle overlap sits BELOW the
+    // threshold survives no matter how its bands land — collision only
+    // nominates candidates, the exact Jaccard decides. One changed word
+    // out of 13 keeps J well under 0.999.
+    val edited = prose.replace("fox", "cat")
+    val keptHi = Dedup.neardupAgainstCorpus(
+      Seq((7L, edited)).toDF("id", "text"), corpus, "id", "text",
+      threshold = 0.999)
+    keptHi.select("id").as[Long].collect() shouldBe Array(7L)
+
+    // same edited doc at the default 0.7 threshold: a 1-word edit of a
+    // 13-word doc shares the overwhelming majority of its 5-shingles —
+    // band collision is how it gets nominated; pin the screened outcome
+    // (deterministic at the fixed hash constants)
+    val keptLo = Dedup.neardupAgainstCorpus(
+      Seq((8L, edited)).toDF("id", "text"), corpus, "id", "text")
+    keptLo.count() shouldBe 0L
+  }
 }
