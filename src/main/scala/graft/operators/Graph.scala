@@ -26,8 +26,12 @@ object Graph {
   /** `iters` PageRank iterations over directed `edges(src, dst)`.
     * Assumes no dangling nodes (every node that appears has ≥1
     * out-edge) — symmetrize the edge list for undirected graphs, which
-    * also guarantees this. Output: `(node, rank)` for every node,
-    * ranks rounded to `scale` places each iteration.
+    * guarantees this. Source-only nodes (out-edges but no in-edges —
+    * ubiquitous in crawl graphs) are fine: each iteration rebuilds the
+    * rank vector from the full node set, so they hold `teleport/n` and
+    * keep contributing instead of dropping out after iteration 1.
+    * Output: `(node, rank)` for every node, ranks rounded to `scale`
+    * places each iteration.
     *
     * `teleport` is passed SEPARATELY from `damping` rather than derived
     * as `1 - damping`: `1.0 - 0.85` is not the double `0.15`, and the
@@ -53,11 +57,12 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           (col("rank") / col("__deg")).cast("decimal(28,18)").as("__c"))
-      ranks = contrib
-        .groupBy(col("node"))
-        .agg(round(
+      ranks = nodes
+        .join(contrib.groupBy(col("node")).agg(sum(col("__c")).as("__s")),
+          Seq("node"), "left")
+        .select(col("node"), round(
           lit(teleport / n) +
-            lit(damping) * sum(col("__c")).cast("double"),
+            lit(damping) * coalesce(col("__s").cast("double"), lit(0.0)),
           scale).as("rank"))
         .localCheckpoint(true)
       i += 1

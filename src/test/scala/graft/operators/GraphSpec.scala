@@ -37,6 +37,22 @@ class GraphSpec extends AnyFunSuite with Matchers {
     Seq(1L, 2L, 3L, 4L).map(r).toSet.size shouldBe 1 // leaves tie
   }
 
+  test("directed source-only nodes keep teleport rank and keep contributing") {
+    // s(1) -> a(2); a(2) <-> b(3): node 1 has out-edges but NO in-edges.
+    // It must stay in the output at teleport/n and its mass must keep
+    // flowing — dropping it would leak rank from iteration 2 on.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r = Graph.pageRank(e, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.keySet shouldBe Set(1L, 2L, 3L)
+    r(1L) shouldBe 0.05 +- 1e-9                 // teleport/n both iterations
+    // hand computation: r1 = (0.05, 0.05+0.85*2/3, 0.05+0.85/3)
+    // r2(2) = 0.05 + 0.85*(r1(1) + r1(3)); r2(3) = 0.05 + 0.85*r1(2)
+    r(2L) shouldBe (0.05 + 0.85 * (0.05 + 0.05 + 0.85 / 3.0)) +- 1e-9
+    r(3L) shouldBe (0.05 + 0.85 * (0.05 + 0.85 * 2.0 / 3.0)) +- 1e-9
+    r.values.sum shouldBe 1.0 +- 1e-6           // no leaked mass
+  }
+
   test("ranks are partition-count independent (decimal-summed contributions)") {
     val e = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
     val a = Graph.pageRank(e, iters = 3).collect()
