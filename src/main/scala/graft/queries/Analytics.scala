@@ -435,6 +435,32 @@ object Analytics {
         |  min(l_extendedprice)::DECIMAL(18,2)::VARCHAR AS lo,
         |  max(l_extendedprice)::DECIMAL(18,2)::VARCHAR AS hi
         |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
+    // smoothed proportions in DOUBLE, ln term rounded then DECIMAL —
+    // the replayable-transcendental regime (cf. q_decay_agg)
+    "q_drift" ->
+      """WITH a AS (
+        |  SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+        |    count(*) AS n_a
+        |  FROM lineitem WHERE year(l_shipdate) < 1995 GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+        |    count(*) AS n_b
+        |  FROM lineitem WHERE year(l_shipdate) >= 1995 GROUP BY 1),
+        |g AS (
+        |  SELECT coalesce(a.bucket, b.bucket) AS bucket,
+        |    coalesce(n_a, 0)::BIGINT AS n_a, coalesce(n_b, 0)::BIGINT AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+        |t AS (
+        |  SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb,
+        |    count(*)::BIGINT AS k FROM g),
+        |p AS (
+        |  SELECT bucket, n_a, n_b,
+        |    (n_a + 0.5::DOUBLE) / (ta + 0.5::DOUBLE * k) AS pa,
+        |    (n_b + 0.5::DOUBLE) / (tb + 0.5::DOUBLE * k) AS pb
+        |  FROM g, t)
+        |SELECT bucket, n_a, n_b,
+        |  round((pa - pb) * ln(pa / pb), 9) AS psi_term
+        |FROM p ORDER BY bucket""".stripMargin,
     // the Morton interleave rebuilt term by term in SQL bit arithmetic
     "q_zorder" -> {
       val z = (0 until 8).flatMap(i => Seq(
@@ -869,6 +895,21 @@ object Analytics {
         max(col("l_extendedprice")).cast("decimal(18,2)").cast("string").as("hi"))
       .orderBy(col("bin"))
 
+  /** §2.2 #30t — distribution drift between corpus versions
+    * ([[graft.operators.Drift.psiReport]]): PSI terms per price bin
+    * between the pre-1995 and 1995+ shipment eras — the
+    * "did the new drop's distribution move" alarm, with smoothed
+    * proportions and the ln term under the round-then-decimal regime
+    * so the oracle replays it exactly. */
+  def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    graft.operators.Drift.psiReport(
+      li.filter(year(col("l_shipdate")) < 1995),
+      li.filter(year(col("l_shipdate")) >= 1995),
+      floor(col("l_extendedprice") / 10000).cast("long"))
+      .orderBy(col("bucket"))
+  }
+
   /** §2.2 #30s — PageRank over the symmetrized supplier↔part bipartite
     * graph ([[graft.operators.Graph.pageRank]], 3 iterations): node
     * importance by power iteration with decimal-summed (order-
@@ -1045,6 +1086,7 @@ object Analytics {
     "q_fk_check" -> (qFkCheck _),
     "q_histogram" -> (qHistogram _),
     "q_pagerank" -> (qPagerank _),
+    "q_drift" -> (qDrift _),
     "q_anomaly" -> (qAnomaly _),
     "q_transitions" -> (qTransitions _),
     "q_decay_agg" -> (qDecayAgg _),
