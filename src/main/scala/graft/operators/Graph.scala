@@ -39,14 +39,28 @@ object Graph {
     * lesson). */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       teleport: Double = 0.15, scale: Int = 12): DataFrame = {
+    // Hash-partition the loop-invariant tables on their join keys and
+    // PERSIST them (not localCheckpoint: under AQE a checkpoint's
+    // LogicalRDD reports UnknownPartitioning, while a cached
+    // InMemoryRelation keeps its output partitioning — plan-audited in
+    // PlanAuditSpec). Every iteration's edge⋈deg⋈ranks join and the
+    // nodes⋈contrib rebuild then reuse the partitioning instead of
+    // re-exchanging the corpus-sized edge list: the only per-iteration
+    // shuffles are rank-vector-sized plus the inherent dst contribution
+    // aggregation. Released before returning — ranks is checkpointed,
+    // so the result never re-reads them.
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
-      .localCheckpoint(true)
+      .repartition(col("src"))
+      .persist(disk)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      .persist(disk)
     val nodes = e.select(col("src").as("node")).distinct()
       .unionByName(e.select(col("dst").as("node")).distinct())
       .distinct()
-      .localCheckpoint(true)
+      .repartition(col("node"))
+      .persist(disk)
     val n = nodes.count()
     var ranks = nodes.withColumn("rank", round(lit(1.0) / n, scale))
       .localCheckpoint(true)
@@ -67,6 +81,7 @@ object Graph {
         .localCheckpoint(true)
       i += 1
     }
+    e.unpersist(false); deg.unpersist(false); nodes.unpersist(false)
     ranks
   }
 }

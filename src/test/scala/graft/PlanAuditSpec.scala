@@ -139,6 +139,41 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("pre-partitioned localCheckpoint joins without re-exchanging (PageRank iteration shape)") {
+    import org.apache.spark.sql.functions._
+    // the mechanism Graph.pageRank relies on: repartition-then-persist
+    // keeps HashPartitioning on the cached InMemoryRelation (a
+    // localCheckpoint would NOT — under AQE its LogicalRDD reports
+    // UnknownPartitioning), so each iteration's join moves only the
+    // rank-vector side, never the corpus-sized edge list
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val e = spark.range(0, 1000)
+      .select((col("id") % 97).as("src"), col("id").as("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      e.count()
+      val ranks = spark.range(0, 97)
+        .select(col("id").as("src"), lit(1.0).as("rank"))
+      // the cached subtree is NOT part of the live plan tree (the
+      // InMemoryTableScan is a leaf), so collecting Exchange nodes
+      // counts exactly the shuffles this query would run
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.Exchange
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      val live = e.join(ranks, "src").queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      live.collect { case s: InMemoryTableScanExec => s }.nonEmpty shouldBe true
+      live.collect { case x: Exchange => x }.size shouldBe 1 // rank side only
+    } finally {
+      e.unpersist(true)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("gap fill generates the day grid executor-side; windows partition by user") {
     val p = plan(queries.Analytics.qGapfill(spark, dir))
     // sequence+explode = partition-local generation, no driver materialization
