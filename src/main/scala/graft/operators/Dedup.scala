@@ -201,32 +201,40 @@ object Dedup {
     * Output: (id, label) for every node appearing in `pairs`, label = the
     * minimum id of the node's component. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // persisted pre-partitioned on the propagation join key, NOT
+    // localCheckpointed: a cached InMemoryRelation keeps its
+    // HashPartitioning under AQE (a checkpoint's LogicalRDD does not),
+    // so the rounds reuse one edge exchange instead of re-shuffling the
+    // edge list every round (cf. Graph.pageRank, PlanAuditSpec)
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .distinct()
-      .localCheckpoint(true) // reused every round
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
-    var iter = 0
-    while (iter < maxIters) {
-      val neighbor = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"))
-      val next = neighbor.union(labels)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
         .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count() > 0
-      labels = next
-      if (!changed) return labels
-      iter += 1
-    }
-    throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters rounds " +
-        "(pathological chain length — raise maxIters)")
+      var iter = 0
+      while (iter < maxIters) {
+        val neighbor = edges.join(labels, edges("dst") === labels("id"))
+          .select(edges("src").as("id"), col("label"))
+        val next = neighbor.union(labels)
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+          .localCheckpoint(true)
+        val changed = next.alias("n")
+          .join(labels.alias("o"), col("n.id") === col("o.id"))
+          .filter(col("n.label") =!= col("o.label"))
+          .limit(1).count() > 0
+        labels = next
+        if (!changed) return labels
+        iter += 1
+      }
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(pathological chain length — raise maxIters)")
+    } finally edges.unpersist(false)
   }
 
   /** Canonical-document selection: given near-dup pairs, keep ONE doc per
