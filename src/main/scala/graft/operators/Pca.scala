@@ -31,7 +31,13 @@ object Pca {
   def powerIteration(corpus: DataFrame, vecCol: String,
       iters: Int): (Array[Double], Double) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // persist the narrow projection for the life of the loop: every
+    // iteration re-reads it, and for a deflated input (top2's second
+    // component) the un-cached lineage would re-run the deflation per
+    // iteration on top of the corpus re-scan
     val vecs = corpus.select(VectorMath.toDouble(col(vecCol)).as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val dims = vecs.select(size(col("__x"))).head().getInt(0)
     var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
     var lambda = 0.0
@@ -55,6 +61,7 @@ object Pca {
       v = w.map(_ / lambda)
     }
     (v, lambda)
+    } finally vecs.unpersist(false)
   }
 
   /** Per-row projection onto the trained direction (adds `proj`). */
