@@ -83,7 +83,12 @@ object Ann {
       nCentroids: Int, iters: Int): Array[Seq[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cents: Array[Seq[Double]] = corpus
+    // cache for the training loop (seed pass + one scan per Lloyd
+    // iteration); float-level math untouched, released on return
+    val c = corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    var cents: Array[Seq[Double]] = c
       .select(col(idCol).cast("long"), VectorMath.toDouble(col(vecCol)))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCentroids)
       .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2)
@@ -91,7 +96,7 @@ object Ann {
     for (_ <- 0 until iters) {
       val centArr = array(cents.map(v => typedLit(v)): _*)
       val scores = transform(centArr, cv => VectorMath.cosine(col(vecCol), cv))
-      val assigned = corpus.select(
+      val assigned = c.select(
         VectorMath.toDouble(col(vecCol)).as("__v"),
         (array_position(scores, array_max(scores)) - 1).cast("int").as("__cid"))
       val means = assigned
@@ -103,6 +108,7 @@ object Ann {
       cents = Array.tabulate(cents.length)(c => means.getOrElse(c, cents(c)))
     }
     cents
+    } finally c.unpersist(false)
   }
 
   /** The DOCUMENTED partial-probe operating point, decided on a measured
@@ -193,7 +199,11 @@ object Ann {
       m: Int, nCodes: Int, iters: Int): Array[Array[Array[Double]]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val seeds = corpus
+    // cache for the training loop, same regime as trainCentroids
+    val cc = corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val seeds = cc
       .select(col(idCol).cast("long"), VectorMath.toDouble(col(vecCol)))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCodes)
       .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2)
@@ -206,7 +216,7 @@ object Ann {
       seeds.map(v => v.slice(j * sub, (j + 1) * sub).toArray))
     for (_ <- 0 until iters) {
       val cbFlat = typedLit(cb.flatten.flatten.toSeq)
-      val means = corpus
+      val means = cc
         .select(VectorMath.toDouble(col(vecCol)).as("__v"),
           VectorMath.pqEncode(col(vecCol), cbFlat, m, nCodes).as("__codes"))
         .select(col("__v"), posexplode(col("__codes")).as(Seq("j", "c")))
@@ -221,6 +231,7 @@ object Ann {
           .getOrElse(cb(j)(c))))
     }
     cb
+    } finally cc.unpersist(false)
   }
 
   /** PRODUCT-QUANTIZED top-k — the billion-scale ANN design (IVF-PQ's
