@@ -96,6 +96,8 @@ object Bench {
     .config("spark.ui.retainedJobs", "100")
     .config("spark.ui.retainedStages", "200")
     .config("spark.graft.bench.noDeterminismSort", "true")
+    // legacy-encoding tolerance, mirrored from GraftSession
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
   def main(args: Array[String]): Unit = {
@@ -340,9 +342,9 @@ object ScaleLadder {
 
   def materialize(spark: SparkSession, sfDir: String, n: Int): String = {
     val out = s"/tmp/graft_bench_scale_x$n"
-    // events is TIMESTAMP(NANOS): read ts as raw long so the scaled copy
-    // round-trips through Tables.events' nanos path unchanged
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.ts round-trips in whatever encoding the source carries
+    // (nanos-long under the session's nanosAsLong tolerance, or NTZ):
+    // Tables.normalizeEventTs adapts on re-read either way
     val plans: Seq[(String, Seq[String])] = Seq(
       // l_suppkey/l_partkey shift too so the q_pagerank ladder graph is
       // 10 DISJOINT copies (10x nodes and edges), not 10x duplicate rows

@@ -30,6 +30,11 @@ object GraftSession {
       // scans: one task per ~128 MB of parquet, independent of file layout
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // data-contract tolerance: legacy TIMESTAMP(NANOS) parquet (one
+      // generation of the driver testdata used it for events.ts) surfaces
+      // as a plain long instead of failing the scan; Tables.normalizeEventTs
+      // branches on the loaded type. No effect on MICROS/NTZ columns.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       // ANSI stays ON (Spark 4 default), stated here as an explicit
       // decision: an out-of-range cast mid-merge FAILS the batch loudly

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types._
 
 /** Loader for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -13,8 +15,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Minimum column contract per table. The round-10 events regression
+    * showed driver testdata can change encodings between generations; a
+    * missing/renamed column should fail HERE with the table name, not
+    * deep inside some query's analysis. Extra columns are always fine. */
+  private val contract: Map[String, Seq[String]] = Map(
+    "region"     -> Seq("r_regionkey", "r_name"),
+    "nation"     -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer"   -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier"   -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part"       -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders"     -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events"     -> Seq("event_id", "ts", "user_id", "event_type", "value"),
+    "documents"  -> Seq("doc_id", "text", "lang", "source"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    contract.get(name).foreach { cols =>
+      val missing = cols.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"$name.parquet at $dir is missing contract columns ${missing.mkString(", ")} " +
+          s"(found: ${df.columns.mkString(", ")})")
+    }
+    df
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
@@ -23,17 +50,46 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and floor-convert to microsecond
-    * timestamps (the generator writes whole-microsecond values, and the
-    * DuckDB oracle's epoch_us() truncates identically). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** `events.ts` has shipped in two encodings across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) (surfacing as a nanos LongType
+    * under `spark.sql.legacy.parquet.nanosAsLong`, which GraftSession sets
+    * as a static tolerance — Spark's vectorized reader rejects NANOS
+    * otherwise) and plain TIMESTAMP(MICROS) (surfacing as TIMESTAMP_NTZ).
+    * Branch on the LOADED schema rather than assuming a generation:
+    * both paths land on TimestampType with microsecond-floor values, so
+    * every downstream query and its DuckDB oracle see identical instants
+    * (session timezone is UTC, making the NTZ cast value-identity). */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(apply(s, d, "events"))
+
+  private[graft] def normalizeEventTs(raw: DataFrame): DataFrame = {
+    val conv: Column = raw.schema("ts").dataType match {
+      case LongType         => expr("timestamp_micros(ts div 1000)")
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported encoding $other (expected nanos-long, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP; for raw TIMESTAMP(NANOS) parquet " +
+          "set spark.sql.legacy.parquet.nanosAsLong=true at session build)")
+    }
+    raw.withColumn("ts", conv)
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** The engine's vector surface (Ann, VecAgg, Pca, Dedup.embeddingPairs)
+    * is typed on Array[Float]; a regenerated list<double> corpus would
+    * break every encoder. Adapt by downcast, same contract-tolerance
+    * rationale as [[normalizeEventTs]]. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case ArrayType(DoubleType, _) =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding: unsupported type $other (expected array<float|double>)")
+    }
+  }
 
   /** Register every table as a temp view so `spark.sql(...)` works over
     * the corpus — the SQL entry path of the library (events goes through

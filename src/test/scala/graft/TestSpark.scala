@@ -15,6 +15,8 @@ object TestSpark {
       // GraftFunctionsSpec asserts the graft_* surface resolves from THIS,
       // with no manual register() call
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // legacy-encoding tolerance, mirrored from GraftSession
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -322,7 +322,10 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
       (2L, ""),
       (3L, "a b a b a b"),
       (4L, "x y"),
-    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    ).toDF("doc_id", "text")
+      // fixture carries the full loader contract (Tables.apply asserts it)
+      .selectExpr("doc_id", "text", "'en' AS lang", "'spec' AS source")
+      .write.parquet(s"$dir/documents.parquet")
     val rows = graft.queries.LlmQueries.textRepetition(TestSpark.spark, dir)
       .as[(Long, Long, Long, Long, Long)].collect()
     rows shouldBe Array(
