@@ -199,16 +199,32 @@ object Bench {
 
     val total = r4(selected.map { case (n, _) => medianSec(n) }.sum)
 
+    // Ladder summary state for the compact line: name -> ratio_vs_sf
+    // (−1 = failed), plus any per-family receipts (minhash candidates).
+    val ladderRatios = collection.mutable.LinkedHashMap.empty[String, Double]
+    val ladderSkipped = collection.mutable.ArrayBuffer.empty[String]
+    var ladderStatus = "none"
+    var minhashReceipt = ""
+
     /** Emit ONE complete self-contained result line with whatever ladder
-      * data exists so far. Called after the suite and again after every
-      * ladder family: whichever line is the last on stdout when the
-      * process ends (normally or by the harness's timeout) is a full,
-      * parseable record — the round-9 failure mode (timeout => zero
-      * output, because the single JSON line printed only at the very end)
-      * cannot recur. */
+      * data exists so far, FOLLOWED by one compact summary line. Called
+      * after the suite and again after every ladder family: whichever
+      * lines are last on stdout when the process ends (normally or by the
+      * harness's timeout) are full, parseable records. The compact line
+      * exists because the driver's capture keeps only a ~2,000-char tail
+      * of stdout: the full record (124 queries x 5 metric maps) blows
+      * that window, so for three straight rounds the ladder receipts at
+      * the FRONT of the record were truncated away (`parsed: null` in
+      * BENCH_r08..r10). The compact line is < ~1,500 chars by
+      * construction — total, per-family ladder ratios, receipts, errors —
+      * so the tail window always ends with a complete parseable record. */
     def emit(ladderJson: String): Unit = {
       val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
       println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"dispersion":$disp,"task_cpu_sec":$cpu,"shuffle_read_bytes":$srd,"shuffle_write_bytes":$swr,"scale_ladder":$ladderJson,"errors":$errs,"sf":"$sfDir"}""")
+      val lad = ladderRatios.map { case (n, r) => s"\"$n\":$r" }.mkString("{", ",", "}")
+      val sk = ladderSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val receipt = if (minhashReceipt.isEmpty) "" else s""","minhash_receipt":$minhashReceipt"""
+      println(s"""{"metric":"graft_bench_compact","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","ladder_factor":$scaleN,"ladder_status":"$ladderStatus","ladder_ratio_vs_sf":$lad,"ladder_skipped":$sk$receipt,"errors":$errs}""")
       Console.out.flush()
     }
 
@@ -227,8 +243,11 @@ object Bench {
 
     if (scaleN <= 1 || only.isDefined) emit("{}")
     else if (elapsedSec > budgetSec) {
+      ladderStatus = "skipped_budget"
+      ladderSkipped ++= ScaleLadder.queries
       emit(ladderJson(Nil, ScaleLadder.queries, "skipped_budget"))
     } else {
+      ladderStatus = "in_progress"
       emit(ladderJson(Nil, Nil, "in_progress"))
       val dir = ScaleLadder.materialize(spark, sfDir, scaleN)
       val entries = collection.mutable.ArrayBuffer.empty[String]
@@ -236,7 +255,7 @@ object Bench {
       val families =
         ScaleLadder.queries.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       families.zipWithIndex.foreach { case ((name, fn), i) =>
-        if (elapsedSec > budgetSec) skipped += name
+        if (elapsedSec > budgetSec) { skipped += name; ladderSkipped += name }
         else {
           // Fresh context per SMALL GROUP of families: a long-lived bench
           // session contaminates timings (see scaladoc), but a context per
@@ -266,19 +285,39 @@ object Bench {
             if (ok.isEmpty) None
             else Some(ok.minBy(_._1)).map(t => (t._1, t._2, t._3, t._4))
           }
-          val entry = (minOf3(sfDir), minOf3(dir)) match {
+          val timedSides = (minOf3(sfDir), minOf3(dir))
+          // Candidate-count receipt for the minhash family: band-join
+          // candidates vs output pairs at both scales, so a super-linear
+          // wall ratio is attributable (output-proportional growth vs
+          // quadratic bucket degeneration). Counted once per side, after
+          // the timed runs, outside their measurement.
+          val receipt: String =
+            if (name != "dedup_minhash") ""
+            else try {
+              def stats(d: String): (Long, Long) =
+                operators.Dedup.minhashLadderStats(
+                  queries.LlmQueries.withNearCopies(spark, d), "doc_id", "text")
+              val (sc, sp) = stats(sfDir)
+              val (lc, lp) = stats(dir)
+              minhashReceipt =
+                s"""{"sf_candidates":$sc,"sf_pairs":$sp,"candidates":$lc,"pairs":$lp}"""
+              s""","sf_candidates":$sc,"sf_pairs":$sp,"candidates":$lc,"pairs":$lp"""
+            } catch { case _: Throwable => "" }
+          val entry = timedSides match {
             case (Some(sf), Some((wall, cpuS, rdB, wrB))) =>
               val ratio = if (sf._1 > 0) r4(wall / sf._1) else -1.0
-              s"""\"$name\":{\"sec\":${r4(wall)},\"sf_sec\":${r4(sf._1)},\"ratio_vs_sf\":$ratio,\"cpu_sec\":${r4(cpuS)},\"sf_cpu_sec\":${r4(sf._2)},\"shuffle_read\":$rdB,\"shuffle_write\":$wrB}"""
+              ladderRatios(name) = ratio
+              s"""\"$name\":{\"sec\":${r4(wall)},\"sf_sec\":${r4(sf._1)},\"ratio_vs_sf\":$ratio,\"cpu_sec\":${r4(cpuS)},\"sf_cpu_sec\":${r4(sf._2)},\"shuffle_read\":$rdB,\"shuffle_write\":$wrB$receipt}"""
             case _ =>
+              ladderRatios(name) = -1.0
               s"""\"$name\":{\"sec\":-1,\"sf_sec\":-1,\"ratio_vs_sf\":-1,\"failed\":true}"""
           }
           entries += entry
           emit(ladderJson(entries.toSeq, skipped.toSeq, "in_progress"))
         }
       }
-      emit(ladderJson(entries.toSeq, skipped.toSeq,
-        if (skipped.isEmpty) "complete" else "budget_exhausted"))
+      ladderStatus = if (skipped.isEmpty) "complete" else "budget_exhausted"
+      emit(ladderJson(entries.toSeq, skipped.toSeq, ladderStatus))
     }
     spark.stop()
   }

@@ -140,6 +140,27 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Bench receipt for the minhash ladder: (band-join candidate pairs at
+    * the collapsed rep level, final verified output pairs) under the same
+    * parameters as [[minhashPairs]]. Distinguishes output-proportional
+    * growth (a corpus with genuinely more near-dups emits more pairs —
+    * fine) from quadratic candidate structure (band buckets degenerating
+    * into all-pairs — the scale killer). Counts only; never collected
+    * beyond two longs. */
+  def minhashLadderStats(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 8,
+      threshold: Double = 0.7): (Long, Long) = {
+    val repSigs = docs
+      .select(col(idCol), md5(col(textCol)).as("__th"),
+        graft.functions.Sketches.minhashSig(col(textCol), shingleK, numHashes).as("sig"))
+      .groupBy(col("__th"))
+      .agg(min(col(idCol)).as(idCol), first(col("sig")).as("sig"))
+      .drop("__th")
+    val candidates = minhashCandidates(repSigs, idCol, bands, numHashes / bands).count()
+    val pairs = minhashPairs(docs, idCol, textCol, shingleK, numHashes, bands, threshold).count()
+    (candidates, pairs)
+  }
+
   /** The collapse-free formulation of [[minhashPairs]]: every document
     * through sketch/band/verify individually. Same rows (the spec pins
     * it); quadratic in exact-copy multiplicity. Kept as the equivalence

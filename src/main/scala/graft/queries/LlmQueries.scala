@@ -26,7 +26,7 @@ object LlmQueries {
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
   }
 
-  private def withNearCopies(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def withNearCopies(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     docs.unionByName(
       docs.filter(col("doc_id") % 5 === 0)
