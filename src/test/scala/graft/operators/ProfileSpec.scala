@@ -32,4 +32,18 @@ class ProfileSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Profile.profile(Seq((1, 2)).toDF("a", "b"), Seq("a", "nope"))
   }
+
+  test("scan-starvation guard: redistributes a 1-partition source, no-op on a fed one") {
+    // local[4] session, defaultParallelism = 4: 1 scan partition is
+    // starved (1*2 < 4), 4 partitions are not
+    def hasRoundRobin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("REPARTITION_BY_NUM")
+    val starved = spark.range(0, 1000, 1, 1).selectExpr("id", "id % 7 AS m")
+    val fed = spark.range(0, 1000, 1, 4).selectExpr("id", "id % 7 AS m")
+    hasRoundRobin(Profile.profile(starved, Seq("m"))) shouldBe true
+    hasRoundRobin(Profile.profile(fed, Seq("m"))) shouldBe false
+    // and both routes agree on the statistics
+    Profile.profile(starved, Seq("m")).collect().head.getLong(3) shouldBe 7L
+    Profile.profile(fed, Seq("m")).collect().head.getLong(3) shouldBe 7L
+  }
 }
