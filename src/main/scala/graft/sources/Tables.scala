@@ -29,7 +29,7 @@ object Tables {
     "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
                         "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus", "l_shipdate"),
     "events"     -> Seq("event_id", "ts", "user_id", "event_type", "value"),
-    "documents"  -> Seq("doc_id", "text", "lang", "source"),
+    "documents"  -> Seq("doc_id", "text", "lang", "source", "n_chars"),
     "embeddings" -> Seq("vec_id", "embedding", "label"))
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -43,8 +43,10 @@ object Tables {
     df
   }
 
-  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeTsNtz(apply(s, d, "lineitem"), "l_shipdate")
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTsNtz(apply(s, d, "orders"), "o_orderdate")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
@@ -61,6 +63,22 @@ object Tables {
     * (session timezone is UTC, making the NTZ cast value-identity). */
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(apply(s, d, "events"))
+
+  /** Same encoding tolerance as [[normalizeEventTs]] for the order/ship
+    * date columns, normalized to TIMESTAMP_NTZ — the type this
+    * generation's parquet loads as and every dependent query and oracle
+    * was validated against. A NANOS regeneration (the round-10 events
+    * path) lands on identical instants instead of breaking 37 query
+    * references; UTC session makes the TimestampType arm value-identity. */
+  private[graft] def normalizeTsNtz(raw: DataFrame, c: String): DataFrame =
+    raw.schema(c).dataType match {
+      case TimestampNTZType => raw
+      case LongType =>
+        raw.withColumn(c, expr(s"timestamp_micros($c div 1000)").cast(TimestampNTZType))
+      case TimestampType => raw.withColumn(c, col(c).cast(TimestampNTZType))
+      case other => throw new IllegalStateException(
+        s"$c: unsupported encoding $other (expected nanos-long, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
 
   private[graft] def normalizeEventTs(raw: DataFrame): DataFrame = {
     val conv: Column = raw.schema("ts").dataType match {
@@ -97,7 +115,13 @@ object Tables {
     * still prunes/pushes into the underlying parquet scans. */
   def registerAll(s: SparkSession, dir: String): Unit =
     all.foreach { name =>
-      val df = if (name == "events") events(s, dir) else apply(s, dir, name)
+      val df = name match {
+        case "events"     => events(s, dir)
+        case "lineitem"   => lineitem(s, dir)
+        case "orders"     => orders(s, dir)
+        case "embeddings" => embeddings(s, dir)
+        case _            => apply(s, dir, name)
+      }
       df.createOrReplaceTempView(name)
     }
 }

@@ -324,7 +324,8 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
       (4L, "x y"),
     ).toDF("doc_id", "text")
       // fixture carries the full loader contract (Tables.apply asserts it)
-      .selectExpr("doc_id", "text", "'en' AS lang", "'spec' AS source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'spec' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
       .write.parquet(s"$dir/documents.parquet")
     val rows = graft.queries.LlmQueries.textRepetition(TestSpark.spark, dir)
       .as[(Long, Long, Long, Long, Long)].collect()

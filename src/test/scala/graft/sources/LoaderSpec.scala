@@ -67,6 +67,36 @@ class LoaderSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("Tables.lineitem/orders date-column encodings") {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus")
+    def fixture(dir: String, shipdate: org.apache.spark.sql.Column): Unit =
+      Seq((1L, 2L, 3L, 4.0, 5.0, 0.1, "R", "F"))
+        .toDF(cols: _*)
+        .withColumn("l_shipdate", shipdate)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    for ((enc, mk) <- Seq[(String, org.apache.spark.sql.Column)](
+        "long_nanos" -> lit(microsVals.head * 1000L),
+        "ntz"        -> timestamp_micros(lit(microsVals.head)).cast(TimestampNTZType),
+        "tsz"        -> timestamp_micros(lit(microsVals.head))))
+      it(s"normalizes a $enc l_shipdate to the same TIMESTAMP_NTZ instant") {
+        val dir = tmp()
+        fixture(dir, mk)
+        val df = Tables.lineitem(spark, dir)
+        df.schema("l_shipdate").dataType shouldBe TimestampNTZType
+        df.select(unix_micros(col("l_shipdate").cast(TimestampType)))
+          .as[Long].head() shouldBe microsVals.head
+      }
+
+    it("passes the driver's current lineitem and orders through unchanged") {
+      Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .schema("l_shipdate").dataType shouldBe TimestampNTZType
+      Tables.orders(spark, "/root/testdata/sf0.001")
+        .schema("o_orderdate").dataType shouldBe TimestampNTZType
+    }
+  }
+
   describe("Tables.embeddings vector contract") {
     it("downcasts a regenerated list<double> corpus to Array[Float]") {
       val dir = tmp()
