@@ -84,9 +84,15 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     // cache for the training loop (seed pass + one scan per Lloyd
-    // iteration); float-level math untouched, released on return
-    val c = corpus
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // iteration); float-level math untouched, released on return —
+    // UNLESS the caller already holds a cache (ivfPqTopK trains two
+    // models over the same normalized corpus: re-materializing the
+    // corpus-sized cache between trainers is waste at any scale)
+    val preCached = corpus.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val c =
+      if (preCached) corpus
+      else corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     var cents: Array[Seq[Double]] = c
       .select(col(idCol).cast("long"), VectorMath.toDouble(col(vecCol)))
@@ -108,7 +114,7 @@ object Ann {
       cents = Array.tabulate(cents.length)(c => means.getOrElse(c, cents(c)))
     }
     cents
-    } finally c.unpersist(false)
+    } finally if (!preCached) c.unpersist(false)
   }
 
   /** The DOCUMENTED partial-probe operating point, decided on a measured
@@ -199,9 +205,13 @@ object Ann {
       m: Int, nCodes: Int, iters: Int): Array[Array[Array[Double]]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // cache for the training loop, same regime as trainCentroids
-    val cc = corpus
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache for the training loop, same caller-aware regime as
+    // trainCentroids
+    val preCached = corpus.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val cc =
+      if (preCached) corpus
+      else corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val seeds = cc
       .select(col(idCol).cast("long"), VectorMath.toDouble(col(vecCol)))
@@ -231,7 +241,7 @@ object Ann {
           .getOrElse(cb(j)(c))))
     }
     cb
-    } finally cc.unpersist(false)
+    } finally if (!preCached) cc.unpersist(false)
   }
 
   /** PRODUCT-QUANTIZED top-k — the billion-scale ANN design (IVF-PQ's
@@ -312,8 +322,16 @@ object Ann {
     val cN = normalized(corpus, "neighbor_id", "__cv")
     val qN = normalized(queries, "query_id", "__qv")
 
-    val centVecs = trainCentroids(cN, "neighbor_id", "__cv", nCentroids, trainIters)
-    val cb = trainPqCodebooks(cN, "neighbor_id", "__cv", m, nCodes, trainIters)
+    // ONE corpus cache shared by both trainers (IVF centroids + PQ
+    // codebooks train over the same normalized projection; the trainers
+    // detect the held cache and neither re-persist nor drop it), released
+    // before the query plan itself runs — the final scan is a single
+    // streaming pass and should not pin corpus-sized memory.
+    val cNCached = cN.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (centVecs, cb) =
+      try (trainCentroids(cNCached, "neighbor_id", "__cv", nCentroids, trainIters),
+        trainPqCodebooks(cNCached, "neighbor_id", "__cv", m, nCodes, trainIters))
+      finally cNCached.unpersist(false)
     val cbFlat = typedLit(cb.flatten.flatten.toSeq)
     val centArr = array(centVecs.map(v => typedLit(v)): _*)
 
