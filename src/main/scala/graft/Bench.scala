@@ -91,6 +91,10 @@ object Bench {
   private def mkSession(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
     .config("spark.sql.shuffle.partitions", cpus)
+    // match Verify/GraftSession: the NTZ<->TimestampType casts in the
+    // schema-adaptive loaders are session-TZ-dependent, so a non-UTC host
+    // would bench ts/date predicates on instants shifted vs the gates
+    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.ui.retainedExecutions", "10")
     .config("spark.ui.retainedJobs", "100")
@@ -106,6 +110,10 @@ object Bench {
     // N>=5: the median survives two simultaneous neighbor spikes
     val runs  = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "10").toInt
+    // Second, higher scale point for the worst-ratio families: two points
+    // bound the growth curve (a single 10x ratio can't distinguish a
+    // gentle super-linearity from an N^2 cliff that 30x would expose).
+    val scale2N = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE2", "30").toInt
     // Hard wall-clock budget for the WHOLE bench: once exceeded, remaining
     // ladder families are skipped (and named as skipped in the output)
     // instead of letting the harness's timeout kill the process with zero
@@ -205,6 +213,14 @@ object Bench {
     val ladderSkipped = collection.mutable.ArrayBuffer.empty[String]
     var ladderStatus = "none"
     var minhashReceipt = ""
+    // Second scale point (default 30x) for the heaviest families: two
+    // points make a scaling CURVE where one ratio is only a slope guess.
+    val ladder2Ratios = collection.mutable.LinkedHashMap.empty[String, Double]
+    val ladder2Skipped = collection.mutable.ArrayBuffer.empty[String]
+    var ladder2Status = "none"
+    var minhashReceipt2 = ""
+    var lastLadderJson = "{}"
+    var lastLadder2Json = "{}"
 
     /** Emit ONE complete self-contained result line with whatever ladder
       * data exists so far, FOLLOWED by one compact summary line. Called
@@ -218,14 +234,32 @@ object Bench {
       * BENCH_r08..r10). The compact line is < ~1,500 chars by
       * construction — total, per-family ladder ratios, receipts, errors —
       * so the tail window always ends with a complete parseable record. */
-    def emit(ladderJson: String): Unit = {
+    def emit(ladderJson: String): Unit = { lastLadderJson = ladderJson; emitNow() }
+    def emit2(ladder2: String): Unit = { lastLadder2Json = ladder2; emitNow() }
+    def emitNow(): Unit = {
       val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"dispersion":$disp,"task_cpu_sec":$cpu,"shuffle_read_bytes":$srd,"shuffle_write_bytes":$swr,"scale_ladder":$ladderJson,"errors":$errs,"sf":"$sfDir"}""")
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"dispersion":$disp,"task_cpu_sec":$cpu,"shuffle_read_bytes":$srd,"shuffle_write_bytes":$swr,"scale_ladder":$lastLadderJson,"scale_ladder2":$lastLadder2Json,"errors":$errs,"sf":"$sfDir"}"""
+      println(full)
       val lad = ladderRatios.map { case (n, r) => s"\"$n\":$r" }.mkString("{", ",", "}")
       val sk = ladderSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val receipt = if (minhashReceipt.isEmpty) "" else s""","minhash_receipt":$minhashReceipt"""
-      println(s"""{"metric":"graft_bench_compact","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","ladder_factor":$scaleN,"ladder_status":"$ladderStatus","ladder_ratio_vs_sf":$lad,"ladder_skipped":$sk$receipt,"errors":$errs}""")
+      val lad2 = ladder2Ratios.map { case (n, r) => s"\"$n\":$r" }.mkString("{", ",", "}")
+      val sk2 = ladder2Skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val receipt2 = if (minhashReceipt2.isEmpty) "" else s""","minhash_receipt2":$minhashReceipt2"""
+      val compact = s"""{"metric":"graft_bench_compact","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","ladder_factor":$scaleN,"ladder_status":"$ladderStatus","ladder_ratio_vs_sf":$lad,"ladder_skipped":$sk$receipt,"ladder2_factor":$scale2N,"ladder2_status":"$ladder2Status","ladder2_ratio_vs_sf":$lad2,"ladder2_skipped":$sk2$receipt2,"errors":$errs}"""
+      println(compact)
       Console.out.flush()
+      // BARE machine-readable artifacts: the driver's stdout capture keeps
+      // a prefixed tail (`[info] ...`) its JSON parse chokes on — four
+      // rounds of `parsed: null` with a humanly-complete record. A file is
+      // immune to log prefixes and truncation. Each write is the complete
+      // current record, so a harness kill leaves the last finished state.
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench_summary.json"),
+          (compact + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+          (full + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () } // read-only cwd must not kill the run
     }
 
     // ---- scale ladder: heavy families on a key-shifted scaleN x input ----
@@ -318,6 +352,78 @@ object Bench {
       }
       ladderStatus = if (skipped.isEmpty) "complete" else "budget_exhausted"
       emit(ladderJson(entries.toSeq, skipped.toSeq, ladderStatus))
+
+      // ---- second scale point: the worst-ratio families at scale2N x ----
+      // Runs only when the first ladder completed whole and budget remains:
+      // the 10x ladder is the contract, the 30x curve is the stretch goal.
+      if (skipped.isEmpty && scale2N > scaleN && elapsedSec < budgetSec) {
+        def ladder2Json(entries: Seq[String], skipped: Seq[String],
+                        status: String): String = {
+          val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+          s"""{"factor":$scale2N,"status":"$status","note":"$ladderNote","skipped":$sk,"queries":${entries.mkString("{", ",", "}")}}"""
+        }
+        ladder2Status = "in_progress"
+        emit2(ladder2Json(Nil, Nil, "in_progress"))
+        // fresh context for materialization: phase 1 left a worked session
+        spark.stop()
+        spark = mkSession(cpus)
+        spark.sparkContext.setLogLevel("WARN")
+        listener = new TaskMetricsListener
+        spark.sparkContext.addSparkListener(listener)
+        warmup()
+        val dir2 = ScaleLadder.materialize(spark, sfDir, scale2N,
+          Some(ScaleLadder.tables2))
+        val entries2 = collection.mutable.ArrayBuffer.empty[String]
+        val skipped2 = collection.mutable.ArrayBuffer.empty[String]
+        val families2 =
+          ScaleLadder.queries2.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+        families2.zipWithIndex.foreach { case ((name, fn), i) =>
+          if (elapsedSec > budgetSec) { skipped2 += name; ladder2Skipped += name }
+          else {
+            // 30x executions are ~3x a phase-1 family: two per context
+            if (i % 2 == 0 && i > 0) {
+              spark.stop()
+              spark = mkSession(cpus)
+              spark.sparkContext.setLogLevel("WARN")
+              listener = new TaskMetricsListener
+              spark.sparkContext.addSparkListener(listener)
+              warmup()
+            }
+            def minOf3(d: String): Option[(Double, Double, Long, Long)] = {
+              timed(s"scale2:$name(warm)", fn, d)
+              val ok = Seq.fill(3)(timed(s"scale2:$name", fn, d)).filter(_._5)
+              if (ok.isEmpty) None
+              else Some(ok.minBy(_._1)).map(t => (t._1, t._2, t._3, t._4))
+            }
+            val timedSides = (minOf3(sfDir), minOf3(dir2))
+            val receipt: String =
+              if (name != "dedup_minhash") ""
+              else try {
+                def stats(d: String): (Long, Long) =
+                  operators.Dedup.minhashLadderStats(
+                    queries.LlmQueries.withNearCopies(spark, d), "doc_id", "text")
+                val (sc, sp) = stats(sfDir)
+                val (lc, lp) = stats(dir2)
+                minhashReceipt2 =
+                  s"""{"sf_candidates":$sc,"sf_pairs":$sp,"candidates":$lc,"pairs":$lp}"""
+                s""","sf_candidates":$sc,"sf_pairs":$sp,"candidates":$lc,"pairs":$lp"""
+              } catch { case _: Throwable => "" }
+            val entry = timedSides match {
+              case (Some(sf), Some((wall, cpuS, rdB, wrB))) =>
+                val ratio = if (sf._1 > 0) r4(wall / sf._1) else -1.0
+                ladder2Ratios(name) = ratio
+                s"""\"$name\":{\"sec\":${r4(wall)},\"sf_sec\":${r4(sf._1)},\"ratio_vs_sf\":$ratio,\"cpu_sec\":${r4(cpuS)},\"sf_cpu_sec\":${r4(sf._2)},\"shuffle_read\":$rdB,\"shuffle_write\":$wrB$receipt}"""
+              case _ =>
+                ladder2Ratios(name) = -1.0
+                s"""\"$name\":{\"sec\":-1,\"sf_sec\":-1,\"ratio_vs_sf\":-1,\"failed\":true}"""
+            }
+            entries2 += entry
+            emit2(ladder2Json(entries2.toSeq, skipped2.toSeq, "in_progress"))
+          }
+        }
+        ladder2Status = if (skipped2.isEmpty) "complete" else "budget_exhausted"
+        emit2(ladder2Json(entries2.toSeq, skipped2.toSeq, ladder2Status))
+      }
     }
     spark.stop()
   }
@@ -342,6 +448,20 @@ object ScaleLadder {
     "dedup_exact", "cdc_compact", "cdc_merge_into",
     "cdc_incremental_agg", "dedup_minhash", "dedup_simhash",
     "ann_topk", "ann_ivf", "text_tfidf", "text_dup_spans", "q_pagerank")
+
+  /** Second-scale-point families: the compact trio whose scale receipts
+    * rounds 7-8 demanded, plus the worst 10x ratio (dedup_minhash 9.34x in
+    * round 11 — output-structure-attributed, which a second point either
+    * confirms or refutes). */
+  val queries2: Seq[String] = Seq(
+    "cdc_compact_lineitem", "cdc_compact_fast", "decontam_overlap",
+    "dedup_minhash")
+
+  /** Every table a [[queries2]] family reads: compact_lineitem scans
+    * lineitem, compact_fast synthesizes from events, decontam/minhash scan
+    * documents. Materializing just these keeps the 30x build inside the
+    * bench budget. */
+  val tables2: Set[String] = Set("lineitem", "events", "documents")
 
   private val Stride = 1_000_000_000L
 
@@ -379,8 +499,10 @@ object ScaleLadder {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
-  def materialize(spark: SparkSession, sfDir: String, n: Int): String = {
+  def materialize(spark: SparkSession, sfDir: String, n: Int,
+      tables: Option[Set[String]] = None): String = {
     val out = s"/tmp/graft_bench_scale_x$n"
+    def wanted(name: String): Boolean = tables.forall(_.contains(name))
     // events.ts round-trips in whatever encoding the source carries
     // (nanos-long under the session's nanosAsLong tolerance, or NTZ):
     // Tables.normalizeEventTs adapts on re-read either way
@@ -401,12 +523,15 @@ object ScaleLadder {
     // artifact, not an operator property. A real 10× corpus is many files.
     val parts = spark.sparkContext.defaultParallelism
     plans.foreach { case (name, ids) =>
-      val src = spark.read.parquet(s"$sfDir/$name.parquet")
-      shifted(src, n, ids).repartition(parts).write.mode("overwrite")
-        .parquet(s"$out/$name.parquet")
+      if (wanted(name)) {
+        val src = spark.read.parquet(s"$sfDir/$name.parquet")
+        shifted(src, n, ids).repartition(parts).write.mode("overwrite")
+          .parquet(s"$out/$name.parquet")
+      }
     }
-    remixedDocuments(spark, sfDir, n).repartition(parts).write.mode("overwrite")
-      .parquet(s"$out/documents.parquet")
+    if (wanted("documents"))
+      remixedDocuments(spark, sfDir, n).repartition(parts).write.mode("overwrite")
+        .parquet(s"$out/documents.parquet")
     out
   }
 }

@@ -15,7 +15,7 @@ import graft.sources.Tables
   * separately — with task-CPU and shuffle-byte deltas from a listener — so
   * a super-linear ladder ratio can be pinned to a stage instead of argued
   * about. Usage: `runMain graft.BenchProbe <family> [sfDir]` with family in
-  * {compact, fast, decontam, dedupexact, minhash}; sfDir defaults to the
+  * {compact, fast, decontam, dedupexact, minhash, dupspans}; sfDir defaults to the
   * materialized 10x ladder dir. Every stage runs twice (cold, warm): the
   * driver's ladder reports steady state, so the warm number is the one
   * that must match. */
@@ -221,6 +221,28 @@ object BenchProbe {
         }
         timed("minhash full pairs")(
           noop(Dedup.minhashPairs(docs, "doc_id", "text", 5, 64, 8, 0.7)))
+
+      case "dupspans" => // text_dup_spans stages (r11 ladder rehearsals
+        // ranged 3.13x/5.32x/3.13x — this attribution run pins whether the
+        // outlier lives in one stage or was host noise across all of them)
+        import graft.operators.SpanDedup
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        def sites = SpanDedup.spanSites(docs, "doc_id", "text", k = 8)
+        timed("span sites (scan+tokenize+md5)")(noop(sites))
+        timed("dup-span filter (hash shuffle + count>1)") {
+          val n = sites.groupBy(col("span_md5"))
+            .agg(count(lit(1)).as("s")).filter(col("s") > 1).count()
+          println(s"[probe]   duplicated spans: $n")
+        }
+        timed("full stats (island windows)")(
+          noop(SpanDedup.duplicatedSpanStats(docs, "doc_id", "text", k = 8)))
+
+      case "materialize" => // build the ladder dir by hand:
+        // runMain graft.BenchProbe materialize <srcSfDir> [factor]
+        val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val n = args.lift(2).map(_.toInt).getOrElse(10)
+        println(s"[probe] materialized ${ScaleLadder.materialize(spark, src, n)}")
 
       case other => sys.error(s"unknown probe family: $other")
     }

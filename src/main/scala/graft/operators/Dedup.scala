@@ -97,7 +97,19 @@ object Dedup {
     * if the corpus has million-copy boilerplate groups). */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7): DataFrame =
+    minhashPairsImpl(docs, idCol, textCol, shingleK, numHashes, bands,
+      threshold)._1
+
+  /** [[minhashPairs]] plus a handle on its persisted collapse frame, so
+    * eager callers (the bench-ladder receipt counts the result twice per
+    * side) can unpersist it once they have materialized — a query result
+    * handed back lazily keeps the persist alive for the consumer, but a
+    * counted-and-discarded one would otherwise leak a corpus-derived
+    * cache into the session for its remaining lifetime. */
+  private def minhashPairsImpl(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, bands: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
     val base = docs.select(col(idCol), col(textCol))
     val grouped = base
       .select(col(idCol), md5(col(textCol)).as("__th"),
@@ -137,7 +149,7 @@ object Dedup {
       .filter(col("__i") < col("__j"))
       .select(least(col("__x"), col("__y")).as("id_a"),
         greatest(col("__x"), col("__y")).as("id_b"), col("jaccard"))
-    cross.unionByName(within)
+    (cross.unionByName(within), grouped)
   }
 
   /** Bench receipt for the minhash ladder: (band-join candidate pairs at
@@ -157,7 +169,12 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), first(col("sig")).as("sig"))
       .drop("__th")
     val candidates = minhashCandidates(repSigs, idCol, bands, numHashes / bands).count()
-    val pairs = minhashPairs(docs, idCol, textCol, shingleK, numHashes, bands, threshold).count()
+    val (pairsDf, grouped) =
+      minhashPairsImpl(docs, idCol, textCol, shingleK, numHashes, bands, threshold)
+    val pairs = pairsDf.count()
+    // the counts are materialized; drop the collapse cache so repeated
+    // receipts (two per ladder point) don't accumulate in the session
+    grouped.unpersist()
     (candidates, pairs)
   }
 

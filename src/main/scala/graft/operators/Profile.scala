@@ -52,10 +52,27 @@ object Profile {
     // well-partitioned input (every real multi-file table at scale,
     // where parts >> cores) this branch never fires and the plan is the
     // untouched single-pass aggregate.
+    //
+    // The probe itself must be free: `df.rdd.getNumPartitions` on a frame
+    // containing an exchange finalizes the adaptive plan, which
+    // MATERIALIZES every upstream query stage — the upstream work would
+    // run once for the probe and again for the real aggregate. So the
+    // probe only fires on shuffle-free frames (scan + narrow ops), where
+    // building the RDD plans zero jobs: there the partition count IS the
+    // scan split count. Any frame that already contains a shuffle was
+    // distributed by that exchange and needs no guard.
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
-    val scanParts = df.rdd.getNumPartitions
-    val src = if (scanParts * 2 < cores) df.repartition(cores) else df
+    val narrow = df.queryExecution.optimizedPlan.collect { case p => p }.forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Filter => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+      case _ => false
+    }
+    val src =
+      if (narrow && df.rdd.getNumPartitions * 2 < cores) df.repartition(cores)
+      else df
     val structs = cols.map(c => struct(
       lit(c).as("col_name"),
       col("__rows").as("n_rows"),

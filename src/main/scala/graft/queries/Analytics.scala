@@ -488,6 +488,18 @@ object Analytics {
         arm("l_quantity", dbl), arm("l_returnflag", plain),
         arm("l_shipdate", ts)).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    // the deterministic columns recomputed exactly; approx_ok asserted
+    // true — DuckDB cannot replay Spark's HLL++, so the sketch-accuracy
+    // clause is the in-engine half of the gate
+    "q_profile_approx" -> {
+      def arm(c: String) =
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           |  (count(*) - count($c))::BIGINT AS n_null,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct, true AS approx_ok
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_shipdate").map(arm).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -839,6 +851,28 @@ object Analytics {
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"))
       .orderBy(col("col_name"))
 
+  /** §2.2 #30o (approx path) — the documented 100 TB drop-in GATED: the
+    * HLL profile (`exact = false`, which collapses the exact-distinct
+    * Expand back to one pass) runs NEXT TO its exact twin, and each
+    * column's row emits `approx_ok` = HLL estimate within 15% relative
+    * error (3σ of HLL++'s default 5% rsd) of the exact count. DuckDB
+    * recomputes rows/nulls/exact-distinct and asserts `approx_ok` true,
+    * so the gate is cross-engine on everything deterministic and
+    * in-engine on the sketch's accuracy contract. */
+  def qProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    val cols =
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+    val li = Tables.lineitem(s, dir)
+    val exact = graft.operators.Profile.profile(li, cols)
+    val approx = graft.operators.Profile.profile(li, cols, exact = false)
+      .select(col("col_name"), col("n_distinct").as("__nd_approx"))
+    exact.join(approx, "col_name")
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+        (abs(col("__nd_approx") - col("n_distinct")) <=
+          col("n_distinct").cast("double") * 0.15).as("approx_ok"))
+      .orderBy(col("col_name"))
+  }
+
   /** §2.2 #30p — z-order layout ([[graft.operators.Layout]]): Morton
     * codes over (partkey, suppkey) mod 256, aggregated per 1024-wide
     * z-bucket with each bucket's 2-D bounding box — the min/max tightness
@@ -1082,6 +1116,7 @@ object Analytics {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_explode_agg" -> (qExplodeAgg _),
     "q_profile" -> (qProfile _),
+    "q_profile_approx" -> (qProfileApprox _),
     "q_zorder" -> (qZorder _),
     "q_fk_check" -> (qFkCheck _),
     "q_histogram" -> (qHistogram _),

@@ -920,6 +920,34 @@ object LlmQueries {
       col("doc_id"))
   }
 
+  /** §2.3 #52c (approx path) — the documented 100 TB drop-in GATED:
+    * `percentile_approx` (GK sketch, mergeable, no full sort of the score
+    * column) picks the threshold NEXT TO the exact interpolated
+    * percentile, and the output carries `approx_ok` = the two thresholds
+    * flip at most 2% of keep decisions (a P90 threshold moved by one rank
+    * flips ~1/N of them, so 2% is a real bound, not slack). The per-doc
+    * `kept` is the exact decision DuckDB replays; `approx_ok` is the
+    * in-engine accuracy clause the oracle asserts true. */
+  def textAdaptiveFilterApprox(s: SparkSession, dir: String): DataFrame = {
+    val scored = CorpusStats.unigramNll(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+    val thr = scored.agg(
+      expr("percentile(avg_nll, 0.9)").as("t"),
+      expr("percentile_approx(avg_nll, 0.9, 10000)").as("t_a"))
+    val withThr = scored.crossJoin(broadcast(thr))
+    val agree = withThr.agg(
+      (sum(when((col("avg_nll") <= round(col("t"), 6)) =!=
+                (col("avg_nll") <= round(col("t_a"), 6)), 1L).otherwise(0L))
+        <= count(lit(1)).cast("double") * 0.02).as("approx_ok"))
+    orderedSmall(
+      withThr.crossJoin(broadcast(agree))
+        .select(col("doc_id"), col("avg_nll"),
+          (col("avg_nll") <= round(col("t"), 6)).as("kept"),
+          col("approx_ok")),
+      col("doc_id"))
+  }
+
   /** §2.3 #52 — unigram-NLL quality scoring (perplexity proxy): each
     * doc's mean −ln p(token) under the corpus's own add-one-smoothed
     * unigram distribution. Decimal-summed per doc, so the gate is exact
@@ -1070,6 +1098,7 @@ object LlmQueries {
     "text_boilerplate" -> (textBoilerplate _),
     "text_unigram_nll" -> (textUnigramNll _),
     "text_adaptive_filter" -> (textAdaptiveFilter _),
+    "text_adaptive_filter_approx" -> (textAdaptiveFilterApprox _),
     "text_line_dedup" -> (textLineDedup _),
     "text_para_dedup" -> (textParaDedup _),
     "text_url_filter" -> (textUrlFilter _),
@@ -1303,6 +1332,28 @@ object LlmQueries {
         |thr AS (SELECT quantile_cont(avg_nll, 0.9::DOUBLE) AS t FROM scored)
         |SELECT doc_id, avg_nll, round(t, 6) AS p90_r,
         |  avg_nll <= round(t, 6) AS kept
+        |FROM scored CROSS JOIN thr ORDER BY doc_id""".stripMargin,
+    // exact decisions replayed; approx_ok (the <=2%-flips accuracy clause
+    // of the percentile_approx drop-in) asserted true — DuckDB has no GK
+    // sketch to replay, so that clause is the in-engine half of the gate
+    "text_adaptive_filter_approx" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        |tot AS (SELECT sum(c)::BIGINT AS t_tokens, count(*) AS v_vocab FROM counts),
+        |nll AS (
+        |  SELECT t.doc_id,
+        |    -ln((counts.c + 1.0::DOUBLE) / (tot.t_tokens + tot.v_vocab)) AS nll
+        |  FROM toks t JOIN counts USING (term) CROSS JOIN tot),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(sum(round(nll, 6)::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_nll
+        |  FROM nll GROUP BY doc_id),
+        |thr AS (SELECT quantile_cont(avg_nll, 0.9::DOUBLE) AS t FROM scored)
+        |SELECT doc_id, avg_nll, avg_nll <= round(t, 6) AS kept,
+        |  true AS approx_ok
         |FROM scored CROSS JOIN thr ORDER BY doc_id""".stripMargin,
     // the oracle retrains the classifier: 3 GD iterations with the same
     // decimal-summed gradients, 6-dp sigmoid, and w + (lr*g)/n update

@@ -335,4 +335,20 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
       (3L, 6L, 2L, 3L, 2L), // "a b" x3, "b a" x2
       (4L, 2L, 2L, 1L, 1L))
   }
+
+  test("percentile_approx drop-in agrees with the exact adaptive filter") {
+    val dir = "/root/testdata/sf0.001"
+    val approx = graft.queries.LlmQueries
+      .textAdaptiveFilterApprox(TestSpark.spark, dir).collect()
+    // the <=2%-flips accuracy clause holds on the real corpus
+    all(approx.map(_.getAs[Boolean]("approx_ok"))) shouldBe true
+    // and the per-doc exact decisions are the exact twin's, verbatim
+    val exact = graft.queries.LlmQueries
+      .textAdaptiveFilter(TestSpark.spark, dir)
+      .select("doc_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    approx.foreach { r =>
+      r.getAs[Boolean]("kept") shouldBe exact(r.getAs[Long]("doc_id"))
+    }
+  }
 }

@@ -28,6 +28,31 @@ class ProfileSpec extends AnyFunSuite with Matchers {
     nd.toDouble shouldBe 97.0 +- 10.0
   }
 
+  test("HLL drop-in (q_profile_approx) agrees with its exact twin on every column") {
+    val out = graft.queries.Analytics
+      .qProfileApprox(spark, "/root/testdata/sf0.001").collect()
+    out.length shouldBe 5
+    all(out.map(_.getAs[Boolean]("approx_ok"))) shouldBe true
+    // the deterministic columns are the exact twin's, verbatim
+    val exact = graft.queries.Analytics
+      .qProfile(spark, "/root/testdata/sf0.001")
+      .select("col_name", "n_rows", "n_null", "n_distinct").collect().toSeq
+    out.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq shouldBe
+      exact.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+  }
+
+  test("partition probe skips frames that contain a shuffle (no hidden re-execution)") {
+    // an aggregated (exchange-bearing) frame must pass through unprobed
+    // and unrepartitioned: the exchange already distributed it, and under
+    // AQE a probe would materialize the upstream stages twice
+    val shuffled = spark.range(0, 1000, 1, 1).selectExpr("id % 7 AS m")
+      .groupBy("m").count()
+    val plan = Profile.profile(shuffled, Seq("m", "count"))
+      .queryExecution.executedPlan.toString
+    plan should not include "REPARTITION_BY_NUM"
+    Profile.profile(shuffled, Seq("m")).collect().head.getLong(3) shouldBe 7L
+  }
+
   test("unknown columns are rejected up front") {
     an[IllegalArgumentException] should be thrownBy
       Profile.profile(Seq((1, 2)).toDF("a", "b"), Seq("a", "nope"))

@@ -48,6 +48,36 @@ class StatefulAssemblerSpec extends AnyFunSuite with Matchers {
       graft.cdc.ChangelogAssembler.assembleTxn(msgs, msgs.last).toList
   }
 
+  test("cross-batch assembly on the RocksDB state store (scale-path backend)") {
+    // same open-txn-spans-batches scenario as above, but with the open-txn
+    // buffer held by RocksDB instead of the in-memory HDFS-backed store —
+    // the backend the 100 TB path needs when buffered-txn state outgrows
+    // executor heaps. Proves the flatMapGroupsWithState state encoders
+    // round-trip through RocksDB's serialized form end-to-end.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.GraftSession.useRocksDbState(spark)
+    try {
+      val mem = MemoryStream[WalMessage]
+      val out = StatefulAssembler.assembleStream(mem.toDS())
+      val q = out.writeStream.format("memory").queryName("asm_rocks")
+        .outputMode("append").start()
+      try {
+        mem.addData(dml(7, 0, 1), dml(7, 1, 2), dml(8, 0, 10), commit(8, 800))
+        q.processAllAvailable()
+        spark.table("asm_rocks").select("lsn", "seq").as[(Long, Int)]
+          .collect().toSet shouldBe Set((800L, 0))
+        mem.addData(dml(7, 2, 3), commit(7, 700))
+        q.processAllAvailable()
+        spark.table("asm_rocks").select("lsn", "seq").as[(Long, Int)]
+          .collect().toSet shouldBe
+          Set((800L, 0), (700L, 0), (700L, 1), (700L, 2))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("uncommitted transactions stay parked (no partial emission)") {
     val mem = MemoryStream[WalMessage]
     val out = StatefulAssembler.assembleStream(mem.toDS())

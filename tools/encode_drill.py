@@ -41,4 +41,4 @@ subprocess.run(["java", "-cp", cp, "graft.Verify", data, out], check=True)
 rc = subprocess.run(
     [sys.executable, "tools/check.py", data, out]).returncode
 print(f"[drill] check.py rc={rc} against the NANOS replica of {sf}")
-sys.exit(0)
+sys.exit(rc)
