@@ -26,6 +26,30 @@ object Profile {
     * min/max rendered as strings (doubles through DECIMAL(18,2) so the
     * rendering is scale-stable cross-engine, timestamps through DATE). */
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    val nd: Column => Column =
+      if (exact) countDistinct(_) else approx_count_distinct(_)
+    run(df, cols, c => Seq(nd(col(c)).as(s"__nd_$c")),
+      c => Seq(col(s"__nd_$c").as("n_distinct")))
+  }
+
+  /** Exact AND HLL distinct counts from the SAME single aggregate pass —
+    * the accuracy-audit shape (`q_profile_approx`): one scan, one Expand
+    * (driven by the exact distincts; the HLL aggregates ride in the
+    * non-distinct group), both estimates per column. Output adds
+    * `n_distinct_approx` after `n_distinct`. Running [[profile]] twice
+    * would double the scan and the Expand for no information gain. */
+  def profileBoth(df: DataFrame, cols: Seq[String]): DataFrame =
+    run(df, cols,
+      c => Seq(countDistinct(col(c)).as(s"__nd_$c"),
+        approx_count_distinct(col(c)).as(s"__nda_$c")),
+      c => Seq(col(s"__nd_$c").as("n_distinct"),
+        col(s"__nda_$c").as("n_distinct_approx")))
+
+  /** Shared one-pass plan: `distinctAggs` emits the per-column distinct
+    * aggregate(s), `distinctOut` the matching output struct fields. */
+  private def run(df: DataFrame, cols: Seq[String],
+      distinctAggs: String => Seq[Column],
+      distinctOut: String => Seq[Column]): DataFrame = {
     val types = df.schema.map(f => f.name -> f.dataType).toMap
     require(cols.nonEmpty && cols.forall(types.contains),
       s"profile columns must exist in the frame: ${cols.filterNot(types.contains)}")
@@ -34,13 +58,10 @@ object Profile {
       case TimestampType | TimestampNTZType => v.cast("date").cast("string")
       case _ => v.cast("string")
     }
-    val nd: Column => Column =
-      if (exact) countDistinct(_) else approx_count_distinct(_)
-    val aggCols = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
-      count(col(c)).as(s"__nn_$c"),
-      nd(col(c)).as(s"__nd_$c"),
-      min(col(c)).as(s"__min_$c"),
-      max(col(c)).as(s"__max_$c")))
+    val aggCols = count(lit(1)).as("__rows") +: cols.flatMap(c =>
+      Seq(count(col(c)).as(s"__nn_$c")) ++ distinctAggs(c) ++ Seq(
+        min(col(c)).as(s"__min_$c"),
+        max(col(c)).as(s"__max_$c")))
     // Scan-parallelism guard: countDistinct's Expand multiplies the scan
     // rows c× INSIDE the scan stage, so a source whose partition count
     // can't feed the cluster (single-file single-row-group parquet — the
@@ -74,12 +95,12 @@ object Profile {
       if (narrow && df.rdd.getNumPartitions * 2 < cores) df.repartition(cores)
       else df
     val structs = cols.map(c => struct(
-      lit(c).as("col_name"),
-      col("__rows").as("n_rows"),
-      (col("__rows") - col(s"__nn_$c")).as("n_null"),
-      col(s"__nd_$c").as("n_distinct"),
-      fmt(c, col(s"__min_$c")).as("min_s"),
-      fmt(c, col(s"__max_$c")).as("max_s")))
+      Seq(lit(c).as("col_name"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__nn_$c")).as("n_null")) ++
+      distinctOut(c) ++ Seq(
+        fmt(c, col(s"__min_$c")).as("min_s"),
+        fmt(c, col(s"__max_$c")).as("max_s")): _*))
     src.agg(aggCols.head, aggCols.tail: _*)
       .select(explode(array(structs: _*)).as("__p"))
       .select(col("__p.*"))

@@ -3,22 +3,23 @@
 previous testdata generation shipped it (TIMESTAMP(NANOS) for events.ts,
 l_shipdate, o_orderdate — the round-9 encoding whose silent switch to
 MICROS broke 17 queries in round 10), then run the full Verify + DuckDB
-gate against the replica. The loaders' schema-adaptive normalization
-(sources/Tables.scala) must make the replica's results identical to the
-original dir's.
+gate against BOTH the replica and the unmodified dir and compare the
+failure SETS. The loaders' schema-adaptive normalization
+(sources/Tables.scala) must make the replica's outcome identical to the
+original's — absolute pass counts are NOT the bar, because the
+sf0.01-pinned *_sig literals fail identically on both dirs when the
+drill runs at a different SF.
 
 Usage: python3 tools/encode_drill.py [sfDir] [workDir]
-Expected outcome: check.py deltas vs the same run on sfDir are ZERO
-(the sf0.01-pinned *_sig literals fail identically on both when run at a
-different SF — compare failure SETS, not absolute pass counts).
+Exit 0 iff the replica's per-query outcome set matches the original's.
 """
-import sys, os, shutil, subprocess
+import sys, os, re, shutil, subprocess
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_encode_drill"
-data, out = f"{work}/data", f"{work}/verify"
+data = f"{work}/data"
 shutil.rmtree(work, ignore_errors=True)
 os.makedirs(data)
 
@@ -37,8 +38,23 @@ for p in os.listdir(sf):
 jars = ":".join(
     f"/opt/spark/jars/{j}" for j in os.listdir("/opt/spark/jars") if j.endswith(".jar"))
 cp = f"{jars}:target/scala-2.13/classes"
-subprocess.run(["java", "-cp", cp, "graft.Verify", data, out], check=True)
-rc = subprocess.run(
-    [sys.executable, "tools/check.py", data, out]).returncode
-print(f"[drill] check.py rc={rc} against the NANOS replica of {sf}")
-sys.exit(rc)
+
+
+def gate(src, out):
+    """Verify + check.py on one dir; returns the set of FAILed query names."""
+    subprocess.run(["java", "-cp", cp, "graft.Verify", src, out], check=True)
+    r = subprocess.run([sys.executable, "tools/check.py", src, out],
+                       capture_output=True, text=True)
+    fails = set(re.findall(r"^FAIL (\S+):", r.stdout, re.M))
+    print(f"[drill] {src}: rc={r.returncode} fails={sorted(fails)}")
+    return fails
+
+
+base_fails = gate(sf, f"{work}/verify_base")
+repl_fails = gate(data, f"{work}/verify_replica")
+delta = base_fails ^ repl_fails
+if delta:
+    print(f"[drill] FAILURE-SET DELTA vs NANOS replica: {sorted(delta)}")
+else:
+    print("[drill] zero delta: the NANOS replica gates identically")
+sys.exit(1 if delta else 0)
