@@ -65,10 +65,14 @@ object Multimodal {
 
   /** Partition-local batched decode: groups the partition iterator into
     * `batchSize` chunks (the unit a vectorized decoder would receive) —
-    * never materializes the partition. */
+    * never materializes the partition. Decode is per-row CPU work, so a
+    * starved scan (one parquet file → one partition) would run it
+    * serially regardless of cluster size; [[Skew.feedCluster]]
+    * redistributes once in that case (decode cost dwarfs one payload
+    * shuffle) and is a no-op on any well-partitioned media table. */
   def decodeFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
+    Skew.feedCluster(ds).mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
   }
 
   /** Lift a text/blob column into the standard media frame:

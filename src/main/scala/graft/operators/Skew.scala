@@ -10,6 +10,32 @@ import org.apache.spark.sql.functions._
   * stats can't see the skew coming. */
 object Skew {
 
+  /** Scan-starvation guard: repartition a SHUFFLE-FREE frame whose scan
+    * partition count can't feed the cluster (parts×2 < cores) — the
+    * single-file single-row-group parquet shape, where a downstream
+    * per-row CPU stage (Expand-heavy aggregate, media decode) would
+    * otherwise execute serially no matter how many cores exist. On any
+    * well-partitioned input the branch never fires and the plan is
+    * untouched; frames already containing a shuffle pass through
+    * unprobed, because under AQE `rdd.getNumPartitions` on an
+    * exchange-bearing frame finalizes the adaptive plan and MATERIALIZES
+    * every upstream stage — a hidden double execution (probing is only
+    * free where building the RDD plans zero jobs). */
+  def feedCluster[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    val cores = ds.sparkSession.sparkContext.defaultParallelism
+    val narrow = ds.queryExecution.optimizedPlan.collect { case p => p }.forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Filter => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.DeserializeToObject => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.SerializeFromObject => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+      case _ => false
+    }
+    if (narrow && ds.rdd.getNumPartitions * 2 < cores) ds.repartition(cores)
+    else ds
+  }
+
   /** Salted equi-join of a skewed `big` side against a `small` side:
     * `big` rows get a deterministic salt in [0, factor) derived from a
     * differentiating column (NOT the join key — same-key rows must spread),

@@ -852,21 +852,31 @@ object Analytics {
       .orderBy(col("col_name"))
 
   /** §2.2 #30o (approx path) — the documented 100 TB drop-in GATED: the
-    * HLL distinct estimate is computed IN THE SAME single aggregate pass
-    * as its exact twin ([[graft.operators.Profile.profileBoth]] — one
-    * scan, one Expand, the HLL aggs ride in the non-distinct group), and
-    * each column's row emits `approx_ok` = HLL estimate within 15%
-    * relative error (3σ of HLL++'s default 5% rsd) of the exact count.
-    * DuckDB recomputes rows/nulls/exact-distinct and asserts `approx_ok`
-    * true, so the gate is cross-engine on everything deterministic and
-    * in-engine on the sketch's accuracy contract. */
-  def qProfileApprox(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Profile.profileBoth(Tables.lineitem(s, dir),
-      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"))
+    * HLL profile (`exact = false`, which collapses the exact-distinct
+    * Expand to a plain single-projection pass) runs as its own aggregate
+    * NEXT TO the exact twin and the two 5-row results join; each
+    * column's row emits `approx_ok` = HLL estimate within 15% relative
+    * error (3σ of HLL++'s default 5% rsd) of the exact count. Two
+    * aggregates, deliberately: fusing distinct + sketch aggregates into
+    * one pass drags partial HLL buffers through every distinct-spread
+    * value group (measured +9 MB shuffle, 1.6× task-CPU — see the
+    * [[graft.operators.Profile]] note). DuckDB recomputes rows/nulls/
+    * exact-distinct and asserts `approx_ok` true, so the gate is
+    * cross-engine on everything deterministic and in-engine on the
+    * sketch's accuracy contract. */
+  def qProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    val cols =
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+    val li = Tables.lineitem(s, dir)
+    val exact = graft.operators.Profile.profile(li, cols)
+    val approx = graft.operators.Profile.profile(li, cols, exact = false)
+      .select(col("col_name"), col("n_distinct").as("__nd_approx"))
+    exact.join(approx, "col_name")
       .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
-        (abs(col("n_distinct_approx") - col("n_distinct")) <=
+        (abs(col("__nd_approx") - col("n_distinct")) <=
           col("n_distinct").cast("double") * 0.15).as("approx_ok"))
       .orderBy(col("col_name"))
+  }
 
   /** §2.2 #30p — z-order layout ([[graft.operators.Layout]]): Morton
     * codes over (partkey, suppkey) mod 256, aggregated per 1024-wide
