@@ -22,6 +22,9 @@ object Skew {
     * every upstream stage — a hidden double execution (probing is only
     * free where building the RDD plans zero jobs). */
   def feedCluster[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    // a streaming frame has no RDD to probe (micro-batch partitioning is
+    // the source's concern); pass it through untouched
+    if (ds.isStreaming) return ds
     val cores = ds.sparkSession.sparkContext.defaultParallelism
     val narrow = ds.queryExecution.optimizedPlan.collect { case p => p }.forall {
       case _: org.apache.spark.sql.catalyst.plans.logical.Project => true

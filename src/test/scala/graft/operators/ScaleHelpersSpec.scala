@@ -64,4 +64,18 @@ class ScaleHelpersSpec extends AnyFunSuite with Matchers {
       g.map(_._2).sorted shouldBe (1 to g.length)
     }
   }
+
+  test("feedCluster repartitions a starved narrow frame, no-ops otherwise") {
+    def parts(df: org.apache.spark.sql.DataFrame): Int = df.rdd.getNumPartitions
+    // local[4]: 1 scan partition is starved (1*2 < 4), 4 are not
+    parts(Skew.feedCluster(spark.range(0, 100, 1, 1).toDF())) shouldBe 4
+    parts(Skew.feedCluster(spark.range(0, 100, 1, 4).toDF())) shouldBe 4
+    // shuffle-bearing frames pass through unprobed (no REPARTITION hint)
+    val agg = spark.range(0, 100, 1, 1).selectExpr("id % 3 AS k").groupBy("k").count()
+    Skew.feedCluster(agg).queryExecution.executedPlan.toString should
+      not include "REPARTITION_BY_NUM"
+    // streaming frames have no RDD to probe: untouched, and no throw
+    val stream = spark.readStream.format("rate").load()
+    Skew.feedCluster(stream).isStreaming shouldBe true
+  }
 }
