@@ -254,12 +254,22 @@ object Bench {
       // rounds of `parsed: null` with a humanly-complete record. A file is
       // immune to log prefixes and truncation. Each write is the complete
       // current record, so a harness kill leaves the last finished state.
-      try {
-        java.nio.file.Files.write(java.nio.file.Paths.get("bench_summary.json"),
-          (compact + "\n").getBytes("UTF-8"))
-        java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-          (full + "\n").getBytes("UTF-8"))
-      } catch { case _: Throwable => () } // read-only cwd must not kill the run
+      // ONLY-filtered debug runs skip the write (a partial record must
+      // never clobber the committed full-suite artifact), and a failed
+      // write warns instead of killing the run — but says so, because a
+      // silently-stale artifact is worse than none.
+      if (only.isEmpty) {
+        try {
+          java.nio.file.Files.write(java.nio.file.Paths.get("bench_summary.json"),
+            (compact + "\n").getBytes("UTF-8"))
+          java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+            (full + "\n").getBytes("UTF-8"))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] WARN artifact write failed (cwd=${
+              System.getProperty("user.dir")}): $e")
+        }
+      }
     }
 
     // ---- scale ladder: heavy families on a key-shifted scaleN x input ----
@@ -275,6 +285,82 @@ object Bench {
       s"""{"factor":$scaleN,"status":"$status","note":"$ladderNote","skipped":$sk,"queries":${entries.mkString("{", ",", "}")}}"""
     }
 
+    /** Fresh context: a long-lived bench session contaminates timings
+      * (see class scaladoc — heap/state accumulation read as phantom
+      * super-linearity at ladder volume). */
+    def restartContext(): Unit = {
+      spark.stop()
+      spark = mkSession(cpus)
+      spark.sparkContext.setLogLevel("WARN")
+      listener = new TaskMetricsListener
+      spark.sparkContext.addSparkListener(listener)
+      warmup()
+    }
+
+    /** One ladder pass: time `familyNames` on `sfDir` vs `dir`, fresh
+      * context every `restartEvery` families (INCLUDING i = 0, so the
+      * first family never shares a context with whatever ran before —
+      * the suite, or the scaled-corpus materialization), warm +
+      * min-of-successful-3 on both sides (a failed attempt's bogus-fast
+      * wall can never be selected; min-of-3 because this host shows 2x
+      * CPU-steal windows on identical plans — probe-verified, same
+      * shuffle bytes, 6.7s vs 14.9s wall). The dedup_minhash family adds
+      * a candidate/pair receipt counted once per side OUTSIDE the timed
+      * runs, so a super-linear wall ratio is attributable
+      * (output-proportional growth vs quadratic bucket degeneration).
+      * Families past the budget are skipped BY NAME. Appends per-family
+      * ratios to `ratios`, emits an incremental record after every
+      * family via `emitFn`, and returns the final status. */
+    def runLadder(familyNames: Seq[String], dir: String, restartEvery: Int,
+        labelPrefix: String,
+        ratios: collection.mutable.LinkedHashMap[String, Double],
+        skippedAcc: collection.mutable.ArrayBuffer[String],
+        setReceipt: String => Unit,
+        emitFn: (Seq[String], Seq[String], String) => Unit): String = {
+      val entries = collection.mutable.ArrayBuffer.empty[String]
+      val skipped = collection.mutable.ArrayBuffer.empty[String]
+      val families = familyNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+      families.zipWithIndex.foreach { case ((name, fn), i) =>
+        if (elapsedSec > budgetSec) { skipped += name; skippedAcc += name }
+        else {
+          if (i % restartEvery == 0) restartContext()
+          def minOf3(d: String): Option[(Double, Double, Long, Long)] = {
+            timed(s"$labelPrefix:$name(warm)", fn, d)
+            val ok = Seq.fill(3)(timed(s"$labelPrefix:$name", fn, d)).filter(_._5)
+            if (ok.isEmpty) None
+            else Some(ok.minBy(_._1)).map(t => (t._1, t._2, t._3, t._4))
+          }
+          val timedSides = (minOf3(sfDir), minOf3(dir))
+          val receipt: String =
+            if (name != "dedup_minhash") ""
+            else try {
+              def stats(d: String): (Long, Long) =
+                operators.Dedup.minhashLadderStats(
+                  queries.LlmQueries.withNearCopies(spark, d), "doc_id", "text")
+              val (sc, sp) = stats(sfDir)
+              val (lc, lp) = stats(dir)
+              setReceipt(
+                s"""{"sf_candidates":$sc,"sf_pairs":$sp,"candidates":$lc,"pairs":$lp}""")
+              s""","sf_candidates":$sc,"sf_pairs":$sp,"candidates":$lc,"pairs":$lp"""
+            } catch { case _: Throwable => "" }
+          val entry = timedSides match {
+            case (Some(sf), Some((wall, cpuS, rdB, wrB))) =>
+              val ratio = if (sf._1 > 0) r4(wall / sf._1) else -1.0
+              ratios(name) = ratio
+              s"""\"$name\":{\"sec\":${r4(wall)},\"sf_sec\":${r4(sf._1)},\"ratio_vs_sf\":$ratio,\"cpu_sec\":${r4(cpuS)},\"sf_cpu_sec\":${r4(sf._2)},\"shuffle_read\":$rdB,\"shuffle_write\":$wrB$receipt}"""
+            case _ =>
+              ratios(name) = -1.0
+              s"""\"$name\":{\"sec\":-1,\"sf_sec\":-1,\"ratio_vs_sf\":-1,\"failed\":true}"""
+          }
+          entries += entry
+          emitFn(entries.toSeq, skipped.toSeq, "in_progress")
+        }
+      }
+      val status = if (skipped.isEmpty) "complete" else "budget_exhausted"
+      emitFn(entries.toSeq, skipped.toSeq, status)
+      status
+    }
+
     if (scaleN <= 1 || only.isDefined) emit("{}")
     else if (elapsedSec > budgetSec) {
       ladderStatus = "skipped_budget"
@@ -284,79 +370,18 @@ object Bench {
       ladderStatus = "in_progress"
       emit(ladderJson(Nil, Nil, "in_progress"))
       val dir = ScaleLadder.materialize(spark, sfDir, scaleN)
-      val entries = collection.mutable.ArrayBuffer.empty[String]
-      val skipped = collection.mutable.ArrayBuffer.empty[String]
-      val families =
-        ScaleLadder.queries.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-      families.zipWithIndex.foreach { case ((name, fn), i) =>
-        if (elapsedSec > budgetSec) { skipped += name; ladderSkipped += name }
-        else {
-          // Fresh context per SMALL GROUP of families: a long-lived bench
-          // session contaminates timings (see scaladoc), but a context per
-          // family made the round-9 ladder itself blow the harness budget.
-          // ~6 heavy executions per context is far below the ~400-execution
-          // contamination horizon.
-          if (i % 3 == 0) {
-            spark.stop()
-            spark = mkSession(cpus)
-            spark.sparkContext.setLogLevel("WARN")
-            listener = new TaskMetricsListener
-            spark.sparkContext.addSparkListener(listener)
-            warmup()
-          }
-          // Warm once, then min over the SUCCESSFUL of 3 timed runs:
-          // steady-state on both sides, and a failed attempt's bogus-fast
-          // wall time can never be selected as the family's number.
-          // Min-of-3 (not 2): this host shows 2x CPU-steal windows on
-          // identical plans (probe-verified: same shuffle bytes, 6.7s vs
-          // 14.9s wall) — a third sample is the difference between a
-          // phantom above-bar ratio and the plan's truth, and the grouped
-          // fresh contexts already cut ladder cost ~3x vs round 9, so the
-          // extra sample fits the budget with room to spare.
-          def minOf3(d: String): Option[(Double, Double, Long, Long)] = {
-            timed(s"scale:$name(warm)", fn, d)
-            val ok = Seq.fill(3)(timed(s"scale:$name", fn, d)).filter(_._5)
-            if (ok.isEmpty) None
-            else Some(ok.minBy(_._1)).map(t => (t._1, t._2, t._3, t._4))
-          }
-          val timedSides = (minOf3(sfDir), minOf3(dir))
-          // Candidate-count receipt for the minhash family: band-join
-          // candidates vs output pairs at both scales, so a super-linear
-          // wall ratio is attributable (output-proportional growth vs
-          // quadratic bucket degeneration). Counted once per side, after
-          // the timed runs, outside their measurement.
-          val receipt: String =
-            if (name != "dedup_minhash") ""
-            else try {
-              def stats(d: String): (Long, Long) =
-                operators.Dedup.minhashLadderStats(
-                  queries.LlmQueries.withNearCopies(spark, d), "doc_id", "text")
-              val (sc, sp) = stats(sfDir)
-              val (lc, lp) = stats(dir)
-              minhashReceipt =
-                s"""{"sf_candidates":$sc,"sf_pairs":$sp,"candidates":$lc,"pairs":$lp}"""
-              s""","sf_candidates":$sc,"sf_pairs":$sp,"candidates":$lc,"pairs":$lp"""
-            } catch { case _: Throwable => "" }
-          val entry = timedSides match {
-            case (Some(sf), Some((wall, cpuS, rdB, wrB))) =>
-              val ratio = if (sf._1 > 0) r4(wall / sf._1) else -1.0
-              ladderRatios(name) = ratio
-              s"""\"$name\":{\"sec\":${r4(wall)},\"sf_sec\":${r4(sf._1)},\"ratio_vs_sf\":$ratio,\"cpu_sec\":${r4(cpuS)},\"sf_cpu_sec\":${r4(sf._2)},\"shuffle_read\":$rdB,\"shuffle_write\":$wrB$receipt}"""
-            case _ =>
-              ladderRatios(name) = -1.0
-              s"""\"$name\":{\"sec\":-1,\"sf_sec\":-1,\"ratio_vs_sf\":-1,\"failed\":true}"""
-          }
-          entries += entry
-          emit(ladderJson(entries.toSeq, skipped.toSeq, "in_progress"))
-        }
-      }
-      ladderStatus = if (skipped.isEmpty) "complete" else "budget_exhausted"
-      emit(ladderJson(entries.toSeq, skipped.toSeq, ladderStatus))
+      // ~6 heavy executions per context (restart every 3 families) is far
+      // below the ~400-execution contamination horizon; a context per
+      // family blew the round-9 budget.
+      ladderStatus = runLadder(ScaleLadder.queries, dir, restartEvery = 3,
+        labelPrefix = "scale", ladderRatios, ladderSkipped,
+        (v: String) => minhashReceipt = v, (e, s, st) => { ladderStatus = st; emit(ladderJson(e, s, st)) })
 
       // ---- second scale point: the worst-ratio families at scale2N x ----
       // Runs only when the first ladder completed whole and budget remains:
       // the 10x ladder is the contract, the 30x curve is the stretch goal.
-      if (skipped.isEmpty && scale2N > scaleN && elapsedSec < budgetSec) {
+      // 30x executions are ~3x a phase-1 family: restart every 2 families.
+      if (ladderStatus == "complete" && scale2N > scaleN && elapsedSec < budgetSec) {
         def ladder2Json(entries: Seq[String], skipped: Seq[String],
                         status: String): String = {
           val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -364,65 +389,11 @@ object Bench {
         }
         ladder2Status = "in_progress"
         emit2(ladder2Json(Nil, Nil, "in_progress"))
-        // fresh context for materialization: phase 1 left a worked session
-        spark.stop()
-        spark = mkSession(cpus)
-        spark.sparkContext.setLogLevel("WARN")
-        listener = new TaskMetricsListener
-        spark.sparkContext.addSparkListener(listener)
-        warmup()
         val dir2 = ScaleLadder.materialize(spark, sfDir, scale2N,
           Some(ScaleLadder.tables2))
-        val entries2 = collection.mutable.ArrayBuffer.empty[String]
-        val skipped2 = collection.mutable.ArrayBuffer.empty[String]
-        val families2 =
-          ScaleLadder.queries2.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-        families2.zipWithIndex.foreach { case ((name, fn), i) =>
-          if (elapsedSec > budgetSec) { skipped2 += name; ladder2Skipped += name }
-          else {
-            // 30x executions are ~3x a phase-1 family: two per context
-            if (i % 2 == 0 && i > 0) {
-              spark.stop()
-              spark = mkSession(cpus)
-              spark.sparkContext.setLogLevel("WARN")
-              listener = new TaskMetricsListener
-              spark.sparkContext.addSparkListener(listener)
-              warmup()
-            }
-            def minOf3(d: String): Option[(Double, Double, Long, Long)] = {
-              timed(s"scale2:$name(warm)", fn, d)
-              val ok = Seq.fill(3)(timed(s"scale2:$name", fn, d)).filter(_._5)
-              if (ok.isEmpty) None
-              else Some(ok.minBy(_._1)).map(t => (t._1, t._2, t._3, t._4))
-            }
-            val timedSides = (minOf3(sfDir), minOf3(dir2))
-            val receipt: String =
-              if (name != "dedup_minhash") ""
-              else try {
-                def stats(d: String): (Long, Long) =
-                  operators.Dedup.minhashLadderStats(
-                    queries.LlmQueries.withNearCopies(spark, d), "doc_id", "text")
-                val (sc, sp) = stats(sfDir)
-                val (lc, lp) = stats(dir2)
-                minhashReceipt2 =
-                  s"""{"sf_candidates":$sc,"sf_pairs":$sp,"candidates":$lc,"pairs":$lp}"""
-                s""","sf_candidates":$sc,"sf_pairs":$sp,"candidates":$lc,"pairs":$lp"""
-              } catch { case _: Throwable => "" }
-            val entry = timedSides match {
-              case (Some(sf), Some((wall, cpuS, rdB, wrB))) =>
-                val ratio = if (sf._1 > 0) r4(wall / sf._1) else -1.0
-                ladder2Ratios(name) = ratio
-                s"""\"$name\":{\"sec\":${r4(wall)},\"sf_sec\":${r4(sf._1)},\"ratio_vs_sf\":$ratio,\"cpu_sec\":${r4(cpuS)},\"sf_cpu_sec\":${r4(sf._2)},\"shuffle_read\":$rdB,\"shuffle_write\":$wrB$receipt}"""
-              case _ =>
-                ladder2Ratios(name) = -1.0
-                s"""\"$name\":{\"sec\":-1,\"sf_sec\":-1,\"ratio_vs_sf\":-1,\"failed\":true}"""
-            }
-            entries2 += entry
-            emit2(ladder2Json(entries2.toSeq, skipped2.toSeq, "in_progress"))
-          }
-        }
-        ladder2Status = if (skipped2.isEmpty) "complete" else "budget_exhausted"
-        emit2(ladder2Json(entries2.toSeq, skipped2.toSeq, ladder2Status))
+        ladder2Status = runLadder(ScaleLadder.queries2, dir2, restartEvery = 2,
+          labelPrefix = "scale2", ladder2Ratios, ladder2Skipped,
+          (v: String) => minhashReceipt2 = v, (e, s, st) => { ladder2Status = st; emit2(ladder2Json(e, s, st)) })
       }
     }
     spark.stop()

@@ -40,6 +40,12 @@ object BenchProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // mirror Bench.mkSession: probe timings must attribute against the
+      // same data the driver's UTC/nanos-tolerant sessions read, and the
+      // `materialize` mode must accept every testdata encoding the
+      // loaders do
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,8 +24,9 @@ object Profile {
   /** Profile `cols` of `df` in one aggregate pass. Output one row per
     * column: `(col_name, n_rows, n_null, n_distinct, min_s, max_s)`,
     * min/max rendered as strings (doubles through DECIMAL(18,2) so the
-    * rendering is scale-stable cross-engine, timestamps through DATE). */
-  /** NOTE (measured, do not "optimize"): computing the exact and HLL
+    * rendering is scale-stable cross-engine, timestamps through DATE).
+    *
+    * NOTE (measured, do not "optimize"): computing the exact and HLL
     * distincts in ONE mixed aggregate is a pessimization, not a fusion.
     * With distinct + sketch aggregates combined, Spark keys the partial
     * aggregate by the distinct-SPREAD values, so every (col, value)

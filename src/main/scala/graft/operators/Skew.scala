@@ -26,14 +26,22 @@ object Skew {
     // the source's concern); pass it through untouched
     if (ds.isStreaming) return ds
     val cores = ds.sparkSession.sparkContext.defaultParallelism
-    val narrow = ds.queryExecution.optimizedPlan.collect { case p => p }.forall {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.Filter => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.DeserializeToObject => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.SerializeFromObject => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
-      case _ => false
+    // "narrow" = every node is shuffle-free AND carries no subquery
+    // expressions: a scalar subquery hides a whole plan inside an
+    // expression, and building the outer RDD runs it (waitForSubqueries)
+    // — the exact hidden execution the whitelist exists to prevent.
+    val narrow = ds.queryExecution.optimizedPlan.collect { case p => p }.forall { p =>
+      p.subqueries.isEmpty && (p match {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.Filter => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.Union => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.Generate => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.DeserializeToObject => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.SerializeFromObject => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+        case _ => false
+      })
     }
     if (narrow && ds.rdd.getNumPartitions * 2 < cores) ds.repartition(cores)
     else ds

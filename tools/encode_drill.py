@@ -41,12 +41,21 @@ cp = f"{jars}:target/scala-2.13/classes"
 
 
 def gate(src, out):
-    """Verify + check.py on one dir; returns the set of FAILed query names."""
+    """Verify + check.py on one dir; returns the set of FAILed query names.
+
+    Hard-fails if check.py produced no PASS lines or died abnormally: an
+    empty failure set must mean "everything passed", never "the gate
+    itself crashed on both dirs and the sets vacuously matched"."""
     subprocess.run(["java", "-cp", cp, "graft.Verify", src, out], check=True)
     r = subprocess.run([sys.executable, "tools/check.py", src, out],
                        capture_output=True, text=True)
     fails = set(re.findall(r"^FAIL (\S+):", r.stdout, re.M))
-    print(f"[drill] {src}: rc={r.returncode} fails={sorted(fails)}")
+    passes = len(re.findall(r"^PASS ", r.stdout, re.M))
+    print(f"[drill] {src}: rc={r.returncode} passes={passes} fails={sorted(fails)}")
+    if passes == 0 or r.returncode not in (0, 1):
+        print(f"[drill] check.py did not gate (rc={r.returncode}); stderr tail:")
+        print(r.stderr[-2000:])
+        sys.exit(2)
     return fails
 
 
