@@ -100,7 +100,7 @@ object Ann {
       .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2)
     require(cents.nonEmpty, "empty corpus")
     for (_ <- 0 until iters) {
-      val centArr = array(cents.map(v => typedLit(v)): _*)
+      val centArr = array(cents.toIndexedSeq.map(v => typedLit(v)): _*)
       val scores = transform(centArr, cv => VectorMath.cosine(col(vecCol), cv))
       val assigned = c.select(
         VectorMath.toDouble(col(vecCol)).as("__v"),
@@ -139,7 +139,7 @@ object Ann {
     // centroid join, no per-row window.
     val centVecs: Array[Seq[Double]] =
       trainCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
-    val centArr = array(centVecs.map(v => typedLit(v)): _*)
+    val centArr = array(centVecs.toIndexedSeq.map(v => typedLit(v)): _*)
 
     // per-row cell scores against every centroid (small: nCentroids entries)
     def cellScores(vec: Column): Column =
@@ -333,7 +333,7 @@ object Ann {
         trainPqCodebooks(cNCached, "neighbor_id", "__cv", m, nCodes, trainIters))
       finally cNCached.unpersist(false)
     val cbFlat = typedLit(cb.flatten.flatten.toSeq)
-    val centArr = array(centVecs.map(v => typedLit(v)): _*)
+    val centArr = array(centVecs.toIndexedSeq.map(v => typedLit(v)): _*)
 
     def cellScores(vec: Column): Column =
       transform(centArr, cv => VectorMath.cosine(vec, cv))
