@@ -9,8 +9,14 @@ object Lsn {
   def parse(s: String): Long = {
     val idx = s.indexOf('/')
     require(idx > 0 && idx < s.length - 1, s"malformed LSN: $s")
-    val hi = java.lang.Long.parseLong(s.substring(0, idx), 16)
-    val lo = java.lang.Long.parseLong(s.substring(idx + 1), 16)
+    val hiS = s.substring(0, idx)
+    val loS = s.substring(idx + 1)
+    // hex digits only: parseLong accepts signs, so "0/-1" would otherwise
+    // parse to -1L == parse("FFFFFFFF/FFFFFFFF") instead of failing
+    require(hiS.forall(Character.digit(_, 16) >= 0) &&
+      loS.forall(Character.digit(_, 16) >= 0), s"malformed LSN: $s")
+    val hi = java.lang.Long.parseLong(hiS, 16)
+    val lo = java.lang.Long.parseLong(loS, 16)
     require(hi <= 0xFFFFFFFFL && lo <= 0xFFFFFFFFL, s"malformed LSN: $s")
     (hi << 32) | lo
   }

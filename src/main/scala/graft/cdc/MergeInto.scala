@@ -18,23 +18,25 @@ import org.apache.spark.sql.functions._
   *
   *   - **micro-batch** (the streaming steady state): the changelog is
   *     orders of magnitude smaller than the snapshot, so the snapshot is
-  *     NEVER shuffled — a broadcast left-outer join applies updates/deletes
-  *     in place, and inserts are found by anti-joining the (small)
-  *     changelog against the set of matched keys (itself ≤ |changelog|,
-  *     harvested with a broadcast semi-join). Two snapshot scans, zero
-  *     snapshot shuffles.
+  *     NEVER shuffled — a broadcast left-outer join applies updates/
+  *     deletes in place, and unmatched actions resolve through
+  *     changelog-bounded key sets harvested with broadcast semi-joins
+  *     (each ≤ |changelog| rows). A full snapshot scan plus two
+  *     key-column-pruned scans, zero snapshot shuffles.
   *   - **big batch** (backfill-sized changelogs): broadcasting would
   *     serialize on the driver (collect + hash-relation build per
-  *     broadcast), so the merge becomes ONE full-outer sort-merge join —
-  *     a single snapshot scan, everything distributed, nothing
-  *     driver-sized. With the snapshot bucketed on the key
-  *     (SnapshotWriter.publishBucketed) the snapshot side reads
-  *     bucket-local and only the changelog is exchanged.
+  *     broadcast), so the merge is distributed sort-merge joins; the
+  *     stage-2 reconciliation reuses stage 1's hash partitioning on the
+  *     key columns, so the snapshot-sized side exchanges once. With the
+  *     snapshot bucketed on the key (SnapshotWriter.publishBucketed) the
+  *     snapshot side reads bucket-local and only the changelog exchanges.
   *
-  *   The full-outer form and the two-branch broadcast form are the same
-  *   function row-for-row: for a right-only row the snapshot-side `keep`
-  *   column is NULL, which is exactly the insert semantics for
-  *   TOAST-unchanged / explicit-NULL / unspecified columns.
+  *   Both regimes are the same two-stage function row-for-row (the
+  *   stage-2 full-outer's right-only rows hit the NULL-`keep` CASE,
+  *   which is exactly the insert semantics for TOAST-unchanged /
+  *   explicit-NULL / unspecified columns) — and the two-stage shape is
+  *   what makes the merge REPLAY-IDEMPOTENT for identity-changing
+  *   updates: see the stage comments in `merge`.
   *
   * Deviation from the reference, documented: an *insert* arising from an
   * action with TOAST-unchanged columns leaves those columns NULL. (The
@@ -120,49 +122,86 @@ object MergeInto {
 
     val joinCond = keyCols.map(k => snapshot(k) === clProjected(s"__kb_$k")).reduce(_ && _)
 
-    // Shared row-merge: works on any (snapshot ⟗ changelog) join shape.
-    //   left-only  (__op NULL)     → untouched snapshot row, kept as-is
+    // Shared row-merge: works on any (state ⟗ changelog) join shape.
+    //   left-only  (__op NULL)     → untouched state row, kept as-is
     //   matched, op = D            → filtered out (delete)
     //   matched, op ≠ D            → per-column CASE merge
-    //   right-only (snapshot NULL) → insert: `keep` is NULL, so
+    //   right-only (state NULL)    → insert: `keep` is NULL, so
     //     TOAST-unchanged / explicit-NULL / unspecified all land NULL and
     //     identity columns take the after-image key — exactly the insert
     //     semantics, row-for-row (see object Scaladoc).
-    def applyActions(joined: DataFrame): DataFrame = joined
+    // `keep` resolves a column of the state side (the original snapshot in
+    // stage 1, the stage-1 output in stage 2).
+    def applyActions(joined: DataFrame, keep: String => Column): DataFrame = joined
       .filter(col("__op").isNull || col("__op") =!= "D")
       .select(relation.columns.map { c =>
-        val keep = snapshot(c.name)
         val merged =
-          when(col("__op").isNull, keep) // untouched snapshot row
-            .when(col(s"__isunch_${c.name}"), keep) // TOAST-unchanged
+          when(col("__op").isNull, keep(c.name)) // untouched state row
+            .when(col(s"__isunch_${c.name}"), keep(c.name)) // TOAST-unchanged
             .when(col(s"__isnull_${c.name}"), lit(null)) // explicit NULL
             .when(col(s"__has_${c.name}"), col(s"__new_${c.name}")) // new value
-            .otherwise(keep) // unspecified → keep
+            .otherwise(keep(c.name)) // unspecified → keep
         val out =
-          if (relation.columns.find(_.name == c.name).get.isIdentity)
+          if (c.isIdentity)
             // identity columns land at the after-image key (rekey support)
-            when(col("__op").isNull, keep).otherwise(col(s"__ka_${c.name}"))
+            when(col("__op").isNull, keep(c.name)).otherwise(col(s"__ka_${c.name}"))
           else merged
         out.cast(snapshot.schema(c.name).dataType).as(c.name)
       }: _*)
 
-    if (useBroadcast) {
-      // Micro-batch regime: snapshot is never shuffled. Spark cannot
-      // broadcast the build side of a FULL OUTER hash join, hence the
-      // two-branch shape (left-outer for updates/deletes + anti-join for
-      // inserts), each side broadcasting only changelog-sized inputs.
-      val joined = snapshot.join(broadcast(clProjected), joinCond, "left_outer")
-      val updated = applyActions(joined)
+    // ---- two-stage, replay-idempotent merge ----
+    // Stage 1 applies every action whose key-BEFORE matches a snapshot row
+    // (update / delete / move). Actions whose key-before matches nothing
+    // ("orphans", op ≠ D) are NOT blindly inserted: on an at-least-once
+    // replay, a rekeying update's row already lives at its key-AFTER, and
+    // re-inserting it would duplicate the key. Stage 2 therefore
+    // reconciles orphans against the key-after: an existing row is
+    // re-merged in place (TOAST-unchanged columns keep their inherited
+    // values, so the replay converges to the same state), an absent one
+    // inserts. A replayed DELETE matches nothing and vanishes in stage 1;
+    // a replayed INSERT's key-before matches its own row and re-merges.
+    // Caveat (out of the compaction contract): two actions in one batch
+    // whose key-AFTER collides (delete k2 + rekey k1→k2) remain ambiguous
+    // under replay, exactly as in the reference's key-addressed MERGE.
+    val snapKeys = snapshot.select(keyCols.map(snapshot(_)): _*)
+    /** Changelog-bounded frames: materialized in the broadcast regime so
+      * each feeds its several joins without re-running its snapshot
+      * key-scan; left lazy in the big-batch regime (single use each). */
+    def bounded(df: DataFrame): DataFrame =
+      if (useBroadcast) df.localCheckpoint(true) else df
+    def maybeB(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
 
-      // inserts: changelog keys that matched nothing in the snapshot
-      val matchedKeys = snapshot
-        .select(keyCols.map(snapshot(_)): _*)
-        .join(broadcast(clProjected), joinCond, "left_semi")
-      val inserts = clProjected
-        .filter(col("__op") =!= "D")
-        .join(broadcast(matchedKeys),
-          keyCols.map(k => clProjected(s"__kb_$k") === matchedKeys(k)).reduce(_ && _),
-          "left_anti")
+    // snapshot keys some action's key-before matches (≤ |changelog| rows)
+    val matchedKb = bounded(snapKeys.join(maybeB(clProjected),
+      keyCols.map(k => snapKeys(k) === clProjected(s"__kb_$k")).reduce(_ && _),
+      "left_semi"))
+    val orphans = bounded(clProjected.filter(col("__op") =!= "D")
+      .join(maybeB(matchedKb),
+        keyCols.map(k => clProjected(s"__kb_$k") === matchedKb(k)).reduce(_ && _),
+        "left_anti"))
+
+    // Stage 1: matched semantics. In the micro-batch regime the snapshot
+    // is never shuffled (broadcast left-outer); in the big-batch regime
+    // this is a distributed sort-merge join and, with the snapshot
+    // bucketed on the key (SnapshotWriter.publishBucketed), the snapshot
+    // side reads bucket-local and only the changelog exchanges.
+    val s1 = applyActions(
+      snapshot.join(maybeB(clProjected), joinCond, "left_outer"),
+      c => snapshot(c))
+
+    if (useBroadcast) {
+      // Stage 2, micro-batch: split orphans by key-after existence with
+      // changelog-bounded key sets; the stage-1 output joins only
+      // broadcast sides, so the snapshot still never shuffles.
+      val kaMatched = bounded(snapKeys.join(broadcast(orphans),
+        keyCols.map(k => snapKeys(k) === orphans(s"__ka_$k")).reduce(_ && _),
+        "left_semi"))
+      val orphanInSnap = orphans.join(broadcast(kaMatched),
+        keyCols.map(k => orphans(s"__ka_$k") === kaMatched(k)).reduce(_ && _),
+        "left_semi")
+      val inserts = orphans.join(broadcast(kaMatched),
+        keyCols.map(k => orphans(s"__ka_$k") === kaMatched(k)).reduce(_ && _),
+        "left_anti")
         .select(relation.columns.map { c =>
           val v =
             if (c.isIdentity) col(s"__ka_${c.name}")
@@ -171,14 +210,23 @@ object MergeInto {
               .otherwise(col(s"__new_${c.name}"))
           v.cast(snapshot.schema(c.name).dataType).as(c.name)
         }: _*)
-
-      updated.unionByName(inserts)
+      applyActions(
+        s1.join(broadcast(orphanInSnap),
+          keyCols.map(k => s1(k) === orphanInSnap(s"__ka_$k")).reduce(_ && _),
+          "left_outer"),
+        c => s1(c))
+        .unionByName(inserts)
     } else {
-      // Big-batch regime: ONE full-outer sort-merge join — a single
-      // snapshot scan, fully distributed, nothing driver-sized. With the
-      // snapshot bucketed on the key (SnapshotWriter.publishBucketed) the
-      // snapshot side reads bucket-local and only the changelog exchanges.
-      applyActions(snapshot.join(clProjected, joinCond, "full_outer"))
+      // Stage 2, big-batch: one full-outer join on the key-after —
+      // matched orphans re-merge in place, right-only orphans insert
+      // (the NULL-keep CASE), left-only stage-1 rows pass through. The
+      // stage-1 output is already hash-partitioned by the key columns,
+      // so only the (rare) orphan side exchanges.
+      applyActions(
+        s1.join(orphans,
+          keyCols.map(k => s1(k) === orphans(s"__ka_$k")).reduce(_ && _),
+          "full_outer"),
+        c => s1(c))
     }
   }
 

@@ -63,6 +63,29 @@ object PgConnect {
   final class ServerError(val severity: String, val code: String, msg: String)
       extends IOException(s"$severity $code: $msg")
 
+  /** Decode an ErrorResponse body: (field-type byte, cstring)* terminated
+    * by a zero byte. Shared with the replication transport, which can
+    * receive an in-stream ErrorResponse (slot invalidated, recovery
+    * conflict) inside COPY BOTH. */
+  private[cdc] def parseServerError(b: Array[Byte]): ServerError = {
+    var severity = ""; var code = ""; var message = ""
+    var i = 0
+    while (i < b.length && b(i) != 0) {
+      val f = b(i).toChar
+      var j = i + 1
+      while (j < b.length && b(j) != 0) j += 1
+      val v = new String(b, i + 1, j - i - 1, UTF_8)
+      f match {
+        case 'S' => severity = v
+        case 'C' => code = v
+        case 'M' => message = v
+        case _   => ()
+      }
+      i = j + 1
+    }
+    new ServerError(severity, code, message)
+  }
+
   final case class ServerInfo(parameters: Map[String, String],
       backendPid: Int, secretKey: Int)
 
@@ -134,14 +157,17 @@ object PgConnect {
     private def int16(b: Array[Byte], off: Int): Int =
       ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
 
-    /** Read NUL-terminated strings packed from `off` to the end. */
+    /** Read NUL-terminated strings packed from `off` to the end. EVERY
+      * terminator yields an element — including empty strings, which are
+      * legal (e.g. a ParameterStatus with an empty value); callers that
+      * parse a doubly-NUL-terminated LIST filter the trailing empty. */
     private def cstrings(b: Array[Byte], off: Int): Seq[String] = {
       val outB = Seq.newBuilder[String]
       var start = off
       var i = off
       while (i < b.length) {
         if (b(i) == 0) {
-          if (i > start) outB += new String(b, start, i - start, UTF_8)
+          outB += new String(b, start, i - start, UTF_8)
           start = i + 1
         }
         i += 1
@@ -149,25 +175,8 @@ object PgConnect {
       outB.result()
     }
 
-    private def parseError(b: Array[Byte]): ServerError = {
-      // (field-type byte, cstring)* terminated by a zero byte
-      var severity = ""; var code = ""; var message = ""
-      var i = 0
-      while (i < b.length && b(i) != 0) {
-        val f = b(i).toChar
-        var j = i + 1
-        while (j < b.length && b(j) != 0) j += 1
-        val v = new String(b, i + 1, j - i - 1, UTF_8)
-        f match {
-          case 'S' => severity = v
-          case 'C' => code = v
-          case 'M' => message = v
-          case _   => ()
-        }
-        i = j + 1
-      }
-      new ServerError(severity, code, message)
-    }
+    private def parseError(b: Array[Byte]): ServerError =
+      PgConnect.parseServerError(b)
 
     // ---------------------------------------------------------- startup --
 
@@ -225,7 +234,9 @@ object PgConnect {
           val outer = ScramCrypto.md5hex(inner.getBytes(UTF_8) ++ salt)
           send('p', cstr("md5" + outer))
         case 10 => // SASL: mechanism list
-          val mechanisms = cstrings(b, 4)
+          // the mechanism list is doubly-NUL-terminated: drop the empty
+          // element the list terminator produces
+          val mechanisms = cstrings(b, 4).filter(_.nonEmpty)
           require(mechanisms.contains("SCRAM-SHA-256"),
             s"no supported SASL mechanism in ${mechanisms.mkString(",")} " +
               "(SCRAM-SHA-256-PLUS needs channel binding / TLS)")
@@ -370,7 +381,7 @@ object PgConnect {
       * backfill-from-snapshot alignment. The snapshot stays valid only
       * while THIS connection is open. */
     def createReplicationSlot(slotName: String): SlotLifecycle.CreatedSlot = {
-      val slot = "\"" + slotName.replace("\"", "\"\"") + "\""
+      val slot = PgSql.quoteIdent(slotName)
       val r = simpleQuery(
         s"CREATE_REPLICATION_SLOT $slot LOGICAL pgoutput EXPORT_SNAPSHOT")
       SlotLifecycle.CreatedSlot(
@@ -395,8 +406,8 @@ object PgConnect {
       * `proto_version '1', publication_names '<pub>'` (stream.go:136). */
     def startReplication(slotName: String, publication: String,
         startLsn: Long, protoVersion: Int = 1): Unit = {
-      val slot = "\"" + slotName.replace("\"", "\"\"") + "\""
-      val pub = publication.replace("'", "''")
+      val slot = PgSql.quoteIdent(slotName)
+      val pub = PgSql.quoteLit(publication).stripPrefix("'").stripSuffix("'")
       val sql = s"START_REPLICATION SLOT $slot LOGICAL ${Lsn.format(startLsn)} " +
         s"(proto_version '$protoVersion', publication_names '$pub')"
       send('Q', cstr(sql))

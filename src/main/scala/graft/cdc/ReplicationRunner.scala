@@ -138,6 +138,12 @@ final class SocketCopyTransport(socket: Socket, pollMillis: Int = 200)
     t.toChar match {
       case 'd' => Some(body)
       case 'c' => throw new EOFException("server CopyDone")
+      case 'E' =>
+        // an in-stream ErrorResponse is how the server terminates
+        // replication (slot dropped/invalidated, recovery conflict,
+        // wal_level change): surface its severity/SQLSTATE/message
+        // instead of an undiagnosable "unexpected message 'E'"
+        throw PgConnect.parseServerError(body)
       case other =>
         throw new IllegalStateException(s"unexpected message '$other' in COPY BOTH")
     }

@@ -28,16 +28,22 @@ object Scd2 {
   /** Version history: one row per surviving I/U change with
     * `(valid_from, valid_to, is_current)` appended. `changes` must carry
     * one row per change with `keyCols`, the payload columns to keep,
-    * `lsnCol` (total order within key) and `opCol` ('I'/'U'/'D'). */
+    * `lsnCol` and `opCol` ('I'/'U'/'D'). `(lsnCol +: tieCols)` must
+    * totally order changes within a key: UNCOMPACTED assembler output has
+    * several same-key changes sharing one commit LSN (they differ by
+    * `seq`), and ordering by LSN alone would make the version intervals
+    * nondeterministic — pass `tieCols = Seq("seq")` there. Compacted
+    * changelogs carry one change per key per LSN and need no tiebreak. */
   def history(changes: DataFrame, keyCols: Seq[String], lsnCol: String,
-      opCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(lsnCol))
+      opCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((lsnCol +: tieCols).map(col): _*)
     changes
       .withColumn("valid_to", lead(col(lsnCol), 1).over(w))
       .filter(col(opCol) =!= "D") // a delete closes its predecessor only
       .withColumn("valid_from", col(lsnCol))
       .withColumn("is_current", col("valid_to").isNull)
-      .drop(opCol, lsnCol)
+      .drop(opCol +: lsnCol +: tieCols: _*)
   }
 
   /** Point-in-time (time-travel) read over a [[history]] frame: the

@@ -58,8 +58,8 @@ object SlotLifecycle {
 
   // ---------------------------------------------------------------- SQL --
 
-  private def quoteIdent(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
-  private def quoteLit(s: String): String = "'" + s.replace("'", "''") + "'"
+  private def quoteIdent(id: String): String = PgSql.quoteIdent(id)
+  private def quoteLit(s: String): String = PgSql.quoteLit(s)
 
   /** The reference names the publication after the slot (pubname = slotname
     * in both its queries), so one config key drives both. */

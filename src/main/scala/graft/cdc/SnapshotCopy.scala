@@ -37,8 +37,7 @@ object SnapshotCopy {
     s"SET TRANSACTION SNAPSHOT " +
       s"'${SnapshotBackfill.requireValidSnapshotName(snapshotName)}'"
 
-  private def quoteIdent(id: String): String =
-    "\"" + id.replace("\"", "\"\"") + "\""
+  private def quoteIdent(id: String): String = PgSql.quoteIdent(id)
 
   /** Lowercase `copy … to stdout`, csv + header — byte-matching the
     * reference's statement at sync_service.go:207. */
@@ -75,7 +74,7 @@ object SnapshotCopy {
 
   // ------------------------------------------------- wire introspection --
 
-  private def quoteLit(s: String): String = "'" + s.replace("'", "''") + "'"
+  private def quoteLit(s: String): String = PgSql.quoteLit(s)
 
   /** Column catalog for one table over the text protocol — the essential
     * columns of the reference's introspection CTE (sync_service.go:

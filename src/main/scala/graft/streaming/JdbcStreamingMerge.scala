@@ -32,6 +32,13 @@ final class JdbcStreamingMerge(
     properties: Map[String, String],
     relations: Seq[Relation]) extends Serializable {
 
+  // same-named tables across schemas are indistinguishable in the stream
+  // (see StreamingMerge): refuse at construction, never conflate
+  require(relations.map(_.table).distinct.size == relations.size,
+    "relations with the same table name in different schemas cannot be " +
+      "distinguished in the change stream: " +
+      relations.groupBy(_.table).collect { case (t, rs) if rs.size > 1 =>
+        rs.map(_.qualifiedName).mkString(" vs ") }.mkString("; "))
   private val known = relations.map(_.table).toSet
   @transient lazy val target = new JdbcTarget(targetUrl, properties)
 

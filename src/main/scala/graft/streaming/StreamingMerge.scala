@@ -45,6 +45,17 @@ final class StreamingMerge(
     commitLogPath: String,
     simpleStreams: Boolean = false) extends Serializable {
 
+  // WalMessage/ChangeAction carry the UNQUALIFIED table name (the wire
+  // decoder drops the namespace), so two same-named tables in different
+  // schemas are indistinguishable in the stream — keying them silently
+  // (toMap keeps the last) would merge one schema's changes into the
+  // other's snapshot. Refuse loudly at construction instead.
+  require(relations.map(_.table).distinct.size == relations.size,
+    "relations with the same table name in different schemas cannot be " +
+      "distinguished in the change stream: " +
+      relations.groupBy(_.table).collect { case (t, rs) if rs.size > 1 =>
+        rs.map(_.qualifiedName).mkString(" vs ") }.mkString("; ") +
+      " — sync them as separate services or rename")
   private val relByTable = relations.map(r => r.table -> r).toMap
   @transient lazy val commitLog = new CommitLog(spark, commitLogPath)
 
@@ -138,7 +149,12 @@ final class CommitLog(spark: SparkSession, path: String) extends Serializable {
     val out = fs.create(tmp, true)
     try out.write(s"""{"batchId":$batchId,"maxLsn":$maxLsn}""".getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(file)) fs.delete(file, false)
-    fs.rename(tmp, file)
+    // atomic overwrite-rename: the delete-then-rename form has a crash
+    // window where the watermark is GONE (every batch since stream start
+    // would replay), and FileSystem.rename returns false instead of
+    // throwing on failure — FileContext does both correctly
+    org.apache.hadoop.fs.FileContext.getFileContext(
+        file.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, file, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

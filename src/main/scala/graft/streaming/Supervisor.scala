@@ -59,8 +59,9 @@ object Supervisor {
         case e: SchemaChangedException =>
           // a body that ran for a while made progress: this is a FRESH
           // schema change (restart-intensity pattern), not a non-converging
-          // resync loop
-          if (ranLongEnough) { consecutive = 0; consecutiveResyncs = 0 }
+          // resync loop. `consecutive` (crash-restart intensity) always
+          // resets — a schema change is not a crash.
+          if (ranLongEnough) consecutiveResyncs = 0
           restarts += 1
           consecutive = 0
           // bound check BEFORE counting, so the reported number equals the

@@ -74,4 +74,39 @@ class MergeIntoSpec extends AnyFunSuite with Matchers {
     val twice = run(base, action("U", 1, "a2", 11))
     once shouldBe twice
   }
+
+  private def runBig(snapshot: org.apache.spark.sql.DataFrame, actions: ChangeAction*) =
+    MergeInto(snapshot, actions.toDS(), rel, broadcastChangelog = false)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else Integer.valueOf(r.getInt(2)))).toSet
+
+  test("rekey replay is idempotent (at-least-once replay safe)") {
+    // first apply moves 1 -> 7; replaying against the post-apply snapshot
+    // must re-merge the row at 7, never insert a duplicate key
+    val a = action("U", 1, "a2", 11, newId = 7L)
+    run(snap((1L, "a", 10), (2L, "b", 20)), a) shouldBe
+      Set((7L, "a2", 11), (2L, "b", 20))
+    run(snap((7L, "a2", 11), (2L, "b", 20)), a) shouldBe
+      Set((7L, "a2", 11), (2L, "b", 20))
+    runBig(snap((7L, "a2", 11), (2L, "b", 20)), a) shouldBe
+      Set((7L, "a2", 11), (2L, "b", 20))
+  }
+
+  test("rekey replay preserves TOAST-inherited values") {
+    // the rekey carries name as TOAST-unchanged: the first apply inherits
+    // "big" from the key-before row; the replay's re-merge must keep it
+    // (a blind re-insert would null it)
+    val a = action("U", 1, qty = 11, unchanged = Seq("name"), newId = 7L)
+    run(snap((1L, "big", 10)), a) shouldBe Set((7L, "big", 11))
+    run(snap((7L, "big", 11)), a) shouldBe Set((7L, "big", 11))
+    runBig(snap((7L, "big", 11)), a) shouldBe Set((7L, "big", 11))
+  }
+
+  test("big-batch regime matches broadcast regime on the core shapes") {
+    val actions = Seq(
+      action("U", 1, "a2", 11), action("D", 2), action("I", 3, "c", 30),
+      action("U", 4, qty = 99, unchanged = Seq("name")))
+    val base = snap((1L, "a", 10), (2L, "b", 20), (4L, "toast", 40))
+    runBig(base, actions: _*) shouldBe run(base, actions: _*)
+  }
 }

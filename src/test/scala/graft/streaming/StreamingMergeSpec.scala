@@ -151,4 +151,26 @@ class StreamingMergeSpec extends AnyFunSuite with Matchers {
     ex.getMessage should include("did not converge")
     resyncs shouldBe 2 // third schema change trips the bound before resyncing
   }
+
+  test("same-named tables across schemas are refused at construction") {
+    // WalMessage carries the unqualified name: keying public.users and
+    // audit.users silently would merge one schema's changes into the
+    // other's snapshot — the constructor must refuse instead
+    val a = Relation("public", "users", Seq(RelColumn("id", PgTypes.Int8Oid, isIdentity = true)))
+    val b = Relation("audit", "users", Seq(RelColumn("id", PgTypes.Int8Oid, isIdentity = true)))
+    val e = intercept[IllegalArgumentException] {
+      new StreamingMerge(spark, tmp(), Seq(a, b), tmp())
+    }
+    e.getMessage should include("public.users")
+    e.getMessage should include("audit.users")
+  }
+
+  test("commit log survives an overwrite-rename cycle and rejects malformed LSNs upstream") {
+    val log = new CommitLog(spark, tmp())
+    log.lastLsn shouldBe None
+    log.commit(1, 100L)
+    (log.lastBatchId, log.lastLsn) shouldBe ((Some(1L), Some(100L)))
+    log.commit(2, 200L) // second commit exercises the OVERWRITE rename path
+    (log.lastBatchId, log.lastLsn) shouldBe ((Some(2L), Some(200L)))
+  }
 }
