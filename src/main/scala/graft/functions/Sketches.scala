@@ -54,6 +54,22 @@ object Sketches {
       inputTypes = Seq(StringType, IntegerType),
       propagateNull = true, returnNullable = true))
 
+  /** True iff the text yields at least one k-shingle — EXACTLY the
+    * kernel's predicate (`toLowerCase.length >= k` in UTF-16 units, which
+    * `length(lower(text))` does NOT match for supplementary characters).
+    * Shingle-less documents all carry the same sentinel signature
+    * (all-zero MinHash, zero SimHash), so any banding/chunking candidate
+    * join that doesn't exclude them degenerates to all-pairs across the
+    * corpus's sub-k documents — Θ(N²) at scale for rows that can never
+    * verify. Near-dup pipelines filter on this before banding. */
+  def hasShingles(text: Column, k: Int): Column =
+    GraftBridge.column(StaticInvoke(
+      SketchImpl.getClass, BooleanType, "hasShingles",
+      Seq(GraftBridge.expression(text),
+        GraftBridge.expression(org.apache.spark.sql.functions.lit(k))),
+      inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true, returnNullable = true))
+
   /** 64-bit SimHash of the text's k-shingle set. */
   def simhash64(text: Column, shingleK: Int): Column =
     GraftBridge.column(StaticInvoke(
@@ -100,6 +116,9 @@ object SketchImpl {
     }
     true
   }
+
+  def hasShingles(text: UTF8String, k: Int): Boolean =
+    text != null && text.toString.toLowerCase.length >= k
 
   def shingleSet(text: UTF8String, k: Int): ArrayData = {
     if (text == null) return null

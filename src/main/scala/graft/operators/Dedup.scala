@@ -110,7 +110,13 @@ object Dedup {
   private def minhashPairsImpl(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int, bands: Int,
       threshold: Double): (DataFrame, DataFrame) = {
+    // Shingle-less documents (shorter than k after lowercasing) all carry
+    // the sentinel all-zero signature: without this filter they band-join
+    // ALL-PAIRS across the corpus's sub-k docs — Θ(N²) candidates that can
+    // never verify (their pairwise Jaccard is NaN or 0). Output-identical
+    // (spec-pinned), scan-stage predicate, no extra pass.
     val base = docs.select(col(idCol), col(textCol))
+      .filter(graft.functions.Sketches.hasShingles(col(textCol), shingleK))
     val grouped = base
       .select(col(idCol), md5(col(textCol)).as("__th"),
         graft.functions.Sketches.minhashSig(col(textCol), shingleK, numHashes).as("sig"))
@@ -132,9 +138,8 @@ object Dedup {
       .select(least(col("__x"), col("__y")).as("id_a"),
         greatest(col("__x"), col("__y")).as("id_b"), col("jaccard"))
     // within-group: exact copies always band-collide, so each multi-member
-    // group contributes all its pairs at the kernel's self-Jaccard (1.0
-    // for any text with shingles — evaluated through the same kernel so
-    // degenerate shingle-less texts behave exactly as in the direct plan)
+    // group contributes all its pairs at the kernel's self-Jaccard (1.0 —
+    // shingle-less texts were already excluded at `base`)
     val within = grouped
       .filter(size(col("__members")) > 1)
       .join(base, col("__rep") === base(idCol))
@@ -163,6 +168,7 @@ object Dedup {
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 8,
       threshold: Double = 0.7): (Long, Long) = {
     val repSigs = docs
+      .filter(graft.functions.Sketches.hasShingles(col(textCol), shingleK))
       .select(col(idCol), md5(col(textCol)).as("__th"),
         graft.functions.Sketches.minhashSig(col(textCol), shingleK, numHashes).as("sig"))
       .groupBy(col("__th"))
@@ -185,9 +191,14 @@ object Dedup {
   def minhashPairsDirect(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
-    val sigs = minhashSignature(docs, idCol, textCol, shingleK, numHashes)
+    // same shingle-less exclusion as [[minhashPairs]] (sub-k docs share
+    // the sentinel signature and a NaN pairwise Jaccard, which Spark's
+    // NaN-is-greatest ordering would pass through `>= threshold`)
+    val eligible = docs.filter(
+      graft.functions.Sketches.hasShingles(col(textCol), shingleK))
+    val sigs = minhashSignature(eligible, idCol, textCol, shingleK, numHashes)
     val cands = minhashCandidates(sigs, idCol, bands, numHashes / bands)
-    jaccardVerify(cands, docs, idCol, textCol, shingleK)
+    jaccardVerify(cands, eligible, idCol, textCol, shingleK)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -198,13 +209,23 @@ object Dedup {
     docs.select(col(idCol),
       graft.functions.Sketches.simhash64(col(textCol), shingleK).as("simhash"))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16):
-    * pigeonhole on 4 16-bit chunks — any pair within distance 3 must agree
-    * on ≥1 chunk, so candidates come from an equi-join on chunk value, and
-    * only candidates pay the popcount. */
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`:
+    * pigeonhole on 4 16-bit chunks — any pair within distance ≤ 3 must
+    * agree on ≥1 chunk, so candidates come from an equi-join on chunk
+    * value, and only candidates pay the popcount. The 4-chunk split only
+    * guarantees recall for `maxHamming < 4` (4 differing bits can land
+    * one per chunk), so larger radii are rejected rather than silently
+    * under-recalling. Shingle-less documents (shorter than k) all hash
+    * to the zero signature — without exclusion they'd emit hamming-0
+    * "near-dup" pairs between unrelated texts AND all-pairs-join at
+    * scale, so they participate in no pairs. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs, idCol, textCol, shingleK)
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"4-chunk pigeonhole guarantees recall only for maxHamming in [0,3], got $maxHamming")
+    val sh = simhash(
+      docs.filter(graft.functions.Sketches.hasShingles(col(textCol), shingleK)),
+      idCol, textCol, shingleK)
     val chunked = sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
@@ -337,8 +358,15 @@ object Dedup {
       textCol: String, shingleK: Int = 5, numHashes: Int = 64, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
     val rows = numHashes / bands
+    // shingle-less docs: a sub-k batch row can never clear the Jaccard
+    // verify (NaN — which Spark's NaN-is-greatest ordering would PASS
+    // through >= threshold, wrongly killing it against any sub-k corpus
+    // row), and sub-k corpus rows band-join all-pairs against them; both
+    // sides exclude them up front — such batch rows always survive.
     def banded(df: DataFrame, outId: String) =
-      minhashSignature(df, idCol, textCol, shingleK, numHashes)
+      minhashSignature(
+        df.filter(graft.functions.Sketches.hasShingles(col(textCol), shingleK)),
+        idCol, textCol, shingleK, numHashes)
         .select(col(idCol).as(outId),
           posexplode(array((0 until bands).map(b =>
             hash(slice(col("sig"), b * rows + 1, rows))): _*)))

@@ -35,8 +35,10 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
 
   test("collapsed minhash pipeline is row-identical to the direct plan") {
     // exact-copy families (the collapse target), near-dups, unrelated
-    // docs, and shingle-less short texts (the degenerate all-zero-sig
-    // edge where every short doc band-collides with every other)
+    // docs, and shingle-less short texts (all-zero sentinel signatures:
+    // excluded up front — their pairwise Jaccard is NaN, which Spark's
+    // NaN-is-greatest ordering would otherwise pass through >= threshold,
+    // pairing unrelated texts like "ab"/"xy")
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "the quick brown fox jumps over the lazy dog again and again"),
@@ -48,8 +50,7 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
     ).toDF("doc_id", "text")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
-        .collect().map { case (a, b, j) =>
-          (a, b, if (j.isNaN) Double.MaxValue else j) }.sorted.toSeq
+        .collect().sorted.toSeq
     val fast = rows(Dedup.minhashPairs(corpus, "doc_id", "text",
       numHashes = 64, bands = 16, threshold = 0.5))
     val direct = rows(Dedup.minhashPairsDirect(corpus, "doc_id", "text",
@@ -57,7 +58,11 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
     fast shouldBe direct
     // sanity: the copy families actually expanded
     fast.map(r => (r._1, r._2)) should contain allOf ((1L, 2L), (1L, 3L),
-      (2L, 3L), (5L, 6L), (7L, 8L))
+      (2L, 3L), (5L, 6L))
+    // shingle-less docs participate in NO pairs (no NaN passes, no
+    // all-pairs candidate blowup from the shared sentinel signature)
+    fast.exists(r => Set(7L, 8L, 9L)(r._1) || Set(7L, 8L, 9L)(r._2)) shouldBe false
+    fast.forall(r => !r._3.isNaN) shouldBe true
   }
 
   test("simhash: identical docs at hamming 0, near-dups close, others far") {
@@ -66,6 +71,31 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
     sh(1L) shouldBe sh(4L)
     java.lang.Long.bitCount(sh(1L) ^ sh(2L)) should be <= 6
     java.lang.Long.bitCount(sh(1L) ^ sh(3L)) should be > 10
+  }
+
+  test("simhash pairs: shingle-less docs pair with nothing; radius > 3 rejected") {
+    // sub-k texts all hash to the zero signature — they must not emit
+    // hamming-0 "near-dup" pairs between unrelated texts (or all-pairs
+    // band-join at scale)
+    val mixed = docs.unionByName(Seq(
+      (10L, "ab"), (11L, "ab"), (12L, "xy")).toDF("doc_id", "text"))
+    val pairs = Dedup.simhashPairs(mixed, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 4L)) // exact dup still found
+    pairs.exists(p => p._1 >= 10L || p._2 >= 10L) shouldBe false
+    // the 4-chunk pigeonhole cannot guarantee recall past hamming 3
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)
+  }
+
+  test("neardup screen: sub-k batch rows survive, sub-k corpus rows kill nothing") {
+    val corpus = Seq((100L, "ab"), (101L, "xy")).toDF("doc_id", "text")
+    val batch = Seq((1L, "ab"), (2L, "pq"),
+      (3L, "a real document with plenty of shingles to hash")).toDF("doc_id", "text")
+    // pre-fix, NaN >= threshold passed and the sub-k batch rows were
+    // wrongly screened out against unrelated sub-k corpus rows
+    Dedup.neardupAgainstCorpus(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
   }
 
   test("jaccard verify: exact dup = 1.0, unrelated well below") {
