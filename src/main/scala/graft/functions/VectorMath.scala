@@ -123,9 +123,18 @@ object VectorMathImpl {
     acc
   }
 
+  /** NULL on zero-norm inputs, same policy as the length-mismatch guard:
+    * a zero embedding has no direction, and the 0/0 = NaN it would
+    * otherwise produce ranks ABOVE every real neighbor under Spark's
+    * NaN-is-greatest ordering (`cosine DESC` top-k) and passes
+    * `>= threshold` near-dup filters — a zero-vector corpus row would
+    * surface as rank-1 neighbor of every query. NULL instead sorts last
+    * and fails every threshold. */
   def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
     if (a.numElements() != b.numElements()) return null
-    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val denom = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+    if (denom == 0.0) return null
+    dot(a, b) / denom
   }
 
   // splitmix64 finalizer
@@ -187,7 +196,9 @@ object VectorMathImpl {
       dotQC += qi * ci; nq += qi * qi; nc += ci * ci
       i += 1
     }
-    dotQC / (math.sqrt(nq) * math.sqrt(nc))
+    val denom = math.sqrt(nq) * math.sqrt(nc)
+    if (denom == 0.0) return null // zero-norm: see cosine
+    dotQC / denom
   }
 
   /** See [[VectorMath.pqEncode]]. Layout of `cbFlat`:

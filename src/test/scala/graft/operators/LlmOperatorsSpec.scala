@@ -342,6 +342,27 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
     r shouldBe (10.0 / (math.sqrt(14.0) * math.sqrt(14.0))) +- 1e-12
   }
 
+  test("zero-norm embeddings: cosine is NULL, never a rank-1 neighbor or near-dup") {
+    // 0/0 = NaN would rank ABOVE every real neighbor (Spark orders NaN
+    // greatest) and pass >= threshold near-dup filters
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    z.select(VectorMath.cosine(col("a"), col("b"))).head().isNullAt(0) shouldBe true
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)), // zero-norm: directionless
+      (4L, Array(0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(vecs.filter(col("vec_id") === 1L), vecs,
+      "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    top shouldBe Array((1L, 2L)) // not the zero vector
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding",
+      threshold = 0.5, bucketBits = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L)) // no zero-vector pairs, no (3,4) NaN pair
+  }
+
   test("text_repetition survives 1-word and empty docs under ANSI mode") {
     // sequence(0, -1) is DESCENDING in Spark, so an unguarded bigram
     // transform evaluates element_at(w, 0) and throws under ANSI — this
