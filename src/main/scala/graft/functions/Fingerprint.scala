@@ -27,9 +27,13 @@ object Fingerprint {
       propagateNull = true,
       returnNullable = true))
 
-  /** One 64-bit document fingerprint: the minimum winnowed hash. */
+  /** One 64-bit document fingerprint: the minimum winnowed hash. NULL
+    * for texts too short to carry a k-gram (their winnow set is empty —
+    * plain `element_at` would THROW under ANSI mode, killing the whole
+    * scan on the first sub-k document). */
   def fingerprint64(text: Column, k: Int = 8, w: Int = 16): Column =
-    org.apache.spark.sql.functions.element_at(winnow(text, k, w), 1)
+    org.apache.spark.sql.functions.try_element_at(winnow(text, k, w),
+      org.apache.spark.sql.functions.lit(1))
 }
 
 object FingerprintImpl {

@@ -137,6 +137,11 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
       .as[(Long, Seq[Long])].collect()
     fp(0)._2 shouldBe fp(1)._2 // deterministic
     fp(0)._2.toSet.intersect(fp(2)._2.toSet) should not be empty // shared windows survive shift
+    // sub-k texts: empty winnow set, NULL fingerprint — element_at(…, 1)
+    // would throw INVALID_ARRAY_INDEX under ANSI and kill the scan
+    Seq((1L, "short"), (2L, t1)).toDF("id", "text")
+      .select(Fingerprint.fingerprint64(col("text")).as("f"))
+      .collect().map(_.isNullAt(0)).toSeq shouldBe Seq(true, false)
   }
 
   test("language-id heuristic picks the language with most stopword hits") {
