@@ -124,7 +124,13 @@ object Sampling {
   def weightedSampleKey(key: Column, weight: Column, salt: String): Column = {
     val u = (conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 13),
       16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
-    round(pow(u, lit(1.0) / weight.cast("double")), 9)
+    // Efraimidis–Spirakis is defined for w > 0 only. A negative weight
+    // would make u^(1/w) > 1 — winning EVERY draw — and w = 0 divides by
+    // zero; both get a NULL key instead (sorts last under the DESC
+    // selection order → never sampled, the only sensible reading of
+    // "non-positive sampling weight").
+    when(weight.cast("double") > 0.0,
+      round(pow(u, lit(1.0) / weight.cast("double")), 9))
   }
 
   /** Top-`k` rows per stratum under [[weightedSampleKey]] order. */
