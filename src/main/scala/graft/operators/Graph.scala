@@ -9,10 +9,20 @@ import org.apache.spark.sql.functions._
   * citation weighting for document sampling).
   *
   * Determinism contract (the same regime as the trained classifier and
-  * PCA): per-edge contributions are cast to DECIMAL before the
-  * aggregation, so the sum is exact and partition-order-independent,
-  * and each new rank is rounded — every iteration is bit-reproducible
-  * and a SQL engine can replay the whole training chain.
+  * PCA): per-edge contributions are exact SCALED LONGS — the rank
+  * (itself rounded to `scale` places, so `round(rank·10^scale)` is its
+  * exact integer image) integer-divides by the out-degree, and the
+  * aggregation sums longs: exact integer arithmetic, any fold order,
+  * same result, and a SQL engine replays it bit-for-bit. Longs rather
+  * than DECIMAL(28,18) because Spark backs decimals with compact longs
+  * only up to precision 18 — the wide decimal put a BigDecimal
+  * allocation + boxed arithmetic on EVERY edge contribution, and the
+  * per-edge multiply-sum is the whole inner loop of the operator
+  * (measured: the suite's largest single CPU sink). Each new rank is
+  * rounded to `scale` places — every iteration is bit-reproducible.
+  * The integer division truncates < 10^-scale per edge (the decimal
+  * cast truncated the same way at 18 places); GraphSpec pins mass
+  * conservation and partition-count independence.
   *
   * Scale shape: ranks are one row per node; each iteration is one join
   * (ranks ⋈ edges on src — both sides hash-partitioned on the join key,
@@ -64,19 +74,28 @@ object Graph {
     val n = nodes.count()
     var ranks = nodes.withColumn("rank", round(lit(1.0) / n, scale))
       .localCheckpoint(true)
+    // 10^scale as an exact double (scale <= 15 keeps it, and every scaled
+    // rank, inside the double-exact integer range)
+    require(scale >= 1 && scale <= 15, s"scale must be in [1,15], got $scale")
+    val factor = math.pow(10, scale)
     var i = 0
     while (i < iters) {
       val contrib = e
         .join(deg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
-          (col("rank") / col("__deg")).cast("decimal(28,18)").as("__c"))
+          // rank is scale-rounded, so round(rank·10^scale) is its exact
+          // long image in BOTH engines (an integral double casts exactly;
+          // a bare cast would truncate in Spark but round in DuckDB);
+          // `div` is integral division — pure long math per edge
+          expr(s"cast(round(rank * ${factor}d) as long) div __deg").as("__c"))
       ranks = nodes
         .join(contrib.groupBy(col("node")).agg(sum(col("__c")).as("__s")),
           Seq("node"), "left")
         .select(col("node"), round(
           lit(teleport / n) +
-            lit(damping) * coalesce(col("__s").cast("double"), lit(0.0)),
+            lit(damping) * (coalesce(col("__s"), lit(0L)).cast("double") /
+              lit(factor)),
           scale).as("rank"))
         .localCheckpoint(true)
       i += 1

@@ -389,11 +389,17 @@ object Analytics {
     // independent), teleport/damping as separate literals (1-0.85 != 0.15
     // in IEEE), MATERIALIZED to stop DuckDB re-inlining the chain
     "q_pagerank" -> {
+      // replays Graph.pageRank's scaled-long contributions: rank is
+      // 12-dp rounded, so round(rank*1e12) is its exact BIGINT image;
+      // `//` is DuckDB's integral division (= Spark's `div` on
+      // non-negatives); the long sum is exact, cast DOUBLE before the
+      // 1e12 descale (sums stay under 2^52 — exact in double)
       def iter(prev: String, out: String) =
         s"""$out AS MATERIALIZED (
            |  SELECT e.dst AS node,
            |    round(0.15::DOUBLE / nn.n + 0.85::DOUBLE *
-           |      CAST(sum(CAST(r.rank / deg.d AS DECIMAL(28,18))) AS DOUBLE), 12)
+           |      (CAST(sum(CAST(round(r.rank * 1e12) AS BIGINT) // deg.d) AS DOUBLE)
+           |        / 1e12), 12)
            |      AS rank
            |  FROM e JOIN deg USING (src) JOIN $prev r ON r.node = e.src, nn
            |  GROUP BY e.dst, nn.n)""".stripMargin

@@ -53,7 +53,7 @@ class GraphSpec extends AnyFunSuite with Matchers {
     r.values.sum shouldBe 1.0 +- 1e-6           // no leaked mass
   }
 
-  test("ranks are partition-count independent (decimal-summed contributions)") {
+  test("ranks are partition-count independent (scaled-long-summed contributions)") {
     val e = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
     val a = Graph.pageRank(e, iters = 3).collect()
       .map(x => x.getLong(0) -> x.getDouble(1)).toMap
