@@ -13,6 +13,15 @@ import graft.functions.VectorMath
   * product is decimal-rounded and decimal-summed, so the iteration is
   * partition-order-independent and replayable in another engine.
   *
+  * Why DECIMAL here when [[Graph.pageRank]] sums scaled LONGS (the faster
+  * representation): PageRank's summand is bounded by total rank MASS (~1
+  * scaled, provably overflow-free at any corpus size), while this
+  * per-dimension sum grows with ROW COUNT — at 10^12 rows × O(1)
+  * contributions a scaled-long accumulator overflows around 9·10^9 rows,
+  * where `sum(decimal(28,9))` widens to precision 38 and survives any
+  * corpus. Training runs once per model; the exchange is dims-sized.
+  * (Same reasoning keeps [[QualityClassifier]]'s gradient on decimal.)
+  *
   * One iteration of `v ← normalize(Σᵢ (xᵢ·v)·xᵢ)` (power iteration on the
   * Gram matrix XᵀX without ever materializing it):
   *   - `xᵢ·v` is a pure projection against the literal `v` (no join);
