@@ -76,8 +76,11 @@ object Tables {
       case LongType =>
         raw.withColumn(c, expr(s"timestamp_micros($c div 1000)").cast(TimestampNTZType))
       case TimestampType => raw.withColumn(c, col(c).cast(TimestampNTZType))
+      // plain parquet DATE (the most natural re-encoding for a date-grain
+      // column): midnight-NTZ is value-identity for date-grain data
+      case DateType => raw.withColumn(c, col(c).cast(TimestampNTZType))
       case other => throw new IllegalStateException(
-        s"$c: unsupported encoding $other (expected nanos-long, TIMESTAMP_NTZ, or TIMESTAMP)")
+        s"$c: unsupported encoding $other (expected nanos-long, TIMESTAMP_NTZ, TIMESTAMP, or DATE)")
     }
 
   private[graft] def normalizeEventTs(raw: DataFrame): DataFrame = {

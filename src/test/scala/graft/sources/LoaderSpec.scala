@@ -89,6 +89,18 @@ class LoaderSpec extends AnyFunSpec with Matchers {
           .as[Long].head() shouldBe microsVals.head
       }
 
+    it("normalizes a plain parquet DATE l_shipdate to midnight NTZ") {
+      // the most natural re-encoding for a date-grain column; midnight-NTZ
+      // is value-identity for date-grain data
+      val dayMicros = 1699920000000000L // 2023-11-14 00:00:00 UTC, whole day
+      val dir = tmp()
+      fixture(dir, timestamp_micros(lit(dayMicros)).cast(DateType))
+      val df = Tables.lineitem(spark, dir)
+      df.schema("l_shipdate").dataType shouldBe TimestampNTZType
+      df.select(unix_micros(col("l_shipdate").cast(TimestampType)))
+        .as[Long].head() shouldBe dayMicros
+    }
+
     it("passes the driver's current lineitem and orders through unchanged") {
       Tables.lineitem(spark, "/root/testdata/sf0.001")
         .schema("l_shipdate").dataType shouldBe TimestampNTZType
