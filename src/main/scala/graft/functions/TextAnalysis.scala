@@ -99,18 +99,25 @@ object TextAnalysis {
   /** Quality-signal columns: length, token count, punctuation density, mean
     * word length, uppercase ratio, stopword density (en). One stats pass;
     * exact integer arithmetic until the final double divisions, for
-    * cross-engine reproducibility. */
+    * cross-engine reproducibility.
+    *
+    * Empty text (`n_chars = 0`) yields NULL character ratios — under ANSI
+    * mode a bare division by zero THROWS, so one empty document would
+    * kill the whole scan; NULL is this codebase's malformed-input policy
+    * (fails every threshold, sorts last). `n_tokens` needs no guard:
+    * `split` of an empty string keeps one empty field, so it is ≥ 1. */
   def qualitySignals(text: Column): Seq[(String, Column)] =
     qualitySignalsFromStats(textStats(text))
 
   def qualitySignalsFromStats(st: Column): Seq[(String, Column)] = {
     val nChars = statsField(st, "n_chars")
+    val nCharsNz = nullif(nChars, lit(0))
     val nTokens = statsField(st, "n_tokens")
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> nTokens,
-      "punct_ratio" -> statsField(st, "n_punct").cast("double") / nChars,
-      "upper_ratio" -> statsField(st, "n_upper").cast("double") / nChars,
+      "punct_ratio" -> statsField(st, "n_punct").cast("double") / nCharsNz,
+      "upper_ratio" -> statsField(st, "n_upper").cast("double") / nCharsNz,
       "mean_token_len" -> (nChars - (nTokens - lit(1))).cast("double") / nTokens,
       "stopword_ratio" -> statsField(st, "en").cast("double") / nTokens)
   }

@@ -375,8 +375,8 @@ object Analytics {
         |  FROM events GROUP BY 1),
         |m AS (
         |  SELECT event_type, n, s::DOUBLE / n AS mean,
-        |    sqrt((ss::DOUBLE - n * (s::DOUBLE / n) * (s::DOUBLE / n)) / (n - 1))
-        |      AS std
+        |    sqrt((ss::DOUBLE - n * (s::DOUBLE / n) * (s::DOUBLE / n))
+        |      / nullif(n - 1, 0)) AS std
         |  FROM st)
         |SELECT e.event_type, m.n, round(m.mean, 4) AS mean_r,
         |  round(m.std, 4) AS std_r,
@@ -983,8 +983,10 @@ object Analytics {
     val stats = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(vdec).as("s"), sum(vdec * vdec).as("ss"))
       .select(col("event_type"), col("n"), meanE.as("mean"),
+        // nullif: a singleton group has no sample variance, and /(n-1)
+        // with n=1 THROWS under ANSI — NULL std flags no outliers
         sqrt((col("ss").cast("double") - col("n") * meanE * meanE) /
-          (col("n") - 1)).as("std"))
+          nullif(col("n") - 1, lit(0L))).as("std"))
     ev.join(broadcast(stats), "event_type")
       .groupBy(col("event_type"))
       .agg(max(col("n")).as("n"),

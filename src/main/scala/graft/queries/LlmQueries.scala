@@ -995,9 +995,12 @@ object LlmQueries {
         .select(col("doc_id"),
           col("__d")("n_bytes").as("n_bytes"),
           col("__d")("deflate_len").as("deflate_len"),
-          round(col("__d")("deflate_len").cast("double") / col("__d")("n_bytes"), 6)
-            .as("ratio_r"),
-          (col("__d")("deflate_len").cast("double") / col("__d")("n_bytes") <
+          // nullif: an empty document (0 bytes) has no defined ratio, and
+          // a bare /0 THROWS under ANSI — NULL fails the threshold instead
+          round(col("__d")("deflate_len").cast("double") /
+            nullif(col("__d")("n_bytes"), lit(0L)), 6).as("ratio_r"),
+          (col("__d")("deflate_len").cast("double") /
+            nullif(col("__d")("n_bytes"), lit(0L)) <
             lit(0.25)).as("low_entropy")),
       col("doc_id"))
 
@@ -1026,12 +1029,15 @@ object LlmQueries {
       .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"),
         st.as("__st"))
       .select(col("doc_id"), col("y"),
+        // n_chars via nullif: one empty document would otherwise throw
+        // DIVIDE_BY_ZERO under ANSI and kill training; NULL features make
+        // the row drop out of every decimal gradient sum and score NULL
         (TextAnalysis.statsField(col("__st"), "en").cast("double") /
           TextAnalysis.statsField(col("__st"), "n_tokens")).as("x_stop"),
         (TextAnalysis.statsField(col("__st"), "n_punct").cast("double") /
-          TextAnalysis.statsField(col("__st"), "n_chars")).as("x_punct"),
+          nullif(TextAnalysis.statsField(col("__st"), "n_chars"), lit(0))).as("x_punct"),
         (TextAnalysis.statsField(col("__st"), "n_upper").cast("double") /
-          TextAnalysis.statsField(col("__st"), "n_chars")).as("x_upper"))
+          nullif(TextAnalysis.statsField(col("__st"), "n_chars"), lit(0))).as("x_upper"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = graft.operators.QualityClassifier.train(
       feats, "y", Seq("x_stop", "x_punct", "x_upper"), lr = 0.5, iters = 3)
@@ -1375,9 +1381,9 @@ object LlmQueries {
          |        x -> x IN ($enList)))::DOUBLE
          |      / len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS x1,
          |    length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
-         |      / length(text) AS x2,
+         |      / nullif(length(text), 0) AS x2,
          |    length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
-         |      / length(text) AS x3
+         |      / nullif(length(text), 0) AS x3
          |  FROM documents),
          |nn AS (SELECT count(*)::BIGINT AS n FROM f),
          |w0 AS (SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS a1,
@@ -2049,8 +2055,8 @@ object LlmQueries {
         |        x -> x IN ($enList))) AS n_stop
         |  FROM documents)
         |SELECT doc_id, n_chars, n_tokens,
-        |  n_punct::DOUBLE / n_chars AS punct_ratio,
-        |  n_upper::DOUBLE / n_chars AS upper_ratio,
+        |  n_punct::DOUBLE / nullif(n_chars, 0) AS punct_ratio,
+        |  n_upper::DOUBLE / nullif(n_chars, 0) AS upper_ratio,
         |  (n_chars - (n_tokens - 1))::DOUBLE / n_tokens AS mean_token_len,
         |  n_stop::DOUBLE / n_tokens AS stopword_ratio
         |FROM t ORDER BY doc_id""".stripMargin,

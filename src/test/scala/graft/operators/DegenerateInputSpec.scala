@@ -107,6 +107,83 @@ class DegenerateInputSpec extends AnyFunSuite with Matchers {
     kept shouldBe Array(3L, 4L)
   }
 
+  // ANSI mode (on in GraftSession) turns division by zero into a THROWN
+  // error, so a single degenerate document would kill a whole corpus scan
+  // if any quality ratio divided by a zero count. The guards route those
+  // through nullif -> NULL (the malformed-input policy: fails every
+  // threshold, sorts last).
+  test("empty / whitespace-only documents: quality signals NULL, never a crash") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "A real document, here."))
+      .toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id") +: TextAnalysis.qualitySignals(col("text"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id")).collect()
+    out(0).getAs[Int]("n_chars") shouldBe 0
+    out(0).isNullAt(out(0).fieldIndex("punct_ratio")) shouldBe true
+    out(0).isNullAt(out(0).fieldIndex("upper_ratio")) shouldBe true
+    // whitespace-only: n_chars > 0 (space-only trim feeds the tokenizer),
+    // all ratios defined
+    out(1).getAs[Int]("n_chars") shouldBe 3
+    out(1).getAs[Double]("punct_ratio") shouldBe 0.0
+    out(2).getAs[Double]("punct_ratio") should be > 0.0
+    // a threshold filter over the signals drops the empty doc (NULL
+    // predicate), instead of throwing DIVIDE_BY_ZERO
+    val sig = TextAnalysis.qualitySignals(col("text")).toMap
+    docs.filter(sig("n_tokens") >= 1 && sig("punct_ratio") >= 0.0)
+      .count() shouldBe 2L
+  }
+
+  test("classifier training survives an empty document in the corpus") {
+    val docs = Seq((1L, ""), (2L, "the quick brown fox."), (3L, "AND THE LOUD ONE"))
+      .toDF("doc_id", "text")
+    val st = TextAnalysis.textStats(col("text"))
+    val feats = docs
+      .select(col("doc_id"), (col("doc_id") % 2 === 0).cast("int").as("y"), st.as("__st"))
+      .select(col("doc_id"), col("y"),
+        (TextAnalysis.statsField(col("__st"), "n_punct").cast("double") /
+          nullif(TextAnalysis.statsField(col("__st"), "n_chars"), lit(0))).as("x1"))
+    val w = QualityClassifier.train(feats, "y", Seq("x1"), lr = 0.5, iters = 2)
+    w.foreach(v => assert(!v.isNaN, "weights must stay finite"))
+    val scored = QualityClassifier.score(feats, w, Seq("x1"))
+    scored.count() shouldBe 3L
+    // the empty doc scores NULL (feature NULL), the others get real probs
+    scored.filter(col("doc_id") === 1L && col("p").isNull).count() shouldBe 1L
+    scored.filter(col("p").isNotNull).count() shouldBe 2L
+  }
+
+  test("deflate ratio of an empty document is NULL under the nullif guard") {
+    val docs = Seq((1L, ""), (2L, "some genuinely compressible text text text"))
+      .toDF("doc_id", "text")
+    val r = docs
+      .select(col("doc_id"), TextAnalysis.deflateStats(col("text")).as("__d"))
+      .select(col("doc_id"), col("__d")("n_bytes").as("nb"),
+        (col("__d")("deflate_len").cast("double") /
+          nullif(col("__d")("n_bytes"), lit(0L))).as("ratio"))
+      .orderBy(col("doc_id")).collect()
+    r(0).getAs[Long]("nb") shouldBe 0L
+    r(0).isNullAt(r(0).fieldIndex("ratio")) shouldBe true
+    r(1).getAs[Double]("ratio") should be > 0.0
+  }
+
+  test("PQ / IVF-PQ: zero-norm vectors are excluded, not a DIVIDE_BY_ZERO") {
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.0f, 0.0f)), (4L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.1f)), (11L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pq = Ann.pqTopK(queries, corpus, "vec_id", "embedding", k = 2,
+      m = 2, nCodes = 2, trainIters = 1, rerankFactor = 4)
+    pq.filter(col("query_id") === 11L).count() shouldBe 0L
+    pq.filter(col("neighbor_id") === 3L).count() shouldBe 0L
+    pq.filter(col("query_id") === 10L).count() should be > 0L
+    val ivfpq = Ann.ivfPqTopK(queries, corpus, "vec_id", "embedding", k = 2,
+      nCentroids = 2, nProbe = 2, m = 2, nCodes = 2, trainIters = 1,
+      rerankFactor = 4)
+    ivfpq.filter(col("query_id") === 11L).count() shouldBe 0L
+    ivfpq.filter(col("neighbor_id") === 3L).count() shouldBe 0L
+  }
+
   test("profile and drift over empty frames: defined, not crashing") {
     val empty = Seq.empty[(Long, String)].toDF("k", "v")
     val prof = Profile.profile(empty, Seq("k", "v"))
