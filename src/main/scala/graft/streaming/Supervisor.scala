@@ -73,12 +73,16 @@ object Supervisor {
           consecutiveResyncs += 1
           resync()
           Thread.sleep(backoffMs)
-        case scala.util.control.NonFatal(_) =>
+        case e if scala.util.control.NonFatal(e) =>
           if (ranLongEnough) { consecutive = 0; consecutiveResyncs = 0 }
           restarts += 1
           consecutive += 1
           if (consecutive > maxRestarts)
-            throw new IllegalStateException(s"giving up after $consecutive consecutive failures")
+            // carry the last failure as the cause: the give-up is what an
+            // operator pages on, and "10 consecutive failures" without the
+            // underlying exception is undebuggable
+            throw new IllegalStateException(
+              s"giving up after $consecutive consecutive failures", e)
           Thread.sleep(backoffMs * (1L << math.min(consecutive - 1, 6)))
       }
     }

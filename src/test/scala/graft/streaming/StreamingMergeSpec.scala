@@ -134,10 +134,15 @@ class StreamingMergeSpec extends AnyFunSuite with Matchers {
   }
 
   test("supervisor gives up after maxRestarts consecutive failures") {
-    an[IllegalStateException] should be thrownBy
+    val ex = intercept[IllegalStateException] {
       Supervisor.runForever(
         body = () => throw new RuntimeException("always"),
         maxRestarts = 2, backoffMs = 1L)
+    }
+    // the give-up carries the last underlying failure as its cause: that
+    // exception is what an operator actually needs to see
+    ex.getCause should not be null
+    ex.getCause.getMessage shouldBe "always"
   }
 
   test("supervisor bounds a non-converging resync loop") {
