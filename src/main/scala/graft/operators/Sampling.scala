@@ -128,9 +128,12 @@ object Sampling {
     // would make u^(1/w) > 1 — winning EVERY draw — and w = 0 divides by
     // zero; both get a NULL key instead (sorts last under the DESC
     // selection order → never sampled, the only sensible reading of
-    // "non-positive sampling weight").
-    when(weight.cast("double") > 0.0,
-      round(pow(u, lit(1.0) / weight.cast("double")), 9))
+    // "non-positive sampling weight"). nanvl closes the third gap in the
+    // same class: Spark orders NaN ABOVE every double, so a NaN weight
+    // passes `> 0` and its NaN key would rank FIRST in the DESC draw —
+    // nanvl folds it to 0, which the positivity guard then rejects.
+    val wd = nanvl(weight.cast("double"), lit(0.0))
+    when(wd > 0.0, round(pow(u, lit(1.0) / wd), 9))
   }
 
   /** Top-`k` rows per stratum under [[weightedSampleKey]] order. */

@@ -98,9 +98,12 @@ class DegenerateInputSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 0L
   }
 
-  test("weighted sampling: non-positive weights are never selected") {
-    // w < 0 made u^(1/w) > 1 -- winning every draw; w = 0 divided by zero
-    val rows = Seq((1L, "s", -5.0), (2L, "s", 0.0), (3L, "s", 1.0), (4L, "s", 2.0))
+  test("weighted sampling: non-positive and NaN weights are never selected") {
+    // w < 0 made u^(1/w) > 1 -- winning every draw; w = 0 divided by zero;
+    // NaN passed `> 0` (Spark orders NaN above every double) and its NaN
+    // key ranked FIRST under the DESC draw
+    val rows = Seq((1L, "s", -5.0), (2L, "s", 0.0), (5L, "s", Double.NaN),
+      (3L, "s", 1.0), (4L, "s", 2.0))
       .toDF("id", "st", "w")
     val kept = Sampling.weightedSamplePerStratum(rows, "id", col("st"), col("w"), "x", 2)
       .select("id").as[Long].collect().sorted
