@@ -80,9 +80,21 @@ object Sampling {
       .foldRight(lit(defaultBudget): Column) { case ((s0, b), rest) =>
         when(col(stratumCol) === s0, lit(b)).otherwise(rest)
       }
-    df.withColumn("cum_weight", sum(weight).over(w))
+    df.filter(validWeight(weight))
+      .withColumn("cum_weight", sum(weight).over(w))
       .filter(col("cum_weight") <= budget)
   }
+
+  /** Malformed weights (NULL / NaN / negative) are EXCLUDED from the
+    * running-total operators: a NaN in a cumulative sum poisons every
+    * LATER row in the stratum (NaN fails `<=` → silent stratum
+    * truncation in [[budgetFill]]; NaN → long cast throws in
+    * [[packSequences]] under ANSI), and a negative weight refunds budget
+    * that was never spent. Exclusion mirrors [[weightedSampleKey]]'s
+    * never-sampled policy for the same inputs; zero-weight rows are
+    * legitimate (an empty document is free to admit). */
+  private def validWeight(weight: Column): Column =
+    weight.isNotNull && !isnan(weight.cast("double")) && weight >= 0
 
   /** Approximate sequence PACKING — the final context-window prep step:
     * rows deal into 16 independent lanes by an md5 hex digit (packing
@@ -100,7 +112,8 @@ object Sampling {
       salt: String, maxPerBin: Long): DataFrame = {
     require(maxPerBin >= 1, s"maxPerBin must be >= 1, got $maxPerBin")
     val h = md5(concat(lit(salt), col(keyCol).cast("string")))
-    df.withColumn("__h", h)
+    df.filter(validWeight(weight)) // see validWeight: NaN poisons the lane
+      .withColumn("__h", h)
       .withColumn("bucket", substring(col("__h"), 1, 1))
       .withColumn("cum_weight",
         sum(weight).over(Window.partitionBy(col("bucket")).orderBy(col("__h"))

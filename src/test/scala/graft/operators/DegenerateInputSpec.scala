@@ -110,6 +110,25 @@ class DegenerateInputSpec extends AnyFunSuite with Matchers {
     kept shouldBe Array(3L, 4L)
   }
 
+  test("running-total operators exclude malformed weights instead of poisoning the stratum") {
+    // a NaN weight in a cumulative sum makes every LATER row's total NaN:
+    // budgetFill then silently truncates the stratum (NaN fails <=), and
+    // packSequences dies on the NaN -> long bin cast under ANSI; a
+    // negative weight refunds budget never spent
+    val rows = Seq(
+      (1L, "s", Some(5.0)), (2L, "s", Some(Double.NaN)), (3L, "s", Some(-3.0)),
+      (4L, "s", None: Option[Double]), (5L, "s", Some(5.0)), (6L, "s", Some(0.0)))
+      .toDF("id", "st", "w")
+    val filled = Sampling.budgetFill(rows, "id", "st", col("w"), "bf",
+      Map.empty, defaultBudget = 100L)
+    // every well-formed row admitted; the NaN/negative/NULL rows excluded,
+    // NOT the rows hashing after them
+    filled.select("id").as[Long].collect().sorted shouldBe Array(1L, 5L, 6L)
+    val packed = Sampling.packSequences(rows, "id", col("w"), "pk", 16L)
+    packed.select("id").as[Long].collect().sorted shouldBe Array(1L, 5L, 6L)
+    packed.filter(col("bin").isNull || col("bin") < 0).count() shouldBe 0L
+  }
+
   // ANSI mode (on in GraftSession) turns division by zero into a THROWN
   // error, so a single degenerate document would kill a whole corpus scan
   // if any quality ratio divided by a zero count. The guards route those
