@@ -133,7 +133,10 @@ object VectorMathImpl {
   def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
     if (a.numElements() != b.numElements()) return null
     val denom = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
-    if (denom == 0.0) return null
+    // !(denom > 0) is true for BOTH 0.0 and NaN: an embedding with a NaN
+    // component makes the norm NaN, and NaN cosine would outrank every
+    // real neighbor exactly like the 0/0 case this guard exists for.
+    if (!(denom > 0.0)) return null
     dot(a, b) / denom
   }
 
@@ -197,7 +200,7 @@ object VectorMathImpl {
       i += 1
     }
     val denom = math.sqrt(nq) * math.sqrt(nc)
-    if (denom == 0.0) return null // zero-norm: see cosine
+    if (!(denom > 0.0)) return null // zero-norm OR NaN component: see cosine
     dotQC / denom
   }
 

@@ -27,6 +27,33 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
   }
 
+  /** Exact-duplicate pairs among SUB-K (shingle-less) documents — the
+    * companion every banding pipeline unions in: `hasShingles` excludes
+    * sub-k texts from banding (their sentinel signatures would band-join
+    * all-pairs, Θ(N²)), but two IDENTICAL sub-k texts are still real
+    * duplicates a near-dup pass must report. Candidates come from a
+    * hash-groupBy on `(md5, length)` — 24 bytes/row over the sub-k slice
+    * only, never text, never all-pairs. Pair output is quadratic in copy
+    * multiplicity (as is the main path's within-group expansion): run
+    * [[exactGroups]] removal first if short boilerplate has million-copy
+    * groups. */
+  private def subkExactPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame =
+    docs
+      .filter(!graft.functions.Sketches.hasShingles(col(textCol), shingleK))
+      .select(col(idCol), md5(col(textCol)).as("__h"),
+        length(col(textCol)).as("__len"))
+      .groupBy(col("__h"), col("__len"))
+      .agg(collect_list(col(idCol)).as("__m"))
+      .filter(size(col("__m")) > 1)
+      .select(col("__m"), posexplode(col("__m")))
+      .toDF("__m", "__i", "__x")
+      .select(col("__x"), col("__i"), posexplode(col("__m")))
+      .toDF("__x", "__i", "__j", "__y")
+      .filter(col("__i") < col("__j"))
+      .select(least(col("__x"), col("__y")).as("id_a"),
+        greatest(col("__x"), col("__y")).as("id_b"))
+
   /** MinHash signatures, computed partition-locally in one pass over each
     * document (graft.functions.Sketches) — the explode+groupBy formulation
     * would shuffle one row per (doc, shingle), which at 100 TB dwarfs the
@@ -113,8 +140,9 @@ object Dedup {
     // Shingle-less documents (shorter than k after lowercasing) all carry
     // the sentinel all-zero signature: without this filter they band-join
     // ALL-PAIRS across the corpus's sub-k docs — Θ(N²) candidates that can
-    // never verify (their pairwise Jaccard is NaN or 0). Output-identical
-    // (spec-pinned), scan-stage predicate, no extra pass.
+    // never verify (their pairwise Jaccard is NaN or 0). Scan-stage
+    // predicate, no extra pass; exact duplicates among the excluded sub-k
+    // docs are recovered by the [[subkExactPairs]] companion below.
     val base = docs.select(col(idCol), col(textCol))
       .filter(graft.functions.Sketches.hasShingles(col(textCol), shingleK))
     val grouped = base
@@ -154,7 +182,13 @@ object Dedup {
       .filter(col("__i") < col("__j"))
       .select(least(col("__x"), col("__y")).as("id_a"),
         greatest(col("__x"), col("__y")).as("id_b"), col("jaccard"))
-    (cross.unionByName(within), grouped)
+    // sub-k texts are excluded from banding above, but IDENTICAL sub-k
+    // texts are still duplicates: their exact pairs come from the
+    // hash-groupBy companion (Jaccard 1.0 by identity — the shingle
+    // kernel is undefined below k)
+    val subk = subkExactPairs(docs, idCol, textCol, shingleK)
+      .withColumn("jaccard", lit(1.0))
+    (cross.unionByName(within).unionByName(subk), grouped)
   }
 
   /** Bench receipt for the minhash ladder: (band-join candidate pairs at
@@ -200,6 +234,9 @@ object Dedup {
     val cands = minhashCandidates(sigs, idCol, bands, numHashes / bands)
     jaccardVerify(cands, eligible, idCol, textCol, shingleK)
       .filter(col("jaccard") >= threshold)
+      // identical sub-k texts: same exact-pair companion as [[minhashPairs]]
+      .unionByName(subkExactPairs(docs, idCol, textCol, shingleK)
+        .withColumn("jaccard", lit(1.0)))
   }
 
   /** 64-bit SimHash per document: bit b is the sign of Σ±1 over shingle
@@ -218,7 +255,8 @@ object Dedup {
     * under-recalling. Shingle-less documents (shorter than k) all hash
     * to the zero signature — without exclusion they'd emit hamming-0
     * "near-dup" pairs between unrelated texts AND all-pairs-join at
-    * scale, so they participate in no pairs. */
+    * scale, so they are excluded from chunking; IDENTICAL sub-k texts
+    * still pair (hamming 0) via the exact-pair companion. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
@@ -240,6 +278,10 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      // identical sub-k texts: same exact-pair companion as [[minhashPairs]]
+      // (identical text ⇒ identical simhash ⇒ hamming 0)
+      .unionByName(subkExactPairs(docs, idCol, textCol, shingleK)
+        .withColumn("hamming", lit(0)))
   }
 
   /** Connected components over an undirected near-dup pair graph — the

@@ -149,15 +149,23 @@ object Sampling {
     when(wd > 0.0, round(pow(u, lit(1.0) / wd), 9))
   }
 
-  /** Top-`k` rows per stratum under [[weightedSampleKey]] order. */
+  /** Top-`k` rows per stratum under [[weightedSampleKey]] order.
+    *
+    * Rows whose key is NULL (non-positive/NaN weight — see
+    * [[weightedSampleKey]]) are filtered BEFORE the window: row_number
+    * would otherwise still rank them (last, but kept by `<= k` when a
+    * stratum has fewer than k valid rows), contradicting the
+    * never-sampled policy for malformed weights. */
   def weightedSamplePerStratum(df: DataFrame, idCol: String, stratum: Column,
       weight: Column, salt: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum)
-      .orderBy(weightedSampleKey(col(idCol), weight, salt).desc, col(idCol))
-    df.withColumn("__wsr", row_number().over(w))
+      .orderBy(col("__wsk").desc, col(idCol))
+    df.withColumn("__wsk", weightedSampleKey(col(idCol), weight, salt))
+      .filter(col("__wsk").isNotNull)
+      .withColumn("__wsr", row_number().over(w))
       .filter(col("__wsr") <= k)
-      .drop("__wsr")
+      .drop("__wsr", "__wsk")
   }
 
   /** RENDER the packed bins of [[packSequences]] into actual training

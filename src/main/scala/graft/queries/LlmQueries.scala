@@ -1614,7 +1614,7 @@ object LlmQueries {
         |      ((('0x' || substr(md5('wsr' || CAST(doc_id AS VARCHAR)), 1, 13))
         |        ::BIGINT)::DOUBLE + 0.5) / 4503599627370496.0,
         |      1.0 / n_tokens::DOUBLE), 9) AS key
-        |  FROM t),
+        |  FROM t WHERE n_tokens > 0),
         |r AS (
         |  SELECT doc_id, source, n_tokens,
         |    row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rn

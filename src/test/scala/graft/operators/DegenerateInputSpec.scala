@@ -206,6 +206,39 @@ class DegenerateInputSpec extends AnyFunSuite with Matchers {
     ivfpq.filter(col("neighbor_id") === 3L).count() shouldBe 0L
   }
 
+  test("NaN-component embeddings: cosine NULL, excluded from quantized ANN") {
+    import graft.functions.VectorMath
+    // a NaN component makes the norm NaN, not zero: `denom == 0` missed
+    // it and `__nrm > 0` passed it (NaN > 0 is true in Spark) — the NaN
+    // cosine then outranked every real neighbor under NaN-is-greatest
+    // ordering, the exact failure the zero-norm guard exists to close
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(Float.NaN, 1.0f)),
+      (3L, Array(0.6f, 0.8f)), (4L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.1f)), (11L, Array(Float.NaN, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val cos = corpus.select(
+      VectorMath.cosine(col("embedding"), typedLit(Seq(1.0, 0.0))).as("c"))
+      .collect()
+    cos.count(_.isNullAt(0)) shouldBe 1 // the NaN row is NULL, never NaN
+    cos.filter(!_.isNullAt(0)).foreach(r => assert(!r.getDouble(0).isNaN))
+    // brute force: the NaN corpus row can never be a ranked neighbor
+    val bf = Ann.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 2)
+    bf.filter(col("neighbor_id") === 2L && col("cosine").isNotNull)
+      .count() shouldBe 0L
+    // quantized paths: NaN-norm vectors are excluded on both sides like
+    // zero-norm ones (a NaN reaching the quantizer poisons min/max stats)
+    val pq = Ann.pqTopK(queries, corpus, "vec_id", "embedding", k = 2,
+      m = 2, nCodes = 2, trainIters = 1, rerankFactor = 4)
+    pq.filter(col("query_id") === 11L).count() shouldBe 0L
+    pq.filter(col("neighbor_id") === 2L).count() shouldBe 0L
+    val ivfpq = Ann.ivfPqTopK(queries, corpus, "vec_id", "embedding", k = 2,
+      nCentroids = 2, nProbe = 2, m = 2, nCodes = 2, trainIters = 1,
+      rerankFactor = 4)
+    ivfpq.filter(col("query_id") === 11L).count() shouldBe 0L
+    ivfpq.filter(col("neighbor_id") === 2L).count() shouldBe 0L
+  }
+
   test("profile and drift over empty frames: defined, not crashing") {
     val empty = Seq.empty[(Long, String)].toDF("k", "v")
     val prof = Profile.profile(empty, Seq("k", "v"))

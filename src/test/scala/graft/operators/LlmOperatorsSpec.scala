@@ -59,9 +59,13 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
     // sanity: the copy families actually expanded
     fast.map(r => (r._1, r._2)) should contain allOf ((1L, 2L), (1L, 3L),
       (2L, 3L), (5L, 6L))
-    // shingle-less docs participate in NO pairs (no NaN passes, no
-    // all-pairs candidate blowup from the shared sentinel signature)
-    fast.exists(r => Set(7L, 8L, 9L)(r._1) || Set(7L, 8L, 9L)(r._2)) shouldBe false
+    // shingle-less docs are excluded from banding (no NaN passes, no
+    // all-pairs candidate blowup from the shared sentinel signature) —
+    // but IDENTICAL sub-k texts still pair via the exact companion
+    val subkSide = Set(7L, 8L, 9L)
+    fast.filter(r => subkSide(r._1) || subkSide(r._2))
+      .map(r => (r._1, r._2)) shouldBe Seq((7L, 8L)) // and nothing else
+    fast should contain((7L, 8L, 1.0))
     fast.forall(r => !r._3.isNaN) shouldBe true
   }
 
@@ -73,16 +77,20 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
     java.lang.Long.bitCount(sh(1L) ^ sh(3L)) should be > 10
   }
 
-  test("simhash pairs: shingle-less docs pair with nothing; radius > 3 rejected") {
+  test("simhash pairs: sub-k docs pair only on identity; radius > 3 rejected") {
     // sub-k texts all hash to the zero signature — they must not emit
-    // hamming-0 "near-dup" pairs between unrelated texts (or all-pairs
-    // band-join at scale)
+    // hamming-0 "near-dup" pairs between UNRELATED texts (or all-pairs
+    // band-join at scale); identical sub-k texts still pair at hamming 0
+    // through the exact companion
     val mixed = docs.unionByName(Seq(
       (10L, "ab"), (11L, "ab"), (12L, "xy")).toDF("doc_id", "text"))
     val pairs = Dedup.simhashPairs(mixed, "doc_id", "text")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     pairs should contain((1L, 4L)) // exact dup still found
-    pairs.exists(p => p._1 >= 10L || p._2 >= 10L) shouldBe false
+    pairs should contain((10L, 11L)) // identical sub-k texts
+    pairs.exists(p => p._1 == 12L || p._2 == 12L) shouldBe false
+    pairs.exists(p => Set(10L, 11L)(p._1) && !Set(10L, 11L)(p._2)) shouldBe false
+    pairs.exists(p => !Set(10L, 11L)(p._1) && Set(10L, 11L)(p._2)) shouldBe false
     // the 4-chunk pigeonhole cannot guarantee recall past hamming 3
     an[IllegalArgumentException] should be thrownBy
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)
