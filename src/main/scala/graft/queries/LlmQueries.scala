@@ -317,13 +317,25 @@ object LlmQueries {
     * point (rerankFactor 8) is pinned separately by a measured recall
     * floor in LlmOperatorsSpec; these near-random testdata embeddings
     * (true cosines ~0.25) are PQ's worst case, so an exact-match gate at
-    * a small pool would pin corpus noise, not operator correctness. */
+    * a small pool would pin corpus noise, not operator correctness.
+    *
+    * The exactness pool is DERIVED from the corpus size at gate-build
+    * time (`ceil(|corpus| / k)` — one bounded count, the same class of
+    * driver-side scalar as the trainers' model collects) instead of a
+    * literal sized to one SF: the gate then holds at ANY scale factor
+    * the driver points it at, and a testdata regeneration can't produce
+    * a known-red gate. */
+  private def exactRerankFactor(corpus: DataFrame, k: Int): Int =
+    math.max(1, ((corpus.count() + k - 1) / k).toInt)
+
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.embeddings(s, dir)
+    val corpus = all.filter(col("vec_id") >= 20)
     Ann.pqTopK(
-        all.filter(col("vec_id") < 20), all.filter(col("vec_id") >= 20),
+        all.filter(col("vec_id") < 20), corpus,
         "vec_id", "embedding", k = 5,
-        m = 8, nCodes = 64, trainIters = 3, rerankFactor = 96)
+        m = 8, nCodes = 64, trainIters = 3,
+        rerankFactor = exactRerankFactor(corpus, 5))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 6).as("cos_r"))
       .orderBy(col("query_id"), col("rank"))
@@ -336,11 +348,12 @@ object LlmQueries {
     * LlmOperatorsSpec. */
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.embeddings(s, dir)
+    val corpus = all.filter(col("vec_id") >= 20)
     Ann.ivfPqTopK(
-        all.filter(col("vec_id") < 20), all.filter(col("vec_id") >= 20),
+        all.filter(col("vec_id") < 20), corpus,
         "vec_id", "embedding", k = 5,
         nCentroids = 16, nProbe = 16, m = 8, nCodes = 64, trainIters = 3,
-        rerankFactor = 96)
+        rerankFactor = exactRerankFactor(corpus, 5))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 6).as("cos_r"))
       .orderBy(col("query_id"), col("rank"))
