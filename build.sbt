@@ -32,3 +32,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // by inflating Xmx here
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// The driver's bench capture keeps a tail of stdout and parses its LAST
+// line as JSON — but sbt always ends with its own "[success]" banner, so
+// the record (printed by the forked Bench JVM, which exits first) can
+// never be last. This hook runs in the SBT JVM at exit — i.e. AFTER the
+// banner — and re-prints the bare compact record iff graft.Bench wrote
+// it during this invocation (mtime guard: verify/test/compile sessions
+// never touch the file and print nothing).
+val benchRecordTail: Unit = {
+  val sbtStart = System.currentTimeMillis()
+  java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    val f = new java.io.File("bench_summary.json")
+    if (f.isFile && f.lastModified() >= sbtStart) {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try println(src.mkString.trim) finally src.close()
+      System.out.flush()
+    }
+  }))
+}
