@@ -416,23 +416,26 @@ object ScaleLadder {
     * run first. */
   val queries: Seq[String] = Seq(
     "cdc_compact_lineitem", "cdc_compact_fast", "decontam_overlap",
-    "dedup_exact", "cdc_compact", "cdc_merge_into",
+    "dedup_exact", "cdc_compact", "cdc_merge_into", "cdc_merge_big",
     "cdc_incremental_agg", "dedup_minhash", "dedup_simhash",
     "ann_topk", "ann_ivf", "text_tfidf", "text_dup_spans", "q_pagerank")
 
   /** Second-scale-point families: the compact trio whose scale receipts
     * rounds 7-8 demanded, plus the worst 10x ratio (dedup_minhash 9.34x in
     * round 11 — output-structure-attributed, which a second point either
-    * confirms or refutes). */
+    * confirms or refutes) and the big-batch bucketed MERGE regime
+    * (cdc_merge_big: >1M compacted actions into a bucketed snapshot at
+    * this point — the round-13 regime-coverage ask). */
   val queries2: Seq[String] = Seq(
     "cdc_compact_lineitem", "cdc_compact_fast", "decontam_overlap",
-    "dedup_minhash")
+    "dedup_minhash", "cdc_merge_big")
 
   /** Every table a [[queries2]] family reads: compact_lineitem scans
     * lineitem, compact_fast synthesizes from events, decontam/minhash scan
-    * documents. Materializing just these keeps the 30x build inside the
-    * bench budget. */
-  val tables2: Set[String] = Set("lineitem", "events", "documents")
+    * documents, merge_big merges lineitem-derived actions into orders.
+    * Materializing just these keeps the 30x build inside the bench
+    * budget. */
+  val tables2: Set[String] = Set("lineitem", "events", "documents", "orders")
 
   private val Stride = 1_000_000_000L
 

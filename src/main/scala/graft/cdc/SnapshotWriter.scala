@@ -122,10 +122,23 @@ object SnapshotWriter {
     * bucketed layout is the parquet analogue of the co-partitioning a
     * warehouse gets from clustering keys. */
   def publishBucketed(df: DataFrame, tableName: String,
-      bucketKeys: Seq[String], nBuckets: Int): Unit =
+      bucketKeys: Seq[String], nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A managed table's files can outlive the (in-memory) catalog entry —
+    // a previous JVM's publish leaves the warehouse directory populated
+    // while the fresh session's catalog has never heard of the table, and
+    // CTAS then refuses the non-empty location. Drop both halves first:
+    // the overwrite is the atomicity story here (the caller republishes
+    // whole), so a torn state is re-created, never read.
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tableName.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketKeys.head, bucketKeys.tail: _*)
       .sortBy(bucketKeys.head, bucketKeys.tail: _*)
       .format("parquet")
       .saveAsTable(tableName)
+  }
 }

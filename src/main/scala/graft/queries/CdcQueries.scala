@@ -251,6 +251,62 @@ object CdcQueries {
     (rel, snapshot, changelog)
   }
 
+  /** §2.1 #3 (big-batch regime) — MERGE a backfill-sized changelog into a
+    * BUCKETED snapshot through the declared big-batch pairing: the
+    * snapshot publishes bucketed on the identity key
+    * ([[SnapshotWriter.publishBucketed]]), the caller pins
+    * `broadcastChangelog = false`, and the sort-merge stages read the
+    * snapshot bucket-local — only the changelog side exchanges (the
+    * plan shape is pinned in CompactFastAndBucketSpec / PlanAuditSpec;
+    * this query is the regime's LADDER family, >400k compacted actions
+    * at the 10× point).
+    *
+    * Scenario: snapshot = orders (o_orderkey % 3 ≠ 0) with 4 columns;
+    * changelog = one compacted action per lineitem orderkey — D for
+    * % 10 = 0, else U setting o_totalprice to the order's decimal-summed
+    * extended price with o_orderpriority TOAST-unchanged (inherited when
+    * matched, NULL on the % 3 = 0 insert/orphan path, which exercises
+    * stage 2's full-outer reconciliation at volume). */
+  def cdcMergeBig(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rel = Relation("public", "orders_bk", Seq(
+      RelColumn("o_orderkey", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("o_custkey", PgTypes.Int8Oid),
+      RelColumn("o_totalprice", PgTypes.Float8Oid),
+      RelColumn("o_orderpriority", PgTypes.TextOid)))
+    SnapshotWriter.publishBucketed(
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority")),
+      "graft_orders_bk", Seq("o_orderkey"), nBuckets = 32)
+    val snapshot = s.table("graft_orders_bk")
+    val isDelete = col("l_orderkey") % 10 === 0
+    // decimal-summed so the synthesized value is order-independent and
+    // renders identically in both engines (a double sum would be
+    // partition-order-dependent)
+    val changelog = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("tp"))
+      .select(
+        lit("orders_bk").as("table"),
+        col("l_orderkey").as("lsn"),
+        lit(0).as("seq"),
+        when(isDelete, "D").otherwise("U").as("op"),
+        map(lit("o_orderkey"), col("l_orderkey").cast("string")).as("keyBefore"),
+        when(isDelete, map().cast("map<string,string>"))
+          .otherwise(map(lit("o_orderkey"), col("l_orderkey").cast("string"),
+            lit("o_totalprice"), col("tp").cast("string"))).as("values"),
+        array().cast("array<string>").as("nulls"),
+        when(isDelete, array().cast("array<string>"))
+          .otherwise(array(lit("o_orderpriority"))).as("unchanged"),
+        lit(false).as("rekey"))
+      .as[ChangeAction]
+    orderedSmall(
+      MergeInto(snapshot, changelog, rel, broadcastChangelog = false),
+      col("o_orderkey"))
+  }
+
   /** §2.1 #3b — incremental aggregate maintenance: the per-nation balance
     * aggregate stays current through the same changelog WITHOUT
     * re-aggregating the snapshot ([[IncrementalAgg]]: retract old
@@ -478,6 +534,7 @@ object CdcQueries {
     "cdc_txn_assembly" -> (cdcTxnAssembly _),
     "cdc_pgoutput_decode" -> (cdcPgoutputDecode _),
     "cdc_merge_into" -> (cdcMergeInto _),
+    "cdc_merge_big" -> (cdcMergeBig _),
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "cdc_text_cast" -> (cdcTextCast _),
     "pg_array_parse" -> (pgArrayParse _),
@@ -688,6 +745,25 @@ object CdcQueries {
         |  count(*) AS n_rows
         |FROM merged GROUP BY c_nationkey
         |ORDER BY c_nationkey NULLS FIRST""".stripMargin,
+    // matched U: totalprice from the changelog, priority inherited
+    // (TOAST-unchanged); matched D: gone; unmatched U (%3=0): insert with
+    // NULL custkey/priority; unmatched D (%30=0): vanishes
+    "cdc_merge_big" ->
+      """WITH cl AS (
+        |  SELECT l_orderkey AS key,
+        |    CASE WHEN l_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |  FROM lineitem GROUP BY l_orderkey),
+        |snap AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT coalesce(s.o_orderkey, c.key) AS o_orderkey,
+        |  s.o_custkey AS o_custkey,
+        |  CASE WHEN c.key IS NOT NULL THEN c.tp ELSE s.o_totalprice END AS o_totalprice,
+        |  s.o_orderpriority AS o_orderpriority
+        |FROM snap s FULL OUTER JOIN cl c ON s.o_orderkey = c.key
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
     "cdc_text_cast" ->
       """SELECT l_orderkey, l_linenumber,
         |  CASE WHEN (CASE WHEN l_returnflag = 'R' THEN 't' ELSE 'f' END) = 't'

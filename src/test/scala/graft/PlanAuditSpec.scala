@@ -287,4 +287,27 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .findAllMatchIn(p).map(_.group(1)).toSet
     parts.forall(c => c.startsWith("span_md5") || c.startsWith("doc_id")) shouldBe true
   }
+
+  test("big-batch MERGE into a bucketed snapshot reads the snapshot bucket-local") {
+    // the ladder family's exact plan: bucketed snapshot + pinned
+    // non-broadcast regime → sort-merge stages where the snapshot side is
+    // a bucketed scan (no exchange feeds it; only the changelog and the
+    // orphan reconciliation shuffle). At sf0.001 the tiny changelog would
+    // auto-broadcast and hide the regime, so SMJ is forced the same way
+    // a 100 TB plan would arrive at it naturally.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(queries.CdcQueries.cdcMergeBig(spark, dir))
+      p should include("SortMergeJoin")
+      p should include("Bucketed: true")
+      // the snapshot's own key attribute must never be re-hashed by an
+      // exchange: its partitioning comes from the bucketed layout (stage
+      // 1) and flows through the stage-1 join output (stage 2). The
+      // shuffles that DO exist hash changelog-derived keys (l_orderkey /
+      // __kb_* / __ka_*), which a bare-`o_orderkey#N` pattern excludes.
+      val snapshotRehash = "Exchange hashpartitioning\\(o_orderkey#".r
+      snapshotRehash.findFirstIn(p) shouldBe None
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
