@@ -155,37 +155,86 @@ object Main {
     * standby statuses the runner sends advance the slot only as far as
     * the target has applied — the reference's `committed.Set` contract
     * (stream.go:193-202). Blocks until the server ends the stream (or
-    * `stop` flips); the final partial batch flushes on the way out.
+    * `stop` flips); the final committed transactions flush on the way out.
     *
+    * The spool is TRANSACTION-ATOMIC and REDELIVERY-PROOF:
+    *
+    *  - every flush cuts at the last COMMIT in the buffer, so spool files
+    *    carry whole transactions and `spooledFloor` (max flushed commit
+    *    LSN) is txn-exact;
+    *  - the sink drops messages at or below the floor: after a severed
+    *    socket the reconnect resumes from the APPLIED position (the slot
+    *    contract — the spool is volatile, the ack must never run ahead of
+    *    the table store), and the server re-sends WAL that is already in
+    *    the spool. Without the floor those transactions land in the spool
+    *    twice and OUT OF WAL ORDER (appended after newer data), which is
+    *    how a replayed old INSERT resurrects a row deleted later — the
+    *    soak harness caught exactly that;
+    *  - an open transaction's tail is NEVER spooled on exit: its frames
+    *    are above the floor and above the ack, so the next attempt
+    *    redelivers the transaction whole.
+    *
+    * @param spooledFloor shared floor across reconnect attempts of one
+    *        pump (see [[livePump]]); messages with `lsn <= floor` are
+    *        already in the spool and are dropped, not re-appended
     * @return total messages spooled */
   def spoolFromSocket(spark: SparkSession, socket: java.net.Socket,
       messagesDir: String, session: graft.cdc.PgReplication.Session,
       appliedLsn: () => Long, spoolBatch: Int = 1000,
       stop: java.util.concurrent.atomic.AtomicBoolean =
-        new java.util.concurrent.atomic.AtomicBoolean(false)): Long = {
+        new java.util.concurrent.atomic.AtomicBoolean(false),
+      flushIntervalMs: Long = 2000L,
+      spooledFloor: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong(0L)): Long = {
     new java.io.File(messagesDir).mkdirs()
     val buf = scala.collection.mutable.Buffer.empty[WalMessage]
     var total = 0L
-    var maxSpooledLsn = 0L
-    def flush(): Unit = if (buf.nonEmpty) {
-      session.commit(appliedLsn())
-      spark.createDataset(buf.toSeq)(Encoders.product[WalMessage])
-        .coalesce(1).write.mode("append").json(messagesDir)
-      total += buf.size
-      buf.clear()
+    var lastFlushNs = System.nanoTime()
+    def flushCommitted(): Unit = {
+      val cut = buf.lastIndexWhere(_.msgType == "COMMIT")
+      if (cut >= 0) {
+        val done = buf.take(cut + 1).toSeq
+        val rest = buf.drop(cut + 1).toSeq
+        session.commit(appliedLsn())
+        spark.createDataset(done)(Encoders.product[WalMessage])
+          .coalesce(1).write.mode("append").json(messagesDir)
+        total += done.size
+        spooledFloor.set(math.max(spooledFloor.get(), done.map(_.lsn).max))
+        buf.clear(); buf ++= rest
+      }
+      lastFlushNs = System.nanoTime()
     }
+    // time-based flush alongside the size threshold: a quiet stream's tail
+    // (< spoolBatch messages, then silence) would otherwise sit in the
+    // buffer indefinitely — committed upstream, invisible to the merge —
+    // turning a low-traffic table's sync latency into "until the next
+    // burst". Checked on every frame AND on keepalives, so an idle stream
+    // flushes within one keepalive interval.
+    def flushIfStale(): Unit =
+      if (buf.nonEmpty &&
+        System.nanoTime() - lastFlushNs > flushIntervalMs * 1000000L) flushCommitted()
     val transport = new graft.cdc.SocketCopyTransport(socket)
+    // Redelivery skip is TXN-scoped, keyed on the BEGIN's commit LSN: the
+    // wire decoder stamps DML messages with lsn 0 (the assembler stamps
+    // the commit LSN at release), so a per-message lsn filter would drop
+    // every DML — the unit is the transaction, as everywhere else here.
+    var skipTxn = false
     val runner = new graft.cdc.ReplicationRunner(
       session, transport,
       sink = m => {
-        buf += m
-        maxSpooledLsn = math.max(maxSpooledLsn, m.lsn)
-        if (buf.size >= spoolBatch) flush()
+        if (m.msgType == "BEGIN") skipTxn = m.lsn <= spooledFloor.get()
+        if (!skipTxn) {
+          buf += m
+          if (buf.size >= spoolBatch) flushCommitted() else flushIfStale()
+        }
+        if (m.msgType == "COMMIT") skipTxn = false
       },
       // keepalive-only WAL advance is committable ONLY when nothing is in
       // flight: no buffered messages and everything spooled already applied
-      onProgress = lsn =>
-        if (buf.isEmpty && appliedLsn() >= maxSpooledLsn) session.commit(lsn))
+      onProgress = lsn => {
+        flushIfStale()
+        if (buf.isEmpty && appliedLsn() >= spooledFloor.get()) session.commit(lsn)
+      })
     val stopWatcher = new Thread(() => {
       while (!stop.get() && !session.isClosed) Thread.sleep(50)
       if (stop.get()) runner.requestStop()
@@ -193,7 +242,7 @@ object Main {
     stopWatcher.setDaemon(true)
     stopWatcher.start()
     runner.run()
-    flush()
+    flushCommitted()
     total
   }
 
@@ -204,22 +253,31 @@ object Main {
     * (sync_service.go Run). Each attempt resumes from the target's
     * APPLIED position (`appliedLsn`), so a reconnect never re-requests
     * WAL the table store already absorbed, and never skips WAL it
-    * hasn't. Returns total messages spooled across attempts. */
+    * hasn't — and the spooled-LSN floor carried ACROSS attempts means
+    * the redelivered applied..spooled window is dropped instead of
+    * re-appended out of order (see [[spoolFromSocket]]). A fresh pump
+    * process starts the floor at the applied position: duplicates are
+    * then possible only for the applied..spooled window of a previous
+    * process, which the merge's per-batch WAL-position dedup absorbs
+    * (StreamingMerge.applyBatch). Returns total messages spooled across
+    * attempts. */
   def livePump(spark: SparkSession, dsn: String, slot: String,
       messagesDir: String, appliedLsn: () => Long,
       stop: java.util.concurrent.atomic.AtomicBoolean,
       retryBackoffMs: Long = 5000L): Long = {
     val ep = graft.cdc.PgConnect.parseUri(dsn)
     var total = 0L
+    val floor = new java.util.concurrent.atomic.AtomicLong(appliedLsn())
     while (!stop.get()) {
       try {
         val socket = new java.net.Socket(ep.host, ep.port)
         try {
           val resume = appliedLsn()
+          floor.set(math.max(floor.get(), resume))
           graft.cdc.PgConnect.openReplication(socket, ep.config, slot, resume)
           val session = new graft.cdc.PgReplication.Session(startLsn = resume)
           total += spoolFromSocket(spark, socket, messagesDir, session,
-            appliedLsn, stop = stop)
+            appliedLsn, stop = stop, spooledFloor = floor)
         } finally socket.close()
       } catch {
         case e: Exception =>

@@ -46,7 +46,13 @@ final class JdbcStreamingMerge(
     * code `foreachBatch` runs. */
   def applyBatch(batch: Dataset[ChangeAction], batchId: Long): Unit = {
     import batch.sparkSession.implicits._
-    val rows = batch.persist()
+    // at-least-once replay protection before any fold, mirroring
+    // StreamingMerge.applyBatch: LSN-truncate at the in-database applied
+    // watermark (a replayed super-batch must not fold an already-applied
+    // prefix), then dedupe redelivered transactions by exact WAL position
+    val watermark = target.appliedLsn()
+    val rows = batch.filter(_.lsn > watermark)
+      .dropDuplicates("table", "lsn", "seq").persist()
     try {
       val touched = rows.map(_.table).distinct().collect().toSet
       if (touched.isEmpty) return

@@ -69,13 +69,34 @@ final class StreamingMerge(
     * cannot carry idempotence across restarts. */
   def applyBatch(batch: Dataset[ChangeAction], batchId: Long): Unit = {
     import batch.sparkSession.implicits._
-    val compacted = (if (simpleStreams) ChangelogCompactor.compactSimple(batch)
-                     else ChangelogCompactor.compact(batch)).cache()
+    // ---- at-least-once replay protection, BEFORE compaction ----
+    // The compactor's folds (insert-then-delete elision, rekey chains
+    // keyed at their ORIGIN identity) are valid only for all-or-nothing
+    // application. A batch REPLAYED after a lost checkpoint can span
+    // several originally-applied batches: folding an already-applied
+    // prefix into the same compaction then loses work — an I..D pair
+    // whose I was applied elides, leaving the row resurrected; a rekey
+    // chain whose first hop was applied compacts to the origin key and
+    // misses the row at its intermediate identity (the soak harness
+    // caught both). The reference never faces this because resumption is
+    // LSN-truncated at the source (WAL re-reads from the acknowledged
+    // position); we restore the same invariant here: drop everything at
+    // or below the applied watermark BEFORE folding. Commit LSNs are
+    // per-transaction, so the cut never splits a transaction.
+    val watermark = commitLog.lastLsn.getOrElse(Long.MinValue)
+    // Exact-duplicate dedup by WAL position for redelivered transactions
+    // ABOVE the watermark (a cross-process pump restart can re-spool the
+    // applied..spooled window): two actions sharing (table, lsn, seq) ARE
+    // the same action, and two copies in one fold are an impossible
+    // (I,I)/(D,D) per-key sequence the compactor correctly refuses.
+    val fresh = batch.filter(_.lsn > watermark)
+      .dropDuplicates("table", "lsn", "seq")
+    val compacted = (if (simpleStreams) ChangelogCompactor.compactSimple(fresh)
+                     else ChangelogCompactor.compact(fresh)).cache()
     try {
       val touched = compacted.map(_.table).distinct().collect().toSeq.sorted
       if (touched.isEmpty) return
       val maxLsn = compacted.map(_.lsn).reduce(math.max(_, _))
-      val watermark = commitLog.lastLsn.getOrElse(Long.MinValue)
       if (maxLsn <= watermark) return // replayed batch: already applied
       // stage every table first …
       val staged = touched.map { table =>

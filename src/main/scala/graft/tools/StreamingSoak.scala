@@ -1,0 +1,471 @@
+package graft.tools
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong, AtomicReference}
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+
+import graft.cdc._
+import graft.streaming.CommitLog
+
+/** Sustained-load soak of the full single-process live pipeline:
+  *
+  *   scripted loopback "postgres" (pgoutput WAL generator)
+  *     → `Main.livePump` (connect/auth/START_REPLICATION → spool + ack)
+  *     → file-source micro-batches → `StatefulAssembler` (keyed state)
+  *     → supervised `StreamingMerge` (compact → MERGE → atomic publish
+  *       → commit-log acknowledge)
+  *
+  * with a mid-soak CRASH (streaming checkpoint destroyed + replication
+  * socket severed) that forces the at-least-once replay path end-to-end:
+  * the pump reconnects and re-requests WAL from the APPLIED position, the
+  * fresh stream re-reads the whole spool, and the LSN-watermarked
+  * idempotent merge must converge to the generator's tracked final state
+  * byte-for-byte — the production proof of the reference's
+  * at-least-once + idempotent-apply ≡ exactly-once contract
+  * (sync/stream/stream.go acknowledge loop) and of the replay-idempotent
+  * rekey merge (MergeInto stage 2) under load, not just in unit fixtures.
+  *
+  * The generated stream exercises every hard decode/merge path at volume:
+  * inserts, full-row updates, TOAST-unchanged columns (CellUnchanged),
+  * identity-changing updates ('K' old tuple → rekey), and deletes, over a
+  * bounded keyspace tracked to an expected final state.
+  *
+  * Server-side wire framing mirrors the spec kit
+  * (test/graft/cdc/PgWireTestKit.scala) — backend protocol v3, trust auth,
+  * IDENTIFY_SYSTEM, COPY BOTH — plus real slot semantics: the WAL buffer
+  * truncates below the acknowledged apply position and a reconnect resumes
+  * from the requested LSN, so an ack that ran ahead of the table store
+  * would LOSE data and fail the convergence check loudly.
+  *
+  * Usage: runMain graft.tools.StreamingSoak [durationSec] [actionsPerSec]
+  * (defaults 120 / 2000). Prints one JSON receipt line and writes
+  * `soak_receipt.json`.
+  */
+object StreamingSoak {
+
+  // ---- backend wire helpers (see PgWireTestKit) ----
+  private def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
+  private def i32(v: Int): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def sendMsg(out: DataOutputStream, t: Char, body: Array[Byte]): Unit = {
+    out.writeByte(t); out.writeInt(body.length + 4); out.write(body); out.flush()
+  }
+  private def readMsg(in: DataInputStream): (Char, Array[Byte]) = {
+    val t = in.read()
+    if (t < 0) throw new java.io.EOFException("client gone")
+    val len = in.readInt()
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    (t.toChar, body)
+  }
+  private def readStartup(in: DataInputStream): Unit = {
+    val len = in.readInt()
+    in.readFully(new Array[Byte](len - 4))
+  }
+  private def rowDesc(names: String*): Array[Byte] = {
+    val b = new ByteArrayOutputStream(); val d = new DataOutputStream(b)
+    d.writeShort(names.size)
+    names.foreach { n =>
+      d.write(cstr(n)); d.writeInt(0); d.writeShort(0); d.writeInt(25)
+      d.writeShort(-1); d.writeInt(-1); d.writeShort(0)
+    }
+    b.toByteArray
+  }
+  private def dataRow(vals: String*): Array[Byte] = {
+    val b = new ByteArrayOutputStream(); val d = new DataOutputStream(b)
+    d.writeShort(vals.size)
+    vals.foreach { v => val vb = v.getBytes(UTF_8); d.writeInt(vb.length); d.write(vb) }
+    b.toByteArray
+  }
+  private def sendCopyData(out: DataOutputStream, payload: Array[Byte]): Unit = {
+    out.writeByte('d'); out.writeInt(payload.length + 4); out.write(payload)
+  }
+
+  private val RelId = 7001
+  private val Rel = Relation("public", "users", Seq(
+    RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+    RelColumn("name", PgTypes.TextOid),
+    RelColumn("bal", PgTypes.Float8Oid)))
+
+  /** One generated transaction: its commit LSN and the raw pgoutput
+    * frames (Relation frame included every txn so a reconnect's fresh
+    * decoder always has the schema before the first DML). */
+  private final case class Txn(commitLsn: Long, frames: Seq[Array[Byte]])
+
+  /** WAL generator + expected-state tracker. Single-threaded (the
+    * replication stream is ordered by contract); all mutation under
+    * `this.synchronized`. */
+  private final class Generator(seed: Long, txnSize: Int) {
+    private val rnd = new java.util.Random(seed)
+    private var lsn = 10L
+    private var nextId = 1L
+    // expected end state after sequentially applying every action
+    val state = scala.collection.mutable.LinkedHashMap.empty[Long, (String, Double)]
+    private val live = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // retained WAL: truncated below the acked APPLY position (slot
+    // semantics); a connection resumes from the first txn past its
+    // requested LSN
+    val wal = scala.collection.mutable.ArrayBuffer.empty[Txn]
+    var actions = 0L
+    var txns = 0L
+    var rekeys = 0L
+    var toastUnchanged = 0L
+    var deletes = 0L
+    def maxLsn: Long = this.synchronized { lsn }
+
+    def genTxn(): Unit = this.synchronized {
+      val xid = txns + 100
+      lsn += 10
+      val commit = lsn
+      val dmls = (0 until txnSize).map { _ =>
+        val roll = rnd.nextInt(100)
+        if (live.isEmpty || roll < 30) { // INSERT a fresh key
+          val id = nextId; nextId += 1
+          val (nm, bal) = (s"u$id", (rnd.nextInt(100000) / 100.0))
+          live += id; state(id) = (nm, bal)
+          actions += 1
+          PgOutput.encodeInsert(RelId, Seq(
+            PgOutput.CellText(id.toString), PgOutput.CellText(nm),
+            PgOutput.CellText(bal.toString)))
+        } else if (roll < 75) { // full-row UPDATE
+          val id = live(rnd.nextInt(live.size))
+          val (nm, _) = state(id)
+          val bal = rnd.nextInt(100000) / 100.0
+          state(id) = (nm, bal)
+          actions += 1
+          PgOutput.encodeUpdate(RelId, None, Seq(
+            PgOutput.CellText(id.toString), PgOutput.CellText(nm),
+            PgOutput.CellText(bal.toString)))
+        } else if (roll < 85) { // UPDATE with TOAST-unchanged name
+          val id = live(rnd.nextInt(live.size))
+          val (nm, _) = state(id)
+          val bal = rnd.nextInt(100000) / 100.0
+          state(id) = (nm, bal) // name survives through the unchanged marker
+          actions += 1; toastUnchanged += 1
+          PgOutput.encodeUpdate(RelId, None, Seq(
+            PgOutput.CellText(id.toString), PgOutput.CellUnchanged,
+            PgOutput.CellText(bal.toString)))
+        } else if (roll < 93) { // identity-changing UPDATE (rekey)
+          val idx = rnd.nextInt(live.size)
+          val oldId = live(idx)
+          val newId = nextId; nextId += 1
+          val (nm, _) = state(oldId)
+          val bal = rnd.nextInt(100000) / 100.0
+          live(idx) = newId
+          state.remove(oldId); state(newId) = (nm, bal)
+          actions += 1; rekeys += 1
+          PgOutput.encodeUpdate(RelId,
+            Some(('K', Seq(PgOutput.CellText(oldId.toString),
+              PgOutput.CellNull, PgOutput.CellNull))),
+            Seq(PgOutput.CellText(newId.toString), PgOutput.CellText(nm),
+              PgOutput.CellText(bal.toString)))
+        } else { // DELETE
+          val idx = rnd.nextInt(live.size)
+          val id = live(idx)
+          live(idx) = live.last; live.dropRightInPlace(1)
+          state.remove(id)
+          actions += 1; deletes += 1
+          PgOutput.encodeDelete(RelId, 'K', Seq(
+            PgOutput.CellText(id.toString), PgOutput.CellNull, PgOutput.CellNull))
+        }
+      }
+      val frames =
+        PgOutput.encodeBegin(commit, 0L, xid) +:
+        PgOutput.encodeRelation(RelId, Rel) +:
+        dmls :+
+        PgOutput.encodeCommit(commit, commit, 0L)
+      wal += Txn(commit, frames)
+      txns += 1
+    }
+
+    def truncateBelow(ackedLsn: Long): Unit = this.synchronized {
+      val keep = wal.dropWhile(_.commitLsn <= ackedLsn)
+      wal.clear(); wal ++= keep
+    }
+    def txnsAfter(resume: Long): Seq[Txn] = this.synchronized {
+      wal.filter(_.commitLsn > resume).toSeq
+    }
+    def retainedTxns: Int = this.synchronized { wal.size }
+    def expected: Map[Long, (String, Double)] = this.synchronized { state.toMap }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val durationSec = args.headOption.map(_.toInt).getOrElse(120)
+    val rate = args.drop(1).headOption.map(_.toInt).getOrElse(2000)
+    val killFraction = args.drop(2).headOption.map(_.toDouble).getOrElse(0.5)
+    val txnSize = 10
+    val spark: SparkSession = graft.GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+    val receipt = run(spark, durationSec, rate, txnSize,
+      killAtFraction = killFraction, writeReceiptFile = true)
+    println(receipt)
+    spark.stop()
+  }
+
+  /** Drives the soak; returns the JSON receipt. Extracted so a smoke spec
+    * can run a short soak in-process. */
+  def run(spark: SparkSession, durationSec: Int, rate: Int, txnSize: Int,
+      killAtFraction: Double, writeReceiptFile: Boolean): String = {
+    val base = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    System.err.println(s"[soak] workdir: $base")
+    val messagesDir = s"$base/messages"
+    val tablesBase = s"$base/tables"
+    val ckptBase = s"$base/ckpt"
+    val gen = new Generator(seed = 20260814L, txnSize = txnSize)
+    val ackedApply = new AtomicLong(0L)
+    val acceptCount = new AtomicLong(0L)
+    val stopServer = new AtomicBoolean(false)
+    val activeSocket = new AtomicReference[Socket](null)
+
+    // ---- loopback replication server (accept loop: survives reconnects) ----
+    val server = new ServerSocket(0)
+    val serverThread = new Thread(() => {
+      while (!stopServer.get()) {
+        try {
+          val s = server.accept()
+          activeSocket.set(s)
+          acceptCount.incrementAndGet()
+          try handleConnection(s, gen, ackedApply)
+          catch { case _: Throwable => () } // severed socket: await reconnect
+          finally { try s.close() catch { case _: Throwable => () } }
+        } catch { case _: Throwable => () } // accept interrupted by close
+      }
+    }, "soak-pg-server")
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    // ---- generator at a fixed offered rate ----
+    val stopGen = new AtomicBoolean(false)
+    val genThread = new Thread(() => {
+      val txnsPerSec = math.max(1, rate / txnSize)
+      val nsPerTxn = 1000000000L / txnsPerSec
+      var next = System.nanoTime()
+      while (!stopGen.get()) {
+        gen.genTxn()
+        next += nsPerTxn
+        val sleepNs = next - System.nanoTime()
+        if (sleepNs > 0) Thread.sleep(sleepNs / 1000000L, (sleepNs % 1000000L).toInt)
+      }
+    }, "soak-generator")
+    genThread.setDaemon(true)
+    genThread.start()
+
+    // ---- live pump (connect → spool → ack), supervised reconnect ----
+    val commitLog = new CommitLog(spark, s"$tablesBase/_commitlog")
+    val stopPump = new AtomicBoolean(false)
+    val pumped = new AtomicLong(0L)
+    val pumpThread = new Thread(() => pumped.set(graft.Main.livePump(
+      spark, s"postgres://graft@127.0.0.1:${server.getLocalPort}/soak",
+      slot = "soak", messagesDir = messagesDir,
+      appliedLsn = () => commitLog.lastLsn.getOrElse(0L),
+      stop = stopPump, retryBackoffMs = 300L)), "soak-pump")
+    pumpThread.setDaemon(true)
+    pumpThread.start()
+
+    // ---- supervised merge loop ----
+    val cfg = graft.SyncConfig(Seq(Rel), tablesBase, ckptBase,
+      batchTimeout = "2 seconds")
+    def startStream(sync: graft.GraftSync) = sync.startFromMessages(
+      spark.readStream
+        .schema(Encoders.product[WalMessage].schema)
+        .option("maxFilesPerTrigger", 50)
+        .json(messagesDir)
+        .as(Encoders.product[WalMessage]),
+      streamName = "soak")
+    // the file source needs ≥1 file at start
+    new java.io.File(messagesDir).mkdirs()
+    var sync = new graft.GraftSync(spark, cfg)
+    var q = startStream(sync)
+
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    val killAt = durationSec * killAtFraction
+    var maxStateRows = 0L
+    var killed = false
+    var reconnectsBeforeKill = 0L
+    var streamRestarts = 0L
+    var lastStreamError = ""
+    // supervision-lite, mirroring Supervisor.runForever: a died stream
+    // (foreachBatch failure) restarts on the same checkpoint and is
+    // COUNTED — a green soak must end with zero unexpected restarts
+    def superviseTick(): Unit = if (!q.isActive) {
+      lastStreamError = Option(q.exception.map(_.getMessage).orNull)
+        .getOrElse("").replace('"', '\'').take(200)
+      streamRestarts += 1
+      q = startStream(sync)
+    }
+    while (elapsed < durationSec) {
+      Thread.sleep(1000)
+      superviseTick()
+      // slot semantics: retain only WAL the standby has not ACKED (the
+      // pump acks the applied position, so this equals the commit log —
+      // but using the slot-level ack is the faithful contract, and an ack
+      // running ahead of the table store would LOSE data here and fail
+      // the convergence check)
+      gen.truncateBelow(ackedApply.get())
+      Option(q.lastProgress).foreach { p =>
+        p.stateOperators.foreach(so => maxStateRows = math.max(maxStateRows, so.numRowsTotal))
+      }
+      if (!killed && elapsed >= killAt) {
+        killed = true
+        reconnectsBeforeKill = acceptCount.get()
+        // CRASH: stop the stream mid-flight, destroy its checkpoint (the
+        // batch-id lineage is gone — everything in the spool re-reads),
+        // and sever the replication socket (the pump reconnects and
+        // re-requests WAL from the applied LSN)
+        try q.stop() catch { case _: Throwable => () }
+        val ckpt = new org.apache.hadoop.fs.Path(ckptBase)
+        val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(ckpt)) fs.delete(ckpt, true)
+        Option(activeSocket.get()).foreach(s =>
+          try s.close() catch { case _: Throwable => () })
+        sync = new graft.GraftSync(spark, cfg)
+        q = startStream(sync)
+      }
+    }
+
+    // ---- quiesce: offered WAL fully applied ----
+    stopGen.set(true)
+    genThread.join(5000)
+    val targetLsn = gen.maxLsn
+    val quiesceDeadline = System.nanoTime() + 180L * 1000000000L
+    var quiesced = false
+    while (!quiesced && System.nanoTime() < quiesceDeadline) {
+      Thread.sleep(1000)
+      superviseTick()
+      quiesced = commitLog.lastLsn.getOrElse(0L) >= targetLsn
+    }
+    val wallToQuiesce = (System.nanoTime() - t0) / 1e9
+    try q.stop() catch { case _: Throwable => () }
+    stopPump.set(true)
+    stopServer.set(true)
+    try server.close() catch { case _: Throwable => () }
+    Option(activeSocket.get()).foreach(s => try s.close() catch { case _: Throwable => () })
+    pumpThread.join(10000)
+
+    // ---- convergence: table state ≡ generator's tracked expectation ----
+    val expected = gen.expected
+    val actual = sync.table("users")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    val missing = expected.keySet.diff(actual.keySet).size
+    val extraKeys = actual.keySet.diff(expected.keySet)
+    val extra = extraKeys.size
+    if (extra > 0) {
+      System.err.println(s"[soak] sample extra keys: ${extraKeys.toSeq.sorted.take(20)}")
+      // post-mortem: the full spooled action history of a few extra keys
+      import org.apache.spark.sql.functions.{col, element_at}
+      val spool = spark.read
+        .schema(Encoders.product[WalMessage].schema).json(messagesDir)
+      extraKeys.toSeq.sorted.take(3).foreach { k =>
+        val hist = spool.filter(
+            element_at(col("keyBefore"), "id") === k.toString ||
+            element_at(col("values"), "id") === k.toString)
+          .select("xid", "seq", "msgType", "lsn", "keyBefore", "values", "rekey")
+          .collect()
+        System.err.println(s"[soak] history of extra key $k:")
+        hist.sortBy(r => (r.getLong(3), r.getInt(1)))
+          .foreach(r => System.err.println(s"[soak]   $r"))
+      }
+    }
+    val wrong = expected.count { case (k, v) => actual.get(k).exists(_ != v) }
+    val converged = missing == 0 && extra == 0 && wrong == 0 && quiesced
+
+    def dirBytes(p: String): Long = {
+      val f = new java.io.File(p)
+      if (!f.exists()) 0L
+      else java.nio.file.Files.walk(f.toPath).filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+    }
+    val receipt =
+      s"""{"metric":"graft_soak","converged":$converged,"duration_sec":$durationSec,""" +
+      s""""wall_to_quiesce_sec":${math.rint(wallToQuiesce * 10) / 10},""" +
+      s""""offered_rate_actions_sec":$rate,"txns":${gen.txns},"actions":${gen.actions},""" +
+      s""""rekeys":${gen.rekeys},"toast_unchanged":${gen.toastUnchanged},"deletes":${gen.deletes},""" +
+      s""""applied_actions_per_sec":${math.rint(gen.actions / wallToQuiesce * 10) / 10},""" +
+      s""""messages_pumped":${pumped.get()},"final_rows":${actual.size},""" +
+      s""""expected_rows":${expected.size},"missing":$missing,"extra":$extra,"wrong":$wrong,""" +
+      s""""commit_log_lsn":${commitLog.lastLsn.getOrElse(0L)},"target_lsn":$targetLsn,""" +
+      s""""kill_at_sec":${math.rint(killAt * 10) / 10},"reconnects":${acceptCount.get()},""" +
+      s""""reconnects_before_kill":$reconnectsBeforeKill,""" +
+      s""""stream_restarts":$streamRestarts,"last_stream_error":"$lastStreamError",""" +
+      s""""max_assembler_state_rows":$maxStateRows,""" +
+      s""""spool_bytes":${dirBytes(messagesDir)},"checkpoint_bytes":${dirBytes(ckptBase)},""" +
+      s""""tables_bytes":${dirBytes(tablesBase)},""" +
+      s""""wal_retained_txns":${gen.retainedTxns}}"""
+    if (writeReceiptFile)
+      java.nio.file.Files.write(java.nio.file.Paths.get("soak_receipt.json"),
+        (receipt + "\n").getBytes("UTF-8"))
+    receipt
+  }
+
+  /** One accepted connection: bootstrap + COPY BOTH streaming from the
+    * retained WAL at the requested resume LSN; a reader thread absorbs
+    * standby statuses into the acked-apply position. */
+  private def handleConnection(s: Socket, gen: Generator,
+      ackedApply: AtomicLong): Unit = {
+    val in = new DataInputStream(s.getInputStream)
+    val out = new DataOutputStream(s.getOutputStream)
+    readStartup(in)
+    sendMsg(out, 'R', i32(0)) // AuthenticationOk (trust)
+    sendMsg(out, 'S', cstr("server_version") ++ cstr("16.3"))
+    sendMsg(out, 'K', i32(1) ++ i32(2))
+    sendMsg(out, 'Z', Array('I'.toByte))
+    // IDENTIFY_SYSTEM
+    val (t1, _) = readMsg(in)
+    require(t1 == 'Q', s"expected IDENTIFY_SYSTEM, got '$t1'")
+    sendMsg(out, 'T', rowDesc("systemid", "timeline", "xlogpos", "dbname"))
+    sendMsg(out, 'D', dataRow("7", "1", Lsn.format(gen.maxLsn), "soak"))
+    sendMsg(out, 'C', cstr("SELECT 1"))
+    sendMsg(out, 'Z', Array('I'.toByte))
+    // START_REPLICATION … LOGICAL X/Y …
+    val (t2, q2) = readMsg(in)
+    require(t2 == 'Q', s"expected START_REPLICATION, got '$t2'")
+    val sql = new String(q2, 0, q2.length - 1, UTF_8)
+    val resume = "LOGICAL ([0-9A-Fa-f]+/[0-9A-Fa-f]+)".r.findFirstMatchIn(sql)
+      .map(m => Lsn.parse(m.group(1))).getOrElse(0L)
+    sendMsg(out, 'W', Array[Byte](0, 0, 0)) // CopyBothResponse
+
+    val connOpen = new AtomicBoolean(true)
+    val reader = new Thread(() => {
+      try while (connOpen.get()) {
+        val (t, b) = readMsg(in)
+        if (t == 'd' && b.nonEmpty && b(0) == 'r'.toByte)
+          ackedApply.set(PgReplication.decodeStandbyStatus(b).walApply)
+      } catch { case _: Throwable => connOpen.set(false) }
+    })
+    reader.setDaemon(true)
+    reader.start()
+
+    var resumeLsn = resume
+    var lastKeepalive = System.nanoTime()
+    try {
+      while (connOpen.get()) {
+        // position tracks by LSN, immune to truncation shifting indices
+        val txns = gen.txnsAfter(resumeLsn)
+        txns.foreach { txn =>
+          txn.frames.foreach { p =>
+            sendCopyData(out, PgReplication.encodeXLogData(
+              txn.commitLsn, gen.maxLsn, 0L, p))
+          }
+          resumeLsn = txn.commitLsn
+        }
+        out.flush()
+        if (txns.isEmpty) Thread.sleep(20)
+        if (System.nanoTime() - lastKeepalive > 1000000000L) {
+          sendCopyData(out, PgReplication.encodePrimaryKeepalive(
+            gen.maxLsn, 0L, replyRequested = true))
+          out.flush()
+          lastKeepalive = System.nanoTime()
+        }
+      }
+    } finally {
+      connOpen.set(false)
+      try s.close() catch { case _: Throwable => () }
+    }
+  }
+}

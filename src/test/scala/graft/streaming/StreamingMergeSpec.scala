@@ -97,6 +97,38 @@ class StreamingMergeSpec extends AnyFunSuite with Matchers {
     sm.commitLog.lastLsn shouldBe Some(9L)
   }
 
+  test("replayed super-batch spanning the watermark converges (no resurrection)") {
+    // After a lost streaming checkpoint the whole spool re-reads as one
+    // big batch that SPANS several originally-applied batches. Folding the
+    // already-applied prefix into the same compaction loses work: an I..D
+    // pair whose I was applied elides (row resurrected), and a rekey chain
+    // whose first hop was applied compacts to its ORIGIN key and strands
+    // the row at its intermediate identity. The watermark LSN-truncates
+    // the batch BEFORE the fold, restoring the reference's
+    // resume-from-acknowledged-position invariant.
+    val base = tmp()
+    val sm = new StreamingMerge(spark, base, Seq(rel), s"$base/_log")
+    val rekeyHop = ChangeAction("items", 20, 0, "U", Map("id" -> "1"),
+      Map("id" -> "2", "name" -> "a2"), Nil, Nil, rekey = true)
+    // batch 0: insert 1, insert 5, rekey 1 -> 2 (applied, watermark 20)
+    sm.applyBatch(Seq(
+      action("items", 10, "I", 1, "a"),
+      action("items", 15, "I", 5, "e"),
+      rekeyHop).toDS(), batchId = 0)
+    tableRows(base, "items") shouldBe Set((2L, "a2"), (5L, "e"))
+    // replayed super-batch: the FULL history again, now also carrying the
+    // delete of 2 and the delete of 5 (lsns past the watermark)
+    sm.applyBatch(Seq(
+      action("items", 10, "I", 1, "a"),
+      action("items", 15, "I", 5, "e"),
+      rekeyHop,
+      action("items", 30, "D", 2),
+      action("items", 35, "D", 5)).toDS(), batchId = 0)
+    // pre-fix, the I(5)+D(5) pair elided (5 resurrected) and the chain
+    // I(1)+rekey+D(2) folded to an unmatched D(1) (2 survived)
+    tableRows(base, "items") shouldBe Set.empty
+  }
+
   test("simpleStreams fast path produces the same merged state") {
     val base = tmp()
     val sm = new StreamingMerge(spark, base, Seq(rel), s"$base/_log", simpleStreams = true)
