@@ -244,6 +244,19 @@ object BenchProbe {
         timed("full stats (island windows)")(
           noop(SpanDedup.duplicatedSpanStats(docs, "doc_id", "text", k = 8)))
 
+      case "cpuwatch" => // the r12 watch item: text_tfidf / text_dup_spans
+        // task-CPU at the 10x point moved 31.7->45.0 / 17.3->35.6 s on
+        // bit-identical shuffle bytes. This family re-times the EXACT
+        // gated queries (bench determinism-sort flag mirrored) so a quiet
+        // window either reproduces the growth (plan problem) or pins it
+        // on host CPU-steal (receipt either way).
+        spark.conf.set("spark.graft.bench.noDeterminismSort", "true")
+        Seq("text_tfidf", "text_dup_spans").foreach { name =>
+          val fn = SparkEntry.queries(name)
+          timed(s"$name warm+1")(noop(fn(spark, sfDir)))
+          timed(s"$name steady")(noop(fn(spark, sfDir)))
+        }
+
       case "materialize" => // build the ladder dir by hand:
         // runMain graft.BenchProbe materialize <srcSfDir> [factor]
         val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
