@@ -153,21 +153,49 @@ object ChangelogCompactor extends Serializable {
     * chain-capable) hot partition and as the test oracle. */
   def sequentialDedup(in: Seq[ChangeAction]): Seq[ChangeAction] = {
     val rowMap = scala.collection.mutable.LinkedHashMap.empty[String, ChangeAction]
+    // Deletes displaced by DEAD-IDENTITY REUSE: a rekey INTO an identity
+    // the batch previously deleted (D(k2) … U(k1→k2)) stores its entry at
+    // the D's slot — the map is keyed by CURRENT identity, and the dead
+    // row has no current identity to keep it addressable. Overwriting
+    // silently would drop the delete from the compacted batch and the
+    // target would keep BOTH the old k2 row and the moved one. Displaced
+    // deletes are final (their row is dead; nothing can merge with them)
+    // and move to this buffer instead. NOTE this relaxes the
+    // "after-keys unique" output invariant to "at most one NON-DELETE per
+    // after-key": MergeInto applies the (D, rekey-in) pair correctly
+    // because each snapshot row meets each action independently.
+    val displaced = scala.collection.mutable.Buffer.empty[ChangeAction]
+    def store(slot: String, a: ChangeAction): Unit = rowMap.get(slot) match {
+      case None => rowMap(slot) = a
+      case Some(occupant) if occupant.op == "D" =>
+        // incoming claim on a dead identity: the delete is final
+        displaced += occupant; rowMap(slot) = a
+      case Some(_) if a.op == "D" =>
+        // the incoming is a chain-collapsed delete keyed at its ORIGIN
+        // identity, which a fresh live row (inserted after the origin was
+        // freed mid-batch) now occupies — the delete is final and the
+        // LIVE entry must stay addressable for later actions
+        displaced += a
+      case Some(_) =>
+        throw new IllegalStateException(
+          s"two live rows claim identity ${a.keyAfter} in ${a.table}")
+    }
     in.sortBy(a => (a.lsn, a.seq)).foreach { action =>
       rowMap.get(keyStr(action.keyBefore)) match {
         case None =>
-          rowMap(keyStr(action.keyAfter)) = action
+          store(keyStr(action.keyAfter), action)
         case Some(existing) =>
           mergeActions(existing, action) match {
             case None => rowMap.remove(keyStr(existing.keyAfter))
             case Some(merged) =>
-              if (keyStr(merged.keyAfter) != keyStr(existing.keyAfter))
-                rowMap.remove(keyStr(existing.keyAfter))
-              rowMap(keyStr(merged.keyAfter)) = merged
+              // remove the superseded entry unconditionally so `store`'s
+              // occupant check never sees the entry being replaced
+              rowMap.remove(keyStr(existing.keyAfter))
+              store(keyStr(merged.keyAfter), merged)
           }
       }
     }
-    rowMap.values.toSeq
+    rowMap.values.toSeq ++ displaced
   }
 
   /** Hot-key collection guard: above this many distinct rekey endpoints the

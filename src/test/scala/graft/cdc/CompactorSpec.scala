@@ -90,6 +90,21 @@ class CompactorSpec extends AnyFunSuite with Matchers {
     out.map(a => ChangelogCompactor.keyStr(a.keyAfter)).toSet should have size 2
   }
 
+  test("rekey into a deleted identity keeps the displaced delete") {
+    // D(k2) then U(k1→k2): the rekey's entry lands on the dead identity's
+    // map slot — silently overwriting would drop the delete and the
+    // target would keep BOTH the old k2 row and the moved one
+    val out = ChangelogCompactor.sequentialDedup(Seq(
+      act(1, "D", "k2"),
+      act(2, "U", "k1", "a", newKey = "k2")))
+    out should have size 2
+    val d = out.find(_.op == "D").get
+    d.keyBefore shouldBe Map("id" -> "k2")
+    val u = out.find(_.op == "U").get
+    u.keyBefore shouldBe Map("id" -> "k1")
+    u.keyAfter shouldBe Map("id" -> "k2")
+  }
+
   // ---- distributed ≡ sequential (property) ----
 
   /** Generate a valid interleaved WAL stream over `nKeys` logical rows,
@@ -174,13 +189,76 @@ class CompactorSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("compacted actions touch independent rows (after-keys unique)") {
+  test("compacted actions touch independent rows (non-delete after-keys unique)") {
     val spark = TestSpark.spark
     import spark.implicits._
     samples(genStream(5, 30, withRekey = true), 5).foreach { stream =>
       val got = ChangelogCompactor.compact(stream.toDS()).collect()
-      val keys = got.map(a => ChangelogCompactor.keyStr(a.keyAfter))
-      keys.toSet.size shouldBe keys.length
+      // a dead-identity-reuse pair (displaced D + rekey-in) legitimately
+      // shares an after-key; at most one NON-DELETE action may claim it
+      val nonDel = got.filterNot(_.op == "D").map(a => ChangelogCompactor.keyStr(a.keyAfter))
+      nonDel.toSet.size shouldBe nonDel.length
+    }
+  }
+
+  // ---- END-TO-END semantics: compact + MERGE ≡ sequential row model ----
+
+  /** Sequential truth: fold the raw stream row-by-row into (id → val). */
+  private def rowModel(stream: Seq[ChangeAction]): Map[String, Option[String]] = {
+    val st = scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
+    stream.sortBy(a => (a.lsn, a.seq)).foreach { a =>
+      val k = a.keyBefore("id")
+      def newVal(old: Option[String]): Option[String] =
+        if (a.unchanged.contains("val")) old
+        else if (a.nulls.contains("val")) None
+        else a.values.get("val").orElse(old)
+      a.op match {
+        case "I" => st(k) = newVal(None)
+        case "U" =>
+          val old: Option[String] = st.remove(k).getOrElse(None)
+          st(a.keyAfter("id")) = newVal(old)
+        case "D" => st.remove(k)
+      }
+    }
+    st.toMap
+  }
+
+  private val relT = Relation("public", "t", Seq(
+    RelColumn("id", PgTypes.TextOid, isIdentity = true),
+    RelColumn("val", PgTypes.TextOid)))
+
+  private def mergedRows(batches: Seq[Seq[ChangeAction]]): Map[String, Option[String]] = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val schema = relT.toStructType
+    var snap = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    batches.foreach { b =>
+      snap = MergeInto(snap, ChangelogCompactor.compact(b.toDS()), relT)
+        .localCheckpoint(true)
+    }
+    snap.collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+  }
+
+  test("compact + MERGE over a full valid stream ≡ sequential row model (incl. rekeys)") {
+    // THE semantic gate for the whole compaction+merge pipeline: whatever
+    // the fold emits, applying it must land the same final table as
+    // playing the raw stream row-by-row — including rekey chains and
+    // dead-identity reuse (a displaced delete plus a rekey-in sharing an
+    // after-key must net exactly one surviving row)
+    samples(genStream(5, 30, withRekey = true), 6).foreach { stream =>
+      mergedRows(Seq(stream)) shouldBe rowModel(stream)
+    }
+  }
+
+  test("compact + MERGE applied in split batches ≡ sequential row model") {
+    // the production incremental shape: the same stream cut into two
+    // micro-batches at an arbitrary boundary must converge identically
+    // (chains and reuse pairs SPLIT across the cut)
+    samples(genStream(5, 30, withRekey = true), 4).foreach { stream =>
+      val sorted = stream.sortBy(a => (a.lsn, a.seq))
+      val cut = sorted.size / 2
+      mergedRows(Seq(sorted.take(cut), sorted.drop(cut))) shouldBe rowModel(stream)
     }
   }
 
