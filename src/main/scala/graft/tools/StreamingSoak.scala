@@ -105,6 +105,19 @@ object StreamingSoak {
     // expected end state after sequentially applying every action
     val state = scala.collection.mutable.LinkedHashMap.empty[Long, (String, Double)]
     private val live = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // freed identities (deleted or rekeyed-away), available for REUSE:
+    // inserts and rekeys occasionally claim a dead identity, exercising
+    // the (D,I) merge and the displaced-delete compaction paths end to
+    // end (dead-identity reuse is where a silent map-slot overwrite in
+    // the compactor lost deletes — keep the load on it)
+    private val graveyard = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private def claimIdentity(reuseP: Int): Long =
+      if (graveyard.nonEmpty && rnd.nextInt(100) < reuseP) {
+        val i = rnd.nextInt(graveyard.size)
+        val id = graveyard(i)
+        graveyard(i) = graveyard.last; graveyard.dropRightInPlace(1)
+        id
+      } else { val id = nextId; nextId += 1; id }
     // retained WAL: truncated below the acked APPLY position (slot
     // semantics); a connection resumes from the first txn past its
     // requested LSN
@@ -122,8 +135,8 @@ object StreamingSoak {
       val commit = lsn
       val dmls = (0 until txnSize).map { _ =>
         val roll = rnd.nextInt(100)
-        if (live.isEmpty || roll < 30) { // INSERT a fresh key
-          val id = nextId; nextId += 1
+        if (live.isEmpty || roll < 30) { // INSERT (20% reusing a dead identity)
+          val id = claimIdentity(reuseP = 20)
           val (nm, bal) = (s"u$id", (rnd.nextInt(100000) / 100.0))
           live += id; state(id) = (nm, bal)
           actions += 1
@@ -148,14 +161,16 @@ object StreamingSoak {
           PgOutput.encodeUpdate(RelId, None, Seq(
             PgOutput.CellText(id.toString), PgOutput.CellUnchanged,
             PgOutput.CellText(bal.toString)))
-        } else if (roll < 93) { // identity-changing UPDATE (rekey)
+        } else if (roll < 93) { // identity-changing UPDATE (rekey; 30%
+          // into a dead identity — the displaced-delete class)
           val idx = rnd.nextInt(live.size)
           val oldId = live(idx)
-          val newId = nextId; nextId += 1
+          val newId = claimIdentity(reuseP = 30)
           val (nm, _) = state(oldId)
           val bal = rnd.nextInt(100000) / 100.0
           live(idx) = newId
           state.remove(oldId); state(newId) = (nm, bal)
+          graveyard += oldId // the old identity is freed
           actions += 1; rekeys += 1
           PgOutput.encodeUpdate(RelId,
             Some(('K', Seq(PgOutput.CellText(oldId.toString),
@@ -167,6 +182,7 @@ object StreamingSoak {
           val id = live(idx)
           live(idx) = live.last; live.dropRightInPlace(1)
           state.remove(id)
+          graveyard += id
           actions += 1; deletes += 1
           PgOutput.encodeDelete(RelId, 'K', Seq(
             PgOutput.CellText(id.toString), PgOutput.CellNull, PgOutput.CellNull))
@@ -255,15 +271,19 @@ object StreamingSoak {
 
     // ---- live pump (connect → spool → ack), supervised reconnect ----
     val commitLog = new CommitLog(spark, s"$tablesBase/_commitlog")
-    val stopPump = new AtomicBoolean(false)
     val pumped = new AtomicLong(0L)
-    val pumpThread = new Thread(() => pumped.set(graft.Main.livePump(
-      spark, s"postgres://graft@127.0.0.1:${server.getLocalPort}/soak",
-      slot = "soak", messagesDir = messagesDir,
-      appliedLsn = () => commitLog.lastLsn.getOrElse(0L),
-      stop = stopPump, retryBackoffMs = 300L)), "soak-pump")
-    pumpThread.setDaemon(true)
-    pumpThread.start()
+    def newPump(): (Thread, AtomicBoolean) = {
+      val stop = new AtomicBoolean(false)
+      val t = new Thread(() => pumped.addAndGet(graft.Main.livePump(
+        spark, s"postgres://graft@127.0.0.1:${server.getLocalPort}/soak",
+        slot = "soak", messagesDir = messagesDir,
+        appliedLsn = () => commitLog.lastLsn.getOrElse(0L),
+        stop = stop, retryBackoffMs = 300L)), "soak-pump")
+      t.setDaemon(true)
+      t.start()
+      (t, stop)
+    }
+    var (pumpThread, stopPump) = newPump()
 
     // ---- supervised merge loop ----
     val cfg = graft.SyncConfig(Seq(Rel), tablesBase, ckptBase,
@@ -312,16 +332,24 @@ object StreamingSoak {
       if (!killed && elapsed >= killAt) {
         killed = true
         reconnectsBeforeKill = acceptCount.get()
-        // CRASH: stop the stream mid-flight, destroy its checkpoint (the
-        // batch-id lineage is gone — everything in the spool re-reads),
-        // and sever the replication socket (the pump reconnects and
-        // re-requests WAL from the applied LSN)
+        // CRASH the WHOLE process's moving parts: stop the stream
+        // mid-flight, destroy its checkpoint (batch-id lineage gone —
+        // everything in the spool re-reads), kill the PUMP (its
+        // spooled-LSN floor dies with it — the restarted pump resumes
+        // from the APPLIED position, so the applied..spooled window
+        // REDELIVERS into the spool as duplicates the merge's
+        // watermark filter + WAL-position dedup must absorb), and
+        // sever the replication socket
         try q.stop() catch { case _: Throwable => () }
         val ckpt = new org.apache.hadoop.fs.Path(ckptBase)
         val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(ckpt)) fs.delete(ckpt, true)
+        stopPump.set(true)
         Option(activeSocket.get()).foreach(s =>
           try s.close() catch { case _: Throwable => () })
+        pumpThread.join(5000)
+        val restarted = newPump()
+        pumpThread = restarted._1; stopPump = restarted._2
         sync = new graft.GraftSync(spark, cfg)
         q = startStream(sync)
       }
