@@ -227,15 +227,19 @@ class CompactorSpec extends AnyFunSuite with Matchers {
     RelColumn("id", PgTypes.TextOid, isIdentity = true),
     RelColumn("val", PgTypes.TextOid)))
 
-  private def mergedRows(batches: Seq[Seq[ChangeAction]]): Map[String, Option[String]] = {
+  private def mergedRows(batches: Seq[Seq[ChangeAction]],
+      regime: Option[Boolean] = None): Map[String, Option[String]] = {
     val spark = TestSpark.spark
     import spark.implicits._
     val schema = relT.toStructType
     var snap = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     batches.foreach { b =>
-      snap = MergeInto(snap, ChangelogCompactor.compact(b.toDS()), relT)
-        .localCheckpoint(true)
+      val compacted = ChangelogCompactor.compact(b.toDS())
+      snap = (regime match {
+        case Some(r) => MergeInto(snap, compacted, relT, broadcastChangelog = r)
+        case None    => MergeInto(snap, compacted, relT)
+      }).localCheckpoint(true)
     }
     snap.collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
   }
@@ -259,6 +263,14 @@ class CompactorSpec extends AnyFunSuite with Matchers {
       val sorted = stream.sortBy(a => (a.lsn, a.seq))
       val cut = sorted.size / 2
       mergedRows(Seq(sorted.take(cut), sorted.drop(cut))) shouldBe rowModel(stream)
+    }
+  }
+
+  test("big-batch regime ≡ row model on reuse-heavy compacted streams") {
+    // the sort-merge regime must apply a (displaced-D, rekey-in) pair
+    // sharing an after-key exactly like the broadcast regime does
+    samples(genStream(5, 30, withRekey = true), 3).foreach { stream =>
+      mergedRows(Seq(stream), regime = Some(false)) shouldBe rowModel(stream)
     }
   }
 
