@@ -44,7 +44,16 @@ val benchRecordTail: Unit = {
   val sbtStart = System.currentTimeMillis()
   java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
     val f = new java.io.File("bench_summary.json")
-    if (f.isFile && f.lastModified() >= sbtStart) {
+    val owner = new java.io.File("bench_owner.pid")
+    // ownership check: the forked Bench JVM records its PARENT pid (this
+    // sbt JVM) in a sidecar, so a concurrent sbt session running Bench
+    // can't make an unrelated invocation tail-print the record
+    val owned = owner.isFile && {
+      val src = scala.io.Source.fromFile(owner, "UTF-8")
+      val pid = try src.mkString.trim finally src.close()
+      pid == ProcessHandle.current().pid().toString
+    }
+    if (f.isFile && f.lastModified() >= sbtStart && owned) {
       val src = scala.io.Source.fromFile(f, "UTF-8")
       try println(src.mkString.trim) finally src.close()
       System.out.flush()

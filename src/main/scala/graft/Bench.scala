@@ -264,6 +264,14 @@ object Bench {
             (compact + "\n").getBytes("UTF-8"))
           java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
             (full + "\n").getBytes("UTF-8"))
+          // sidecar for build.sbt's record-reprint hook: the sbt JVM that
+          // FORKED this bench is our parent — the hook reprints only when
+          // its own pid matches, so a concurrent sbt session (tests,
+          // verify) never tail-prints another session's bench record
+          java.nio.file.Files.write(java.nio.file.Paths.get("bench_owner.pid"),
+            (ProcessHandle.current().parent()
+              .map[String](p => p.pid().toString).orElse("-1") + "\n")
+              .getBytes("UTF-8"))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] WARN artifact write failed (cwd=${

@@ -79,6 +79,33 @@ class JdbcStreamingMergeSpec extends AnyFunSuite with Matchers {
     } finally q2.stop()
   }
 
+  test("replayed super-batch spanning the in-database watermark converges") {
+    // same scenario as StreamingMergeSpec's super-batch test, on the
+    // warehouse path: a replay batch that MIXES already-applied actions
+    // with new ones must LSN-truncate at the in-database watermark before
+    // folding — otherwise an applied I + fresh D for the same key elide
+    // and the delete is lost
+    val url2 = "jdbc:derby:memory:graftreplay;create=true"
+    val t2 = new JdbcTarget(url2)
+    val rel2 = Relation("public", "accounts", rel.columns)
+    t2.initialize(rel2, Seq.empty[(Long, Double)].toDF("id", "bal"))
+    val merge = new JdbcStreamingMerge(url2, Map.empty, Seq(rel2))
+    def st(): Map[Long, Double] =
+      t2.read(spark, "accounts").collect()
+        .map(r => r.getLong(r.fieldIndex("ID")) -> r.getDouble(r.fieldIndex("BAL"))).toMap
+    merge.applyBatch(Seq(
+      ChangeAction("accounts", 10, 0, "I", Map("id" -> "1"),
+        Map("id" -> "1", "bal" -> "5.0"), Nil, Nil, rekey = false)).toDS(), 0L)
+    st() shouldBe Map(1L -> 5.0)
+    // replayed super-batch: the applied insert again PLUS its delete
+    merge.applyBatch(Seq(
+      ChangeAction("accounts", 10, 0, "I", Map("id" -> "1"),
+        Map("id" -> "1", "bal" -> "5.0"), Nil, Nil, rekey = false),
+      ChangeAction("accounts", 20, 0, "D", Map("id" -> "1"),
+        Map.empty, Nil, Nil, rekey = false)).toDS(), 0L)
+    st() shouldBe Map.empty // pre-fix the (I,D) pair elided and 1 survived
+  }
+
   test("an unknown relation in the stream fails the batch for supervised resync") {
     val merge = new JdbcStreamingMerge(url, Map.empty, Seq(rel))
     an[Exception] should be thrownBy
