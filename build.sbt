@@ -40,7 +40,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // banner — and re-prints the bare compact record iff graft.Bench wrote
 // it during this invocation (mtime guard: verify/test/compile sessions
 // never touch the file and print nothing).
-val benchRecordTail: Unit = {
+val benchRecordTail: Unit = if (sys.props.put("graft.benchTailHook", "1").isEmpty) {
+  // the guard registers the hook ONCE per JVM: an interactive sbt shell
+  // re-evaluates build.sbt on every `reload`, and stacked hooks would
+  // print the record once per reload at exit
   val sbtStart = System.currentTimeMillis()
   java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
     val f = new java.io.File("bench_summary.json")

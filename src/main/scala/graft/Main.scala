@@ -190,17 +190,25 @@ object Main {
     val buf = scala.collection.mutable.Buffer.empty[WalMessage]
     var total = 0L
     var lastFlushNs = System.nanoTime()
+    // the last COMMIT's position in `buf`, tracked INCREMENTALLY (-1 =
+    // none): a transaction larger than spoolBatch keeps the buffer open
+    // past the size threshold, and re-scanning the whole buffer per
+    // message to find the cut would be quadratic in the transaction size.
+    // The buffer itself is bounded by the largest transaction (the same
+    // whole-transactions-in-memory bound the reference's accumulator
+    // has), not by spoolBatch.
+    var lastCommitIdx = -1
     def flushCommitted(): Unit = {
-      val cut = buf.lastIndexWhere(_.msgType == "COMMIT")
-      if (cut >= 0) {
-        val done = buf.take(cut + 1).toSeq
-        val rest = buf.drop(cut + 1).toSeq
+      if (lastCommitIdx >= 0) {
+        val done = buf.take(lastCommitIdx + 1).toSeq
+        val rest = buf.drop(lastCommitIdx + 1).toSeq
         session.commit(appliedLsn())
         spark.createDataset(done)(Encoders.product[WalMessage])
           .coalesce(1).write.mode("append").json(messagesDir)
         total += done.size
         spooledFloor.set(math.max(spooledFloor.get(), done.map(_.lsn).max))
         buf.clear(); buf ++= rest
+        lastCommitIdx = -1
       }
       lastFlushNs = System.nanoTime()
     }
@@ -225,7 +233,11 @@ object Main {
         if (m.msgType == "BEGIN") skipTxn = m.lsn <= spooledFloor.get()
         if (!skipTxn) {
           buf += m
-          if (buf.size >= spoolBatch) flushCommitted() else flushIfStale()
+          if (m.msgType == "COMMIT") lastCommitIdx = buf.size - 1
+          // flush only when a complete transaction is actually cut-able:
+          // inside a mega-transaction the size trigger has nothing to do
+          if (buf.size >= spoolBatch && lastCommitIdx >= 0) flushCommitted()
+          else flushIfStale()
         }
         if (m.msgType == "COMMIT") skipTxn = false
       },

@@ -131,8 +131,10 @@ object SnapshotWriter {
     // the overwrite is the atomicity story here (the caller republishes
     // whole), so a torn state is re-created, never read.
     spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    // the CATALOG's own placement rule (current database, qualified names,
+    // case folding), not a hand-built warehouse-dir guess
     val loc = new Path(
-      spark.conf.get("spark.sql.warehouse.dir"), tableName.toLowerCase)
+      org.apache.spark.sql.GraftBridge.defaultTablePath(spark, tableName))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

@@ -133,10 +133,12 @@ object VectorMathImpl {
   def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
     if (a.numElements() != b.numElements()) return null
     val denom = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
-    // !(denom > 0) is true for BOTH 0.0 and NaN: an embedding with a NaN
-    // component makes the norm NaN, and NaN cosine would outrank every
-    // real neighbor exactly like the 0/0 case this guard exists for.
-    if (!(denom > 0.0)) return null
+    // the denominator must be FINITE and positive: 0 gives the 0/0 NaN,
+    // a NaN component makes the norm NaN, and an Infinity component (or a
+    // norm overflowing to Inf) gives x/Inf = NaN for the Inf dimension —
+    // every one of which would outrank real neighbors under Spark's
+    // NaN-is-greatest ordering. NULL for all three.
+    if (!java.lang.Double.isFinite(denom) || denom <= 0.0) return null
     dot(a, b) / denom
   }
 
@@ -200,7 +202,8 @@ object VectorMathImpl {
       i += 1
     }
     val denom = math.sqrt(nq) * math.sqrt(nc)
-    if (!(denom > 0.0)) return null // zero-norm OR NaN component: see cosine
+    // zero-norm / NaN / Infinity: see cosine
+    if (!java.lang.Double.isFinite(denom) || denom <= 0.0) return null
     dotQC / denom
   }
 

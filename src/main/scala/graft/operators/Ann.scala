@@ -260,10 +260,10 @@ object Ann {
     def normalized(df: DataFrame, idAs: String, vecAs: String) =
       df.select(col(idCol).as(idAs), VectorMath.toDouble(col(vecCol)).as("__raw"))
         .withColumn("__nrm", VectorMath.norm(col("__raw")))
-        // zero-norm (or NaN-component) vectors have no direction to quantize
-        // (and the bare division THROWS under ANSI): excluded, matching cosine.s
-        // NULL-on-zero-norm policy in the un-quantized ANN paths
-        .filter(!isnan(col("__nrm")) && col("__nrm") > 0)
+        // zero-norm, NaN- or Infinity-component vectors have no direction to
+        // quantize (and the bare division THROWS under ANSI): excluded, matching
+        // cosine's NULL-on-degenerate-norm policy in the un-quantized ANN paths
+        .filter(col("__nrm") > 0 && col("__nrm") <= Double.MaxValue)
         .select(col(idAs), transform(col("__raw"), x => x / col("__nrm")).as(vecAs))
     val cN = normalized(corpus, "neighbor_id", "__cv")
     val qN = normalized(queries, "query_id", "__qv")
@@ -322,10 +322,10 @@ object Ann {
     def normalized(df: DataFrame, idAs: String, vecAs: String) =
       df.select(col(idCol).as(idAs), VectorMath.toDouble(col(vecCol)).as("__raw"))
         .withColumn("__nrm", VectorMath.norm(col("__raw")))
-        // zero-norm (or NaN-component) vectors have no direction to quantize
-        // (and the bare division THROWS under ANSI): excluded, matching cosine.s
-        // NULL-on-zero-norm policy in the un-quantized ANN paths
-        .filter(!isnan(col("__nrm")) && col("__nrm") > 0)
+        // zero-norm, NaN- or Infinity-component vectors have no direction to
+        // quantize (and the bare division THROWS under ANSI): excluded, matching
+        // cosine's NULL-on-degenerate-norm policy in the un-quantized ANN paths
+        .filter(col("__nrm") > 0 && col("__nrm") <= Double.MaxValue)
         .select(col(idAs), transform(col("__raw"), x => x / col("__nrm")).as(vecAs))
     val cN = normalized(corpus, "neighbor_id", "__cv")
     val qN = normalized(queries, "query_id", "__qv")

@@ -41,8 +41,12 @@ object Dedup {
       shingleK: Int): DataFrame =
     docs
       .filter(!graft.functions.Sketches.hasShingles(col(textCol), shingleK))
-      .select(col(idCol), md5(col(textCol)).as("__h"),
-        length(col(textCol)).as("__len"))
+      // LOWERCASED, matching the shingle kernel's equality: two sub-k
+      // texts differing only in case would pair at Jaccard 1.0 if they
+      // were long enough to shingle, so the companion must use the same
+      // duplicate definition, not a stricter byte-exact one
+      .select(col(idCol), md5(lower(col(textCol))).as("__h"),
+        length(lower(col(textCol))).as("__len"))
       .groupBy(col("__h"), col("__len"))
       .agg(collect_list(col(idCol)).as("__m"))
       .filter(size(col("__m")) > 1)

@@ -51,7 +51,7 @@ final class JdbcStreamingMerge(
     // watermark (a replayed super-batch must not fold an already-applied
     // prefix), then dedupe redelivered transactions by exact WAL position
     val watermark = target.appliedLsn()
-    val rows = batch.filter(_.lsn > watermark)
+    val rows = batch.filter(batch("lsn") > watermark)
       .dropDuplicates("table", "lsn", "seq").persist()
     try {
       val touched = rows.map(_.table).distinct().collect().toSet

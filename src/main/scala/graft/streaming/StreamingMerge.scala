@@ -89,15 +89,19 @@ final class StreamingMerge(
     // applied..spooled window): two actions sharing (table, lsn, seq) ARE
     // the same action, and two copies in one fold are an impossible
     // (I,I)/(D,D) per-key sequence the compactor correctly refuses.
-    val fresh = batch.filter(_.lsn > watermark)
+    // columnar predicate, not a typed lambda: the replayed super-batch is
+    // spool-sized, and the cut should prune in the scan without
+    // deserializing ChangeActions it is about to drop
+    val fresh = batch.filter(batch("lsn") > watermark)
       .dropDuplicates("table", "lsn", "seq")
     val compacted = (if (simpleStreams) ChangelogCompactor.compactSimple(fresh)
                      else ChangelogCompactor.compact(fresh)).cache()
     try {
       val touched = compacted.map(_.table).distinct().collect().toSeq.sorted
-      if (touched.isEmpty) return
+      if (touched.isEmpty) return // fully-replayed batch truncates to nothing
+      // every surviving action's lsn exceeds the watermark by the
+      // pre-compaction cut above, so maxLsn > watermark always holds here
       val maxLsn = compacted.map(_.lsn).reduce(math.max(_, _))
-      if (maxLsn <= watermark) return // replayed batch: already applied
       // stage every table first …
       val staged = touched.map { table =>
         val rel = relByTable.getOrElse(table,

@@ -312,8 +312,11 @@ object StreamingSoak {
     // (foreachBatch failure) restarts on the same checkpoint and is
     // COUNTED — a green soak must end with zero unexpected restarts
     def superviseTick(): Unit = if (!q.isActive) {
+      // JSON-safe: Spark exception messages carry newlines and plan dumps
       lastStreamError = Option(q.exception.map(_.getMessage).orNull)
-        .getOrElse("").replace('"', '\'').take(200)
+        .getOrElse("")
+        .map(c => if (c == '"' || c == '\\') '\'' else if (c.isControl) ' ' else c)
+        .take(200)
       streamRestarts += 1
       q = startStream(sync)
     }

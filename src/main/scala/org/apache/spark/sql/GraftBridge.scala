@@ -18,6 +18,16 @@ object GraftBridge {
   def fullExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Where the catalog would place (or did place) a managed table's data —
+    * database-qualified names and the session's current database included.
+    * Used to clear stale files from a previous JVM whose managed table
+    * never made it into this session's in-memory catalog. */
+  def defaultTablePath(spark: SparkSession, table: String): java.net.URI = {
+    val ss = spark.asInstanceOf[classic.SparkSession]
+    val ident = ss.sessionState.sqlParser.parseTableIdentifier(table)
+    ss.sessionState.catalog.defaultTablePath(ident)
+  }
+
   /** Register a SQL function on an EXISTING session (the
     * `SparkSessionExtensions` path only applies at session build time;
     * tests and notebooks attach to live sessions). Idempotent: a name

@@ -212,15 +212,19 @@ class DegenerateInputSpec extends AnyFunSuite with Matchers {
     // it and `__nrm > 0` passed it (NaN > 0 is true in Spark) — the NaN
     // cosine then outranked every real neighbor under NaN-is-greatest
     // ordering, the exact failure the zero-norm guard exists to close
+    // Infinity components are the same class: Inf > 0 passes a bare
+    // positivity check, NaN <= MaxValue and Inf <= MaxValue are both
+    // false, and x/Inf = NaN would poison normalized vectors
     val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(Float.NaN, 1.0f)),
-      (3L, Array(0.6f, 0.8f)), (4L, Array(0.0f, 1.0f)))
+      (3L, Array(0.6f, 0.8f)), (4L, Array(0.0f, 1.0f)),
+      (5L, Array(Float.PositiveInfinity, 1.0f)))
       .toDF("vec_id", "embedding")
     val queries = Seq((10L, Array(1.0f, 0.1f)), (11L, Array(Float.NaN, 2.0f)))
       .toDF("vec_id", "embedding")
     val cos = corpus.select(
       VectorMath.cosine(col("embedding"), typedLit(Seq(1.0, 0.0))).as("c"))
       .collect()
-    cos.count(_.isNullAt(0)) shouldBe 1 // the NaN row is NULL, never NaN
+    cos.count(_.isNullAt(0)) shouldBe 2 // NaN and Inf rows NULL, never NaN
     cos.filter(!_.isNullAt(0)).foreach(r => assert(!r.getDouble(0).isNaN))
     // brute force: the NaN corpus row can never be a ranked neighbor
     val bf = Ann.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 2)
@@ -231,12 +235,14 @@ class DegenerateInputSpec extends AnyFunSuite with Matchers {
     val pq = Ann.pqTopK(queries, corpus, "vec_id", "embedding", k = 2,
       m = 2, nCodes = 2, trainIters = 1, rerankFactor = 4)
     pq.filter(col("query_id") === 11L).count() shouldBe 0L
-    pq.filter(col("neighbor_id") === 2L).count() shouldBe 0L
+    pq.filter(col("neighbor_id") === 2L || col("neighbor_id") === 5L)
+      .count() shouldBe 0L
     val ivfpq = Ann.ivfPqTopK(queries, corpus, "vec_id", "embedding", k = 2,
       nCentroids = 2, nProbe = 2, m = 2, nCodes = 2, trainIters = 1,
       rerankFactor = 4)
     ivfpq.filter(col("query_id") === 11L).count() shouldBe 0L
-    ivfpq.filter(col("neighbor_id") === 2L).count() shouldBe 0L
+    ivfpq.filter(col("neighbor_id") === 2L || col("neighbor_id") === 5L)
+      .count() shouldBe 0L
   }
 
   test("profile and drift over empty frames: defined, not crashing") {

@@ -67,6 +67,12 @@ class LlmOperatorsSpec extends AnyFunSuite with Matchers {
       .map(r => (r._1, r._2)) shouldBe Seq((7L, 8L)) // and nothing else
     fast should contain((7L, 8L, 1.0))
     fast.forall(r => !r._3.isNaN) shouldBe true
+    // the companion matches the shingle kernel's LOWERCASED equality:
+    // case-differing sub-k texts are duplicates, like their longer kin
+    val cased = Seq((21L, "Ab"), (22L, "aB"), (23L, "xy")).toDF("doc_id", "text")
+    Dedup.minhashPairs(cased, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet shouldBe
+      Set((21L, 22L))
   }
 
   test("simhash: identical docs at hamming 0, near-dups close, others far") {
