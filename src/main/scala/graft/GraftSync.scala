@@ -176,6 +176,25 @@ final class GraftSync(spark: SparkSession, cfg0: SyncConfig) {
       maxRestarts: Int = 10): Supervisor.Result =
     Supervisor.runForever(body, resnapshot, maxRestarts)
 
+  /** Seed the applied position at a backfill's consistent point: WAL at
+    * or below it is already IN the snapshot the backfill read, so the
+    * stream must both START there and FILTER anything older an
+    * at-least-once source might deliver. Monotonic (never rewinds). */
+  def seedAppliedLsn(lsn: Long): Unit =
+    if (jdbcMode) jdbcTarget.seedAppliedLsn(lsn)
+    else if (lsn > merge.commitLog.lastLsn.getOrElse(Long.MinValue))
+      merge.commitLog.commit(-1L, lsn)
+
+  /** The target-side applied position the replication acknowledge must
+    * follow — regime-aware: the in-DATABASE record for a jdbc: target
+    * (JdbcStreamingMerge never writes the file commit log, so reading
+    * that for a warehouse target would pin the ack at 0 forever: the
+    * slot would retain WAL unboundedly and every pump restart would
+    * re-spool the whole history), the file commit log otherwise. */
+  def appliedLsn(): Long =
+    if (jdbcMode) math.max(0L, jdbcTarget.appliedLsn())
+    else merge.commitLog.lastLsn.getOrElse(0L)
+
   /** Read the current live state of a synced table. */
   def table(name: String): DataFrame =
     if (jdbcMode) jdbcTarget.read(spark, name)

@@ -360,12 +360,79 @@ object Main {
     (sync, relations)
   }
 
+  /** LIVE-mode bootstrap — the reference `Run` prologue wired end to end
+    * (sync_service.go:60-131): reconcile publication + slot through the
+    * wire catalog, and on a FRESH slot backfill every table from its
+    * EXPORTED SNAPSHOT (native COPY, no JDBC) then seed the applied
+    * position at the slot's consistent point — snapshot and stream start
+    * are exactly aligned, so no change committed between backfill read
+    * and stream start can be lost (the gap that an uncoordinated
+    * wall-clock JDBC read + `START_REPLICATION 0/0` leaves open).
+    *
+    * On `ResumeFrom` with a table MISSING from the target (the slot
+    * outlived the table store), the slot is dropped and the prologue
+    * re-runs once — the reference's resync, not a silent partial resume.
+    *
+    * Separated from [[runLive]] so the lifecycle spec drives it against
+    * a scripted wire server. */
+  def liveBootstrap(spark: SparkSession, sync: GraftSync, catalog: graft.cdc.PgCatalog,
+      relations: Seq[Relation], spoolDir: java.nio.file.Path): graft.cdc.SlotLifecycle.Decision = {
+    def bootstrapOnce(): graft.cdc.SlotLifecycle.Decision = sync.prepareReplication(catalog) match {
+      case d @ graft.cdc.SlotLifecycle.BackfillFromSnapshot(snapshotName, consistentPoint) =>
+        val spooled = graft.cdc.SnapshotCopy.spoolTables(
+          catalog.poolConn, snapshotName, relations, spoolDir)
+        spooled.foreach { st =>
+          sync.backfill(st.relation, graft.cdc.SnapshotCopy.read(spark, st))
+        }
+        sync.seedAppliedLsn(consistentPoint)
+        d
+      case d @ graft.cdc.SlotLifecycle.ResumeFrom(_) => d
+    }
+    bootstrapOnce() match {
+      case d @ graft.cdc.SlotLifecycle.ResumeFrom(_)
+          if !relations.forall(sync.verifyRelation) =>
+        sync.resyncReplication(catalog)
+        bootstrapOnce()
+      case d => d
+    }
+  }
+
+  /** Live-mode `buildSync`: wire introspection (text protocol, no JDBC)
+    * + the slot-lifecycle bootstrap. The catalog's connections close on
+    * return — the exported-snapshot window ends with the backfill; the
+    * slot persists for the pump. */
+  def liveBuildSync(spark: SparkSession,
+      fc: GraftConfig.FileConfig): (GraftSync, Seq[Relation]) = {
+    val ep = graft.cdc.PgConnect.parseUri(fc.postgres.connection)
+    val catalog = new graft.cdc.PgCatalog(ep)
+    try {
+      val relations = fc.sync.tables.map { t =>
+        val (schema, table) = t.split('.') match {
+          case Array(s, n) => (s, n)
+          case Array(n)    => ("public", n)
+          case _ => throw new IllegalArgumentException(s"bad table name: $t")
+        }
+        graft.cdc.SnapshotCopy.introspectRelation(catalog.poolConn, schema, table)
+      }
+      val sync = new GraftSync(spark, fc.toSyncConfig(relations))
+      liveBootstrap(spark, sync, catalog, relations,
+        java.nio.file.Files.createTempDirectory("graft_backfill"))
+      (sync, relations)
+    } finally catalog.close()
+  }
+
   /** The supervised service loop (reference supervisor.Run): backfill,
     * stream, resync-on-schema-change. Blocks until the stream ends. */
   def run(spark: SparkSession, fc: GraftConfig.FileConfig): Unit = {
     val messagesDir = s"${fc.target.connection}/_messages"
     new java.io.File(messagesDir).mkdirs()
-    val (sync0, _) = buildSync(spark, fc)
+    val dsn0 = fc.postgres.connection
+    val isLive = dsn0.startsWith("postgres://") || dsn0.startsWith("postgresql://")
+    // live sources go through the slot-lifecycle bootstrap (exported-
+    // snapshot-aligned backfill); jdbc: sources (tests, captures,
+    // external spoolers) keep the JDBC backfill
+    def build() = if (isLive) liveBuildSync(spark, fc) else buildSync(spark, fc)
+    val (sync0, _) = build()
     var sync = sync0
     // SINGLE-PROCESS live mode, as the reference's `mammoth sync`: when
     // the source connection is a postgres:// DSN, the replication pump
@@ -376,11 +443,12 @@ object Main {
     val stopPump = new java.util.concurrent.atomic.AtomicBoolean(false)
     val dsn = fc.postgres.connection
     if (dsn.startsWith("postgres://") || dsn.startsWith("postgresql://")) {
-      val commitLog = new graft.streaming.CommitLog(
-        spark, s"${fc.target.connection}/_commitlog")
+      // the applied position is TARGET-regime-aware (file commit log for a
+      // parquet store, the in-database record for a jdbc: warehouse) — the
+      // ack must follow whichever the merge actually writes
       val pump = new Thread(() => {
         livePump(spark, dsn, fc.postgres.slotName, messagesDir,
-          appliedLsn = () => commitLog.lastLsn.getOrElse(0L), stop = stopPump)
+          appliedLsn = () => sync.appliedLsn(), stop = stopPump)
         ()
       }, "graft-live-pump")
       pump.setDaemon(true)
@@ -398,12 +466,18 @@ object Main {
       },
       resnapshot = () => {
         // schema changed: drop the streaming checkpoint (its state no
-        // longer matches) and rebuild from a fresh introspection +
-        // snapshot, as the reference drops the slot and re-backfills
+        // longer matches), drop the slot for a live source (the next
+        // bootstrap recreates it and re-snapshots — the reference drops
+        // slot + re-backfills, sync_service.go:95-110), and rebuild from
+        // a fresh introspection + snapshot
         val ckpt = new org.apache.hadoop.fs.Path(s"${fc.target.connection}/_checkpoints")
         val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(ckpt)) fs.delete(ckpt, true)
-        val (fresh, _) = buildSync(spark, fc)
+        if (isLive) {
+          val catalog = new graft.cdc.PgCatalog(graft.cdc.PgConnect.parseUri(dsn0))
+          try sync.resyncReplication(catalog) finally catalog.close()
+        }
+        val (fresh, _) = build()
         sync = fresh
       })
     finally stopPump.set(true)

@@ -31,11 +31,18 @@ final case class ChangeAction(
     rekey: Boolean) {
 
   /** Row identity after the action (db.go:160-176 `AfterActionRowIdentity`):
-    * identity columns take the new value unless TOAST-unchanged. */
+    * identity columns take the new value unless TOAST-unchanged — where
+    * "new value" includes an EXPLICIT NULL (a nullable identity column
+    * under REPLICA IDENTITY FULL can be set to NULL; the key model
+    * already admits null values — see `esc`'s dedicated null rendering —
+    * so ignoring `nulls` here would address the row at an identity it no
+    * longer has). */
   def keyAfter: Map[String, String] =
     if (!rekey) keyBefore
     else keyBefore.map { case (k, v) =>
-      k -> (if (unchanged.contains(k)) v else values.getOrElse(k, v))
+      k -> (if (unchanged.contains(k)) v
+            else if (nulls.contains(k)) null
+            else values.getOrElse(k, v))
     }
 
   /** Value state of one column: Right(valueOrNull) when specified,
@@ -151,7 +158,17 @@ object ChangelogCompactor extends Serializable {
     * (multi_row_action.go:69-101): a map keyed on *current* row identity,
     * re-keyed as identity-changing updates land. Used for the (rare,
     * chain-capable) hot partition and as the test oracle. */
-  def sequentialDedup(in: Seq[ChangeAction]): Seq[ChangeAction] = {
+  def sequentialDedup(in: Seq[ChangeAction]): Seq[ChangeAction] =
+    sequentialDedupOrdered(in.sortBy(a => (a.lsn, a.seq)).iterator).toSeq
+
+  /** STREAMING form over an already (lsn, seq)-ordered iterator — the hot
+    * path feeds it through `flatMapSortedGroups`' secondary sort, so the
+    * in-memory state is the dedup map itself (one entry per DISTINCT live
+    * key in the group, plus displaced deletes), never the group's raw
+    * actions: a hot ordinary key that happens to share an identity with
+    * one rekey endpoint can carry millions of actions without
+    * materializing them. */
+  def sequentialDedupOrdered(in: Iterator[ChangeAction]): Iterator[ChangeAction] = {
     val rowMap = scala.collection.mutable.LinkedHashMap.empty[String, ChangeAction]
     // Deletes displaced by DEAD-IDENTITY REUSE: a rekey INTO an identity
     // the batch previously deleted (D(k2) … U(k1→k2)) stores its entry at
@@ -180,7 +197,7 @@ object ChangelogCompactor extends Serializable {
         throw new IllegalStateException(
           s"two live rows claim identity ${a.keyAfter} in ${a.table}")
     }
-    in.sortBy(a => (a.lsn, a.seq)).foreach { action =>
+    in.foreach { action =>
       rowMap.get(keyStr(action.keyBefore)) match {
         case None =>
           store(keyStr(action.keyAfter), action)
@@ -195,7 +212,7 @@ object ChangelogCompactor extends Serializable {
           }
       }
     }
-    rowMap.values.toSeq ++ displaced
+    (rowMap.values ++ displaced).iterator
   }
 
   /** Hot-key collection guard: above this many distinct rekey endpoints the
@@ -257,7 +274,10 @@ object ChangelogCompactor extends Serializable {
       val cold = foldGroups(mat.filter(a => !hotTables.value.contains(a.table)))
       val hotCompacted = mat.filter(a => hotTables.value.contains(a.table))
         .groupByKey(_.table)
-        .flatMapGroups { (_, it) => sequentialDedup(it.toSeq).iterator }
+        // secondary sort + streaming fold: state = the dedup map (distinct
+        // keys), never the group's raw actions (see sequentialDedupOrdered)
+        .flatMapSortedGroups(col("lsn"), col("seq")) { (_, it) =>
+          sequentialDedupOrdered(it) }
       cold.union(hotCompacted)
     } else {
       val hot = spark.sparkContext.broadcast(collected.toSet)
@@ -265,7 +285,12 @@ object ChangelogCompactor extends Serializable {
       val cold = foldGroups(mat.filter(a => !isHot(a)))
       val hotCompacted = mat.filter(a => isHot(a))
         .groupByKey(_.table)
-        .flatMapGroups { (_, it) => sequentialDedup(it.toSeq).iterator }
+        // secondary sort + streaming fold: a hot ORDINARY key sharing an
+        // identity with a rekey endpoint routes all its actions here, so
+        // the group can be arbitrarily larger than the rekey count — the
+        // sorted-iterator fold keeps memory at distinct-keys, not actions
+        .flatMapSortedGroups(col("lsn"), col("seq")) { (_, it) =>
+          sequentialDedupOrdered(it) }
       cold.union(hotCompacted)
     }
   }

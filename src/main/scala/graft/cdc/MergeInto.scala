@@ -91,7 +91,8 @@ object MergeInto {
           relation.columns.find(_.name == k).get.pgOid).as(s"__kb_$k")) ++:
       keyCols.map(k =>
         PgValues.castText(
-          map_entry_or(col("keyBefore"), col("values"), col("unchanged"), col("rekey"), k),
+          map_entry_or(col("keyBefore"), col("values"), col("nulls"),
+            col("unchanged"), col("rekey"), k),
           relation.columns.find(_.name == k).get.pgOid).as(s"__ka_$k")) ++:
       relation.columns.flatMap { c =>
         Seq(
@@ -110,17 +111,31 @@ object MergeInto {
     // When the caller pins the big-batch regime the changelog feeds exactly
     // one join and is left unmaterialized — at backfill scale caching it
     // would only burn executor memory. When nothing is pinned, the
-    // checkpoint doubles as the measurement: count it (free, already
-    // materialized) and compare to BroadcastMaxRows.
+    // measurement is a COUNT of the narrow filtered changelog (cheap
+    // against the cached compaction the streaming path supplies) — never
+    // a localCheckpoint of the 4×-wide projection: a backfill-sized batch
+    // would pin a multiplied copy of itself in executor storage with
+    // truncated lineage purely to be counted, exactly what the pinned
+    // big-batch path exists to avoid.
     val (clProjected, useBroadcast) = broadcastChangelog match {
       case Some(true)  => (clRaw.localCheckpoint(true), true)
       case Some(false) => (clRaw, false)
       case None =>
-        val ckpt = clRaw.localCheckpoint(true)
-        (ckpt, ckpt.count() <= BroadcastMaxRows)
+        if (cl.count() <= BroadcastMaxRows) (clRaw.localCheckpoint(true), true)
+        else (clRaw, false)
     }
 
-    val joinCond = keyCols.map(k => snapshot(k) === clProjected(s"__kb_$k")).reduce(_ && _)
+    // Identity equality: null-safe (`<=>`) for relations declaring
+    // nullable identities (REPLICA IDENTITY FULL — `===` would never
+    // match NULL-keyed rows: updates duplicate them, deletes no-op),
+    // plain `===` otherwise: null-safe join keys cannot use a bucketed
+    // scan's co-location, and PK/unique replica identities are NOT NULL
+    // by Postgres's own rules, so the common case keeps the
+    // exchange-free plan. The compactor's key model admits null identity
+    // values either way (esc(null)).
+    def keyEq(l: Column, r: Column): Column =
+      if (relation.nullableIdentity) l <=> r else l === r
+    val joinCond = keyCols.map(k => keyEq(snapshot(k), clProjected(s"__kb_$k"))).reduce(_ && _)
 
     // Shared row-merge: works on any (state ⟗ changelog) join shape.
     //   left-only  (__op NULL)     → untouched state row, kept as-is
@@ -173,11 +188,11 @@ object MergeInto {
 
     // snapshot keys some action's key-before matches (≤ |changelog| rows)
     val matchedKb = bounded(snapKeys.join(maybeB(clProjected),
-      keyCols.map(k => snapKeys(k) === clProjected(s"__kb_$k")).reduce(_ && _),
+      keyCols.map(k => keyEq(snapKeys(k), clProjected(s"__kb_$k"))).reduce(_ && _),
       "left_semi"))
     val orphans = bounded(clProjected.filter(col("__op") =!= "D")
       .join(maybeB(matchedKb),
-        keyCols.map(k => clProjected(s"__kb_$k") === matchedKb(k)).reduce(_ && _),
+        keyCols.map(k => keyEq(clProjected(s"__kb_$k"), matchedKb(k))).reduce(_ && _),
         "left_anti"))
 
     // Stage 1: matched semantics. In the micro-batch regime the snapshot
@@ -194,13 +209,13 @@ object MergeInto {
       // changelog-bounded key sets; the stage-1 output joins only
       // broadcast sides, so the snapshot still never shuffles.
       val kaMatched = bounded(snapKeys.join(broadcast(orphans),
-        keyCols.map(k => snapKeys(k) === orphans(s"__ka_$k")).reduce(_ && _),
+        keyCols.map(k => keyEq(snapKeys(k), orphans(s"__ka_$k"))).reduce(_ && _),
         "left_semi"))
       val orphanInSnap = orphans.join(broadcast(kaMatched),
-        keyCols.map(k => orphans(s"__ka_$k") === kaMatched(k)).reduce(_ && _),
+        keyCols.map(k => keyEq(orphans(s"__ka_$k"), kaMatched(k))).reduce(_ && _),
         "left_semi")
       val inserts = orphans.join(broadcast(kaMatched),
-        keyCols.map(k => orphans(s"__ka_$k") === kaMatched(k)).reduce(_ && _),
+        keyCols.map(k => keyEq(orphans(s"__ka_$k"), kaMatched(k))).reduce(_ && _),
         "left_anti")
         .select(relation.columns.map { c =>
           val v =
@@ -212,7 +227,7 @@ object MergeInto {
         }: _*)
       applyActions(
         s1.join(broadcast(orphanInSnap),
-          keyCols.map(k => s1(k) === orphanInSnap(s"__ka_$k")).reduce(_ && _),
+          keyCols.map(k => keyEq(s1(k), orphanInSnap(s"__ka_$k"))).reduce(_ && _),
           "left_outer"),
         c => s1(c))
         .unionByName(inserts)
@@ -224,16 +239,20 @@ object MergeInto {
       // so only the (rare) orphan side exchanges.
       applyActions(
         s1.join(orphans,
-          keyCols.map(k => s1(k) === orphans(s"__ka_$k")).reduce(_ && _),
+          keyCols.map(k => keyEq(s1(k), orphans(s"__ka_$k"))).reduce(_ && _),
           "full_outer"),
         c => s1(c))
     }
   }
 
   /** keyAfter for one identity column, columnar: before-value when not
-    * rekeying or TOAST-unchanged, else the new value (db.go:160-176). */
-  private def map_entry_or(keyBefore: Column, values: Column, unchanged: Column,
-      rekey: Column, k: String): Column =
+    * rekeying or TOAST-unchanged, explicit NULL when the rekey sets the
+    * column to NULL (mirrors ChangeAction.keyAfter — a coalesce here
+    * would silently resurrect the old identity value), else the new
+    * value (db.go:160-176). */
+  private def map_entry_or(keyBefore: Column, values: Column, nulls: Column,
+      unchanged: Column, rekey: Column, k: String): Column =
     when(!rekey || array_contains(unchanged, k), element_at(keyBefore, k))
+      .when(array_contains(nulls, k), lit(null))
       .otherwise(coalesce(element_at(values, k), element_at(keyBefore, k)))
 }

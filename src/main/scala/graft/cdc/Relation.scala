@@ -16,7 +16,15 @@ final case class RelColumn(
     isIdentity: Boolean = false,
     isArray: Boolean = false)
 
-final case class Relation(schema: String, table: String, columns: Seq[RelColumn]) {
+/** @param nullableIdentity set true ONLY for REPLICA IDENTITY FULL
+  *        sources whose identity columns can legally hold NULL (Postgres
+  *        PK- and unique-index replica identities are NOT NULL by the
+  *        database's own rules). MergeInto then joins identities
+  *        null-safely (`<=>`) so NULL-keyed rows match — at the cost of
+  *        the bucketed snapshot's exchange-free co-location, which
+  *        null-safe join keys cannot use. */
+final case class Relation(schema: String, table: String, columns: Seq[RelColumn],
+    nullableIdentity: Boolean = false) {
   def qualifiedName: String = s"$schema.$table"
   def identityColumns: Seq[RelColumn] = columns.filter(_.isIdentity)
   def identityColumnNames: Seq[String] = identityColumns.map(_.name)

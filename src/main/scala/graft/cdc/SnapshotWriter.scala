@@ -78,6 +78,38 @@ object SnapshotWriter {
     if (existed) fs.delete(trashPathH, true)
   }
 
+  /** Per-table APPLIED-LSN marker, published atomically WITH the data it
+    * describes: written into the scratch dir after the parquet job, so
+    * the swap renames data + watermark as one unit. This closes the
+    * torn window between a multi-table publish and the (separate,
+    * global) commit-log write: a crash in between leaves tables whose
+    * own marker already records the batch — the per-table replay cut
+    * then drops the batch's actions for exactly those tables, while a
+    * table whose publish never completed replays them. Key-addressed
+    * re-merge idempotence cannot give this guarantee alone: a replayed
+    * batch containing dead-identity REUSE (delete k2 + rekey into k2,
+    * or rekey away from k1 + fresh insert at k1) re-applies against the
+    * post-batch state and duplicates or loses the reused identity. */
+  private def appliedMarker(dir: String) = new Path(dir, "_graft_applied")
+
+  def writeAppliedMarker(spark: SparkSession, scratchDir: String, lsn: Long): Unit = {
+    val p = appliedMarker(scratchDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(lsn.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readAppliedMarker(spark: SparkSession, base: String, table: String): Option[Long] = {
+    val p = appliedMarker(livePath(base, table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      scala.util.Try(s.toLong).toOption
+    }
+  }
+
   /** Crash recovery for an interrupted [[swapLive]]. Idempotent; call
     * before reading or merging into a table (single-writer assumed).
     *

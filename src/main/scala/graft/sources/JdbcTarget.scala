@@ -211,6 +211,11 @@ final class JdbcTarget(url: String, properties: Map[String, String] = Map.empty,
     }
   }
 
+  /** Seed the applied record at a backfill's consistent point (monotonic:
+    * never rewinds an already-applied position). */
+  def seedAppliedLsn(lsn: Long): Unit =
+    if (lsn > appliedLsn()) exec(s"UPDATE $lsnTable SET LSN = $lsn")
+
   /** CREATE and seed are handled separately: a CREATE failure just means
     * the table exists, but the seed INSERT is re-attempted whenever the
     * table is empty, so one transient insert failure can't leave

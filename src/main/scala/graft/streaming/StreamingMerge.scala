@@ -83,34 +83,57 @@ final class StreamingMerge(
     // position); we restore the same invariant here: drop everything at
     // or below the applied watermark BEFORE folding. Commit LSNs are
     // per-transaction, so the cut never splits a transaction.
-    val watermark = commitLog.lastLsn.getOrElse(Long.MinValue)
+    // PER-TABLE watermark: the global commit log, raised by any table
+    // whose published snapshot carries a NEWER applied marker (a crash
+    // between the multi-table publish and the commit-log write leaves
+    // exactly that state — the marker travels inside the atomic swap, so
+    // data and watermark advance together and the replayed batch is cut
+    // per table: dropped for tables that published, applied for tables
+    // that did not).
+    val logLsn = commitLog.lastLsn.getOrElse(Long.MinValue)
+    val tableWm: Map[String, Long] = relations.map { r =>
+      // recover FIRST: the marker of a half-swapped publish lives in
+      // whichever dir recovery promotes
+      SnapshotWriter.recover(spark, tablesBase, r.table)
+      r.table -> math.max(logLsn,
+        SnapshotWriter.readAppliedMarker(spark, tablesBase, r.table)
+          .getOrElse(Long.MinValue))
+    }.toMap
+    val wmExpr = tableWm.foldLeft(org.apache.spark.sql.functions.lit(logLsn)) {
+      case (acc, (t, wm)) =>
+        org.apache.spark.sql.functions.when(batch("table") === t, wm).otherwise(acc)
+    }
     // Exact-duplicate dedup by WAL position for redelivered transactions
     // ABOVE the watermark (a cross-process pump restart can re-spool the
     // applied..spooled window): two actions sharing (table, lsn, seq) ARE
     // the same action, and two copies in one fold are an impossible
     // (I,I)/(D,D) per-key sequence the compactor correctly refuses.
-    // columnar predicate, not a typed lambda: the replayed super-batch is
-    // spool-sized, and the cut should prune in the scan without
-    // deserializing ChangeActions it is about to drop
-    val fresh = batch.filter(batch("lsn") > watermark)
+    // Columnar predicates, not typed lambdas: the replayed super-batch is
+    // spool-sized and should prune in the scan.
+    val fresh = batch.filter(batch("lsn") > wmExpr)
       .dropDuplicates("table", "lsn", "seq")
+    // The ACK position must cover every fresh action, not just compaction
+    // SURVIVORS: a queue-style batch whose rows insert-and-delete within
+    // the batch compacts to NOTHING, and acknowledging only surviving
+    // lsns would freeze the watermark — and with it the replication
+    // slot's WAL retention — forever.
+    val freshMaxRow = fresh.agg(org.apache.spark.sql.functions.max("lsn")).head()
+    if (freshMaxRow.isNullAt(0)) return // nothing new in this batch
+    val ackLsn = math.max(logLsn, freshMaxRow.getLong(0))
     val compacted = (if (simpleStreams) ChangelogCompactor.compactSimple(fresh)
                      else ChangelogCompactor.compact(fresh)).cache()
     try {
       val touched = compacted.map(_.table).distinct().collect().toSeq.sorted
-      if (touched.isEmpty) return // fully-replayed batch truncates to nothing
-      // every surviving action's lsn exceeds the watermark by the
-      // pre-compaction cut above, so maxLsn > watermark always holds here
-      val maxLsn = compacted.map(_.lsn).reduce(math.max(_, _))
+      if (touched.isEmpty) {
+        // everything elided in-batch: still acknowledge the consumed WAL
+        commitLog.commit(batchId, ackLsn)
+        return
+      }
       // stage every table first …
       val staged = touched.map { table =>
         val rel = relByTable.getOrElse(table,
           throw new SchemaChangedException(s"unknown relation in stream: $table"))
-        // a crash inside a previous publish window may have left live
-        // staged-out — roll the swap forward/back BEFORE deciding whether
-        // the snapshot exists, or this merge would silently rebuild the
-        // table from this batch alone
-        SnapshotWriter.recover(spark, tablesBase, table)
+        // (recover already ran in the watermark pass above)
         val live = SnapshotWriter.livePath(tablesBase, table)
         val fs = new Path(tablesBase).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val snapshot: DataFrame =
@@ -120,6 +143,8 @@ final class StreamingMerge(
         val merged = MergeInto(snapshot, compacted, rel)
         val scratch = SnapshotWriter.scratchPath(tablesBase, table)
         merged.write.mode("overwrite").parquet(scratch)
+        // the applied marker rides the atomic swap with the data
+        SnapshotWriter.writeAppliedMarker(spark, scratch, ackLsn)
         table
       }
       // … then publish together: the multi-table batch becomes visible as a
@@ -127,7 +152,7 @@ final class StreamingMerge(
       staged.foreach { table =>
         SnapshotWriter.swapLive(spark, tablesBase, table)
       }
-      commitLog.commit(batchId, math.max(watermark, maxLsn)) // ≙ StandbyStatusUpdate acknowledge
+      commitLog.commit(batchId, ackLsn) // ≙ StandbyStatusUpdate acknowledge
     } finally compacted.unpersist()
   }
 
@@ -162,7 +187,9 @@ final class CommitLog(spark: SparkSession, path: String) extends Serializable {
     else {
       val in = fs.open(file)
       val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      val m = """\{"batchId":(\d+),"maxLsn":(\d+)\}""".r
+      // batchId -1 is the backfill SEED (GraftSync.seedAppliedLsn: the
+      // applied position starts at the snapshot's consistent point)
+      val m = """\{"batchId":(-?\d+),"maxLsn":(-?\d+)\}""".r
       s.trim match {
         case m(b, l) => Some((b.toLong, l.toLong))
         case _       => None

@@ -90,6 +90,24 @@ class CompactorSpec extends AnyFunSuite with Matchers {
     out.map(a => ChangelogCompactor.keyStr(a.keyAfter)).toSet should have size 2
   }
 
+  test("a rekey setting an identity column to explicit NULL lands at the NULL identity") {
+    // REPLICA IDENTITY FULL: a nullable identity column set to NULL puts
+    // the column in `nulls`, not `values` — keyAfter must follow it there
+    // (the key model admits null values; keeping the OLD value would
+    // address the row at an identity it no longer has)
+    val a = ChangeAction("t", 1, 0, "U", Map("id" -> "k1"),
+      Map.empty, nulls = Seq("id"), unchanged = Nil, rekey = true)
+    a.keyAfter shouldBe Map("id" -> null)
+    // and the chain logic keys on it correctly
+    val out = ChangelogCompactor.sequentialDedup(Seq(
+      a,
+      ChangeAction("t", 2, 0, "U", Map("id" -> null),
+        Map("val" -> "x"), Nil, Nil, rekey = false)))
+    out should have size 1
+    out.head.keyBefore shouldBe Map("id" -> "k1")
+    out.head.values("val") shouldBe "x"
+  }
+
   test("rekey into a deleted identity keeps the displaced delete") {
     // D(k2) then U(k1→k2): the rekey's entry lands on the dead identity's
     // map slot — silently overwriting would drop the delete and the

@@ -109,4 +109,29 @@ class MergeIntoSpec extends AnyFunSuite with Matchers {
     val base = snap((1L, "a", 10), (2L, "b", 20), (4L, "toast", 40))
     runBig(base, actions: _*) shouldBe run(base, actions: _*)
   }
+
+  test("nullableIdentity relation matches NULL-keyed rows (REPLICA IDENTITY FULL)") {
+    // with a nullable identity column, === never matches a NULL key —
+    // updates would duplicate the row and deletes would no-op; the
+    // relation-level flag switches the identity joins to <=>
+    val relFull = Relation("public", "nk", Seq(
+      RelColumn("name", PgTypes.TextOid, isIdentity = true),
+      RelColumn("qty", PgTypes.Int4Oid)), nullableIdentity = true)
+    val snapshot = Seq((null.asInstanceOf[String], Integer.valueOf(1)),
+      ("x", Integer.valueOf(2))).toDF("name", "qty")
+    def act(op: String, key: String, qty: Integer = null) =
+      ChangeAction("nk", 1, 0, op, Map("name" -> key),
+        if (op == "D") Map.empty
+        else Map("qty" -> qty.toString) ++ Option(key).map("name" -> _),
+        nulls = if (op != "D" && key == null) Seq("name") else Nil,
+        unchanged = Nil, rekey = false)
+    // update the NULL-keyed row: must match in place, not insert a twin
+    MergeInto(snapshot, Seq(act("U", null, 9)).toDS(), relFull)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet shouldBe
+      Set((null, 9), ("x", 2))
+    // delete the NULL-keyed row: must actually remove it
+    MergeInto(snapshot, Seq(act("D", null)).toDS(), relFull)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet shouldBe
+      Set(("x", 2))
+  }
 }

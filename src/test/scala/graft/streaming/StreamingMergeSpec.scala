@@ -129,6 +129,50 @@ class StreamingMergeSpec extends AnyFunSuite with Matchers {
     tableRows(base, "items") shouldBe Set.empty
   }
 
+  test("queue-style batch that compacts to nothing still advances the watermark") {
+    // every row inserted AND deleted within the batch: compaction elides
+    // everything, but the consumed WAL must still be acknowledged — a
+    // frozen watermark freezes the replication slot's WAL retention and
+    // (pre-fix) replayed the whole spool on every restart
+    val base = tmp()
+    val sm = new StreamingMerge(spark, base, Seq(rel), s"$base/_log")
+    sm.applyBatch(Seq(action("items", 5, "I", 1, "a")).toDS(), batchId = 0)
+    sm.commitLog.lastLsn shouldBe Some(5L)
+    sm.applyBatch(Seq(
+      action("items", 10, "I", 9, "q"),
+      action("items", 20, "D", 9)).toDS(), batchId = 1)
+    sm.commitLog.lastLsn shouldBe Some(20L) // pre-fix: stuck at 5
+    tableRows(base, "items") shouldBe Set((1L, "a"))
+  }
+
+  test("torn publish window: replay after the commit-log write was lost converges") {
+    // The worst crash point: every table PUBLISHED but the commit-log
+    // write never happened. Key-addressed re-merge alone cannot make the
+    // replay safe when the batch contains dead-identity REUSE — the
+    // per-table applied marker (published atomically WITH the data)
+    // supplies the watermark the log lost.
+    val base = tmp()
+    val sm = new StreamingMerge(spark, base, Seq(rel), s"$base/_log")
+    sm.applyBatch(Seq(action("items", 5, "I", 1, "a")).toDS(), batchId = 0)
+    // batch 1: rekey 1 -> 2 AND a fresh insert reusing identity 1, plus a
+    // delete-then-rekey-in pair on 5/6 — the two reuse shapes that
+    // double-apply or lose rows under naive replay
+    val reuse = Seq(
+      ChangeAction("items", 10, 0, "U", Map("id" -> "1"),
+        Map("id" -> "2", "name" -> "moved"), Nil, Nil, rekey = true),
+      action("items", 11, "I", 1, "fresh"))
+    sm.applyBatch(reuse.toDS(), batchId = 1)
+    tableRows(base, "items") shouldBe Set((2L, "moved"), (1L, "fresh"))
+    // simulate the torn window: the publish survived (markers inside the
+    // table dirs), the commit-log write was lost
+    sm.commitLog.commit(0, 5L)
+    // replay batch 1 wholesale (fresh checkpoint re-reads everything)
+    sm.applyBatch(reuse.toDS(), batchId = 0)
+    // pre-fix: the replayed rekey matched the re-inserted id=1 row and
+    // moved it to 2 again — duplicate identity 2, and id=1 lost
+    tableRows(base, "items") shouldBe Set((2L, "moved"), (1L, "fresh"))
+  }
+
   test("simpleStreams fast path produces the same merged state") {
     val base = tmp()
     val sm = new StreamingMerge(spark, base, Seq(rel), s"$base/_log", simpleStreams = true)
