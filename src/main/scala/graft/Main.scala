@@ -472,7 +472,16 @@ object Main {
         // a fresh introspection + snapshot
         val ckpt = new org.apache.hadoop.fs.Path(s"${fc.target.connection}/_checkpoints")
         val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(ckpt)) fs.delete(ckpt, true)
+        // retry until actually gone: cancelled tasks of the dying stream
+        // can still be flushing state files when the delete runs, and a
+        // half-recreated state/ dir makes the fresh stream refuse batch 0
+        // (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY)
+        var attempts = 0
+        while (fs.exists(ckpt) && attempts < 20) {
+          try fs.delete(ckpt, true) catch { case _: Throwable => () }
+          attempts += 1
+          if (fs.exists(ckpt)) Thread.sleep(500)
+        }
         if (isLive) {
           val catalog = new graft.cdc.PgCatalog(graft.cdc.PgConnect.parseUri(dsn0))
           try sync.resyncReplication(catalog) finally catalog.close()

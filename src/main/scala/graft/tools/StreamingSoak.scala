@@ -308,6 +308,21 @@ object StreamingSoak {
     var reconnectsBeforeKill = 0L
     var streamRestarts = 0L
     var lastStreamError = ""
+    // Robust checkpoint destruction: q.stop() can return while CANCELLED
+    // tasks are still flushing state files, so a single recursive delete
+    // races the teardown and can leave a half-recreated state/ dir that
+    // batch 0 of the fresh stream refuses (STATE_STORE_CHECKPOINT_
+    // LOCATION_NOT_EMPTY). Retry until the dir is actually gone.
+    def destroyCheckpoint(): Unit = {
+      val ckpt = new org.apache.hadoop.fs.Path(ckptBase)
+      val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var attempts = 0
+      while (fs.exists(ckpt) && attempts < 20) {
+        try fs.delete(ckpt, true) catch { case _: Throwable => () }
+        attempts += 1
+        if (fs.exists(ckpt)) Thread.sleep(500)
+      }
+    }
     // supervision-lite, mirroring Supervisor.runForever: a died stream
     // (foreachBatch failure) restarts on the same checkpoint and is
     // COUNTED — a green soak must end with zero unexpected restarts
@@ -318,6 +333,10 @@ object StreamingSoak {
         .map(c => if (c == '"' || c == '\\') '\'' else if (c.isControl) ' ' else c)
         .take(200)
       streamRestarts += 1
+      // a poisoned checkpoint (the teardown race above) can never start:
+      // clear it — the commit-log watermark makes a fresh checkpoint safe,
+      // which is the entire replay design
+      if (lastStreamError.contains("CHECKPOINT_LOCATION_NOT_EMPTY")) destroyCheckpoint()
       q = startStream(sync)
     }
     while (elapsed < durationSec) {
@@ -344,9 +363,7 @@ object StreamingSoak {
         // watermark filter + WAL-position dedup must absorb), and
         // sever the replication socket
         try q.stop() catch { case _: Throwable => () }
-        val ckpt = new org.apache.hadoop.fs.Path(ckptBase)
-        val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(ckpt)) fs.delete(ckpt, true)
+        destroyCheckpoint()
         stopPump.set(true)
         Option(activeSocket.get()).foreach(s =>
           try s.close() catch { case _: Throwable => () })
