@@ -276,7 +276,8 @@ object Main {
   def livePump(spark: SparkSession, dsn: String, slot: String,
       messagesDir: String, appliedLsn: () => Long,
       stop: java.util.concurrent.atomic.AtomicBoolean,
-      retryBackoffMs: Long = 5000L): Long = {
+      retryBackoffMs: Long = 5000L,
+      notNullIdentity: Map[String, Set[String]] = Map.empty): Long = {
     val ep = graft.cdc.PgConnect.parseUri(dsn)
     var total = 0L
     val floor = new java.util.concurrent.atomic.AtomicLong(appliedLsn())
@@ -287,7 +288,8 @@ object Main {
           val resume = appliedLsn()
           floor.set(math.max(floor.get(), resume))
           graft.cdc.PgConnect.openReplication(socket, ep.config, slot, resume)
-          val session = new graft.cdc.PgReplication.Session(startLsn = resume)
+          val session = new graft.cdc.PgReplication.Session(startLsn = resume,
+            notNullIdentity = notNullIdentity)
           total += spoolFromSocket(spark, socket, messagesDir, session,
             appliedLsn, stop = stop, spooledFloor = floor)
         } finally socket.close()
@@ -330,7 +332,10 @@ object Main {
     new graft.cdc.PgReplication.Session(
       startLsn = startLsn,
       typeIsArray = Jdbc.introspectArrayTypes(fc.postgres.connection),
-      skipAcknowledge = skipAcknowledge)
+      skipAcknowledge = skipAcknowledge,
+      // identity nullability rides along so a REPLICA IDENTITY FULL table
+      // whose key columns are constrained NOT NULL keeps the `===` join
+      notNullIdentity = Relation.notNullIdentityMap(introspectRelations(fc)))
 
   /** Introspect the configured tables from the source database. */
   def introspectRelations(fc: GraftConfig.FileConfig): Seq[Relation] =
@@ -432,7 +437,7 @@ object Main {
     // snapshot-aligned backfill); jdbc: sources (tests, captures,
     // external spoolers) keep the JDBC backfill
     def build() = if (isLive) liveBuildSync(spark, fc) else buildSync(spark, fc)
-    val (sync0, _) = build()
+    val (sync0, relations0) = build()
     var sync = sync0
     // SINGLE-PROCESS live mode, as the reference's `mammoth sync`: when
     // the source connection is a postgres:// DSN, the replication pump
@@ -448,7 +453,10 @@ object Main {
       // ack must follow whichever the merge actually writes
       val pump = new Thread(() => {
         livePump(spark, dsn, fc.postgres.slotName, messagesDir,
-          appliedLsn = () => sync.appliedLsn(), stop = stopPump)
+          appliedLsn = () => sync.appliedLsn(), stop = stopPump,
+          // the map can go stale across a schema-change resync; the
+          // decoder's conservative fallback (FULL → nullable) stays safe
+          notNullIdentity = Relation.notNullIdentityMap(relations0))
         ()
       }, "graft-live-pump")
       pump.setDaemon(true)
@@ -478,10 +486,16 @@ object Main {
         // (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY)
         var attempts = 0
         while (fs.exists(ckpt) && attempts < 20) {
-          try fs.delete(ckpt, true) catch { case _: Throwable => () }
+          try fs.delete(ckpt, true)
+          catch { case scala.util.control.NonFatal(_) => () }
           attempts += 1
           if (fs.exists(ckpt)) Thread.sleep(500)
         }
+        // proceeding with a live checkpoint would fail batch 0 of the
+        // fresh stream one supervisor restart later with a less obvious
+        // cause — fail HERE so the supervisor counts a clear restart
+        if (fs.exists(ckpt)) throw new IllegalStateException(
+          s"resnapshot: checkpoint $ckpt still exists after $attempts delete attempts")
         if (isLive) {
           val catalog = new graft.cdc.PgCatalog(graft.cdc.PgConnect.parseUri(dsn0))
           try sync.resyncReplication(catalog) finally catalog.close()

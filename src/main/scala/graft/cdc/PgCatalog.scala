@@ -24,10 +24,15 @@ final class PgCatalog(ep: PgConnect.Endpoint) extends SlotLifecycle.Catalog
   private var poolSocket: Socket = _
   private var pool: PgConnect.Conn = _
   private var slotSocket: Socket = _
+  private var closed = false
 
   /** Plain-SQL connection (lazy): catalog queries, DDL, and the
-    * snapshot-pinned COPY backfill all share it. */
+    * snapshot-pinned COPY backfill all share it. Throws after [[close]] —
+    * silently reopening would hand back a connection OUTSIDE the slot's
+    * exported snapshot, breaking the pinning this class exists to hold. */
   def poolConn: PgConnect.Conn = {
+    if (closed) throw new IllegalStateException(
+      "PgCatalog is closed: the exported-snapshot window has ended")
     if (pool == null) {
       poolSocket = new Socket(ep.host, ep.port)
       pool = new PgConnect.Conn(
@@ -49,6 +54,8 @@ final class PgCatalog(ep: PgConnect.Endpoint) extends SlotLifecycle.Catalog
   override def exec(sql: String): Unit = { poolConn.simpleQuery(sql); () }
 
   override def createSlot(slotName: String): SlotLifecycle.CreatedSlot = {
+    if (closed) throw new IllegalStateException(
+      "PgCatalog is closed: the exported-snapshot window has ended")
     require(slotSocket == null, "slot already created on this catalog")
     slotSocket = new Socket(ep.host, ep.port)
     val conn = new PgConnect.Conn(
@@ -64,10 +71,12 @@ final class PgCatalog(ep: PgConnect.Endpoint) extends SlotLifecycle.Catalog
     SlotLifecycle.CreatedSlot(snap, Lsn.parse(point))
   }
 
-  /** Ends the exported-snapshot window (the slot itself persists). */
+  /** Ends the exported-snapshot window (the slot itself persists).
+    * Idempotent; after this every connection accessor throws. */
   override def close(): Unit = {
+    closed = true
     Seq(slotSocket, poolSocket).foreach { s =>
-      if (s != null) { try s.close() catch { case _: Throwable => () } }
+      if (s != null) { try s.close() catch { case scala.util.control.NonFatal(_) => () } }
     }
     slotSocket = null; poolSocket = null; pool = null
   }

@@ -44,8 +44,20 @@ object PgOutput {
     *
     * @param typeIsArray PG type OID → is-array, from source introspection
     *        (the reference builds this map the same way; OIDs absent from
-    *        the map decode as non-array). */
-  final class Decoder(typeIsArray: Map[Int, Boolean] = Map.empty) {
+    *        the map decode as non-array).
+    * @param notNullIdentity qualified relation name → identity columns
+    *        introspection knows are NOT NULL ([[Relation.notNullIdentityMap]]).
+    *        The Relation message carries the replica-identity setting but
+    *        NOT column nullability, so for a REPLICA IDENTITY FULL relation
+    *        ('f') any identity column absent from this map is treated as
+    *        possibly-NULL and the relation decodes with
+    *        `nullableIdentity = true` (null-safe MERGE joins). With the
+    *        default empty map every FULL relation is conservatively
+    *        nullable — correct, at the cost of the bucketed snapshot's
+    *        exchange-free join. Default ('d') and index ('i') identities
+    *        are NOT NULL by Postgres's own rules and never set the flag. */
+  final class Decoder(typeIsArray: Map[Int, Boolean] = Map.empty,
+      notNullIdentity: Map[String, Set[String]] = Map.empty) {
     private val relations = mutable.Map.empty[Int, Relation]
     private var openXid: Option[Long] = None
     private var txnLsn: Long = 0L
@@ -87,7 +99,7 @@ object PgOutput {
           val relId = buf.getInt()
           val namespace = cString(buf)
           val relName = cString(buf)
-          buf.get() // replica identity setting
+          val replident = buf.get().toChar // 'd' default | 'n' nothing | 'f' full | 'i' index
           val nCols = buf.getShort().toInt
           val cols = (0 until nCols).map { _ =>
             val flags = buf.get()
@@ -97,7 +109,16 @@ object PgOutput {
             RelColumn(name, typeOid, isIdentity = flags == 1,
               isArray = typeIsArray.getOrElse(typeOid, false))
           }
-          val rel = Relation(namespace, relName, cols)
+          // REPLICA IDENTITY FULL is the only setting whose identity
+          // columns can legally hold NULL (PK/unique-index identities are
+          // NOT NULL by the database's rules); the wire doesn't carry
+          // nullability, so only introspection can prove a FULL identity
+          // column NOT NULL — unproven columns force the null-safe join
+          val nullableId = replident == 'f' && {
+            val known = notNullIdentity.getOrElse(s"$namespace.$relName", Set.empty)
+            cols.exists(c => c.isIdentity && !known.contains(c.name))
+          }
+          val rel = Relation(namespace, relName, cols, nullableIdentity = nullableId)
           if (rel.identityColumns.isEmpty)
             throw new IllegalStateException(s"relation has no identity columns: $relName")
           relations.get(relId) match {
@@ -227,8 +248,9 @@ object PgOutput {
 
   /** Decode an ordered, self-contained frame stream with a fresh decoder. */
   def decode(frames: IterableOnce[Array[Byte]],
-      typeIsArray: Map[Int, Boolean] = Map.empty): Iterator[WalMessage] = {
-    val d = new Decoder(typeIsArray)
+      typeIsArray: Map[Int, Boolean] = Map.empty,
+      notNullIdentity: Map[String, Set[String]] = Map.empty): Iterator[WalMessage] = {
+    val d = new Decoder(typeIsArray, notNullIdentity)
     frames.iterator.flatMap(d.feed)
   }
 

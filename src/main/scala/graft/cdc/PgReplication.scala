@@ -115,9 +115,10 @@ object PgReplication {
       startLsn: Long = 0L,
       typeIsArray: Map[Int, Boolean] = Map.empty,
       skipAcknowledge: Boolean = false,
-      standbyIntervalMicros: Long = 10000000L) {
+      standbyIntervalMicros: Long = 10000000L,
+      notNullIdentity: Map[String, Set[String]] = Map.empty) {
 
-    val decoder = new PgOutput.Decoder(typeIsArray)
+    val decoder = new PgOutput.Decoder(typeIsArray, notNullIdentity)
     private var committed: Long = startLsn
     private var lastStatusMicros: Long = Long.MinValue
     private var closedFlag = false

@@ -14,7 +14,8 @@ final case class RelColumn(
     name: String,
     pgOid: Int,
     isIdentity: Boolean = false,
-    isArray: Boolean = false)
+    isArray: Boolean = false,
+    notNull: Boolean = false)
 
 /** @param nullableIdentity set true ONLY for REPLICA IDENTITY FULL
   *        sources whose identity columns can legally hold NULL (Postgres
@@ -44,6 +45,17 @@ final case class Relation(schema: String, table: String, columns: Seq[RelColumn]
   def toStructType(numericMode: PgTypes.NumericMode): StructType =
     StructType(columns.map(c =>
       StructField(c.name, PgTypes.toSpark(c.pgOid, c.isArray, numericMode))))
+}
+
+object Relation {
+  /** qualified name → identity columns introspection knows are NOT NULL.
+    * Fed to [[PgOutput.Decoder]] so a REPLICA IDENTITY FULL relation whose
+    * identity columns are all constrained NOT NULL keeps the `===` join
+    * (and the bucketed snapshot's exchange-free co-location) instead of
+    * the conservative `<=>` the wire alone would force. */
+  def notNullIdentityMap(rels: Seq[Relation]): Map[String, Set[String]] =
+    rels.map(r => r.qualifiedName ->
+      r.identityColumns.filter(_.notNull).map(_.name).toSet).toMap
 }
 
 /** Postgres OID → Spark type mapping, the analogue of the reference's

@@ -79,14 +79,19 @@ object SnapshotCopy {
   /** Column catalog for one table over the text protocol — the essential
     * columns of the reference's introspection CTE (sync_service.go:
     * 323-381: attname, indisprimary, atttypid, typcategory='A'),
-    * parameter-inlined because the simple-query protocol has no binds.
+    * parameter-inlined because the simple-query protocol has no binds,
+    * plus attnotnull + relreplident so [[introspectRelation]] can decide
+    * [[Relation.nullableIdentity]] precisely (the wire's Relation message
+    * carries the replica-identity setting but not nullability).
     * For array columns the recorded OID is the ELEMENT type's (typelem),
     * matching what pgoutput tuple data carries. */
   def introspectSql(schema: String, table: String): String =
     s"""select a.attname,
        |  coalesce(i.indisprimary, false) as pk,
        |  case when pgt.typcategory = 'A' then pgt.typelem else a.atttypid end as oid,
-       |  pgt.typcategory = 'A' as is_array
+       |  pgt.typcategory = 'A' as is_array,
+       |  a.attnotnull as not_null,
+       |  c.relreplident as replident
        |from pg_attribute a
        |  join pg_class c on c.oid = a.attrelid
        |  join pg_namespace n on n.oid = c.relnamespace
@@ -99,7 +104,10 @@ object SnapshotCopy {
        |order by a.attnum""".stripMargin
 
   /** Introspect over an open wire connection (no JDBC): text-protocol
-    * booleans arrive as `t`/`f`, OIDs as decimal text. */
+    * booleans arrive as `t`/`f`, OIDs as decimal text. `relreplident` is a
+    * catalog "char" — `f` (FULL) is the only setting whose identity
+    * columns can be nullable, and then only the ones without a NOT NULL
+    * constraint; PK/index identities are NOT NULL by Postgres's rules. */
   def introspectRelation(conn: PgConnect.Conn, schema: String,
       table: String): Relation = {
     val res = conn.simpleQuery(introspectSql(schema, table))
@@ -108,9 +116,13 @@ object SnapshotCopy {
         name = r(0).getOrElse(sys.error("null attname")),
         pgOid = r(2).getOrElse(sys.error("null oid")).toInt,
         isIdentity = r(1).contains("t"),
-        isArray = r(3).contains("t"))
+        isArray = r(3).contains("t"),
+        notNull = r.lift(4).flatten.contains("t"))
     }
     require(cols.nonEmpty, s"table not found (or has no columns): $schema.$table")
-    Relation(schema, table, cols)
+    val replident = res.rows.head.lift(5).flatten.getOrElse("d")
+    Relation(schema, table, cols,
+      nullableIdentity = replident == "f" &&
+        cols.exists(c => c.isIdentity && !c.notNull))
   }
 }

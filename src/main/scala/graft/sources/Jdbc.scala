@@ -95,15 +95,18 @@ object Jdbc {
         try while (rs.next()) {
           val name = rs.getString("COLUMN_NAME")
           val jdbcType = rs.getInt("DATA_TYPE")
+          val notNull =
+            rs.getInt("NULLABLE") == java.sql.DatabaseMetaData.columnNoNulls
           // Array columns: JDBC reports Types.ARRAY with the PG element
           // type recoverable from TYPE_NAME ("_int4" → int4[]). The OID
           // recorded is the ELEMENT type's, as the pgoutput tuple data
           // carries element-typed array literals (PgValues.pgArrayParse).
           if (jdbcType == java.sql.Types.ARRAY)
             b += RelColumn(name, oidOfTypeName(rs.getString("TYPE_NAME")),
-              pks.contains(name), isArray = true)
+              pks.contains(name), isArray = true, notNull = notNull)
           else
-            b += RelColumn(name, oidOf(jdbcType), pks.contains(name))
+            b += RelColumn(name, oidOf(jdbcType), pks.contains(name),
+              notNull = notNull)
         } finally rs.close()
         b.result()
       }

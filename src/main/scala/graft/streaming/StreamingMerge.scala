@@ -67,7 +67,16 @@ final class StreamingMerge(
     * below the committed watermark was already applied — batch ids restart
     * from zero when a stream is restarted from a fresh checkpoint, so they
     * cannot carry idempotence across restarts. */
-  def applyBatch(batch: Dataset[ChangeAction], batchId: Long): Unit = {
+  def applyBatch(batch0: Dataset[ChangeAction], batchId: Long): Unit = {
+    import batch0.sparkSession.implicits._
+    // the batch is scanned several times below (table set, watermark cut,
+    // ack max, compaction input) — pin it so a file-source batch isn't
+    // re-read from JSON per pass
+    val batch = batch0.persist()
+    try applyBatchPinned(batch, batchId) finally { batch.unpersist(); () }
+  }
+
+  private def applyBatchPinned(batch: Dataset[ChangeAction], batchId: Long): Unit = {
     import batch.sparkSession.implicits._
     // ---- at-least-once replay protection, BEFORE compaction ----
     // The compactor's folds (insert-then-delete elision, rekey chains
@@ -91,7 +100,15 @@ final class StreamingMerge(
     // per table: dropped for tables that published, applied for tables
     // that did not).
     val logLsn = commitLog.lastLsn.getOrElse(Long.MinValue)
-    val tableWm: Map[String, Long] = relations.map { r =>
+    // only relations actually PRESENT in this batch pay the
+    // recover + marker-read filesystem round-trips — on an object-store
+    // tablesBase with many configured relations, running them for every
+    // relation on every micro-batch is pure fixed latency (tables the
+    // batch never touches can't need their watermark, and their
+    // half-swapped publishes, if any, are recovered when they next appear
+    // in a batch or at read time)
+    val batchTables = batch.select("table").distinct().as[String].collect().toSet
+    val tableWm: Map[String, Long] = relations.filter(r => batchTables(r.table)).map { r =>
       // recover FIRST: the marker of a half-swapped publish lives in
       // whichever dir recovery promotes
       SnapshotWriter.recover(spark, tablesBase, r.table)

@@ -71,7 +71,25 @@ object Supervisor {
               s"schema resync did not converge after $resyncs resyncs: ${e.getMessage}")
           resyncs += 1
           consecutiveResyncs += 1
-          resync()
+          // a resync can fail transiently (e.g. the dying stream's
+          // cancelled tasks still flushing into the checkpoint it must
+          // delete) — retry it with backoff against the restart budget
+          // rather than either aborting supervision or running the body
+          // against half-torn-down state
+          var resyncOk = false
+          while (!resyncOk) {
+            try { resync(); resyncOk = true }
+            catch {
+              case re if scala.util.control.NonFatal(re) =>
+                restarts += 1
+                consecutive += 1
+                if (consecutive > maxRestarts)
+                  throw new IllegalStateException(
+                    s"giving up: resync failed $consecutive consecutive times", re)
+                Thread.sleep(backoffMs * (1L << math.min(consecutive - 1, 6)))
+            }
+          }
+          consecutive = 0
           Thread.sleep(backoffMs)
         case e if scala.util.control.NonFatal(e) =>
           if (ranLongEnough) { consecutive = 0; consecutiveResyncs = 0 }

@@ -166,6 +166,19 @@ class LiveBootstrapSpec extends AnyFunSuite with Matchers {
     } finally { catalog.close(); pg.close() }
   }
 
+  test("closed catalog refuses instead of silently reopening outside the snapshot") {
+    val pg = new FakePg(pubMatches = false, slotLsn = None)
+    val catalog = new PgCatalog(PgConnect.Endpoint("127.0.0.1", pg.port,
+      PgConnect.Config(user = "graft", database = "appdb")))
+    catalog.close()
+    // a lazily-recreated pool connection after close() would NOT be in the
+    // slot's exported snapshot — use-after-close must throw, not reconnect
+    an[IllegalStateException] should be thrownBy catalog.poolConn
+    an[IllegalStateException] should be thrownBy catalog.createSlot("s1")
+    catalog.close() // idempotent
+    pg.close()
+  }
+
   test("prohibitDropSlot blocks the resync loudly") {
     val pg = new FakePg(pubMatches = true, slotLsn = Some("0/600"))
     val catalog = new PgCatalog(PgConnect.Endpoint("127.0.0.1", pg.port,

@@ -159,6 +159,27 @@ class PgOutputSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy decode(Seq(bytes(0x5a))).toSeq
   }
 
+  test("replica identity byte drives nullableIdentity (with introspected refinement)") {
+    val fullRel = Relation("public", "t1", Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("v", PgTypes.TextOid, isIdentity = true))) // FULL: all cols key
+    def announced(d: Decoder, replident: Char): Relation = {
+      d.feed(encodeBegin(1000, 0L, 42))
+      d.feed(encodeRelation(99, fullRel, replicaIdentity = replident))
+      d.relationFor(99).get
+    }
+    // default 'd' (PK) identity: NOT NULL by the database's rules
+    announced(new Decoder, 'd').nullableIdentity shouldBe false
+    // FULL with no introspection: conservatively nullable
+    announced(new Decoder, 'f').nullableIdentity shouldBe true
+    // FULL, introspection proves every identity column NOT NULL: keep ===
+    announced(new Decoder(notNullIdentity =
+      Map("public.t1" -> Set("id", "v"))), 'f').nullableIdentity shouldBe false
+    // FULL, one identity column unproven: nullable
+    announced(new Decoder(notNullIdentity =
+      Map("public.t1" -> Set("id"))), 'f').nullableIdentity shouldBe true
+  }
+
   test("origin / type / logical-decoding messages are metadata (no output)") {
     val d = new Decoder
     d.feed(goldenBegin)

@@ -122,10 +122,10 @@ class SnapshotCopySpec extends AnyFunSuite with Matchers {
       tq shouldBe 'Q'
       new String(q, 0, q.length - 1, UTF_8) shouldBe
         SnapshotCopy.introspectSql("public", "users")
-      sendMsg(out, 'T', rowDesc("attname", "pk", "oid", "is_array"))
-      sendMsg(out, 'D', dataRow("id", "t", "20", "f"))
-      sendMsg(out, 'D', dataRow("name", "f", "25", "f"))
-      sendMsg(out, 'D', dataRow("tags", "f", "25", "t")) // text[] → elem oid
+      sendMsg(out, 'T', rowDesc("attname", "pk", "oid", "is_array", "not_null", "replident"))
+      sendMsg(out, 'D', dataRow("id", "t", "20", "f", "t", "d"))
+      sendMsg(out, 'D', dataRow("name", "f", "25", "f", "f", "d"))
+      sendMsg(out, 'D', dataRow("tags", "f", "25", "t", "f", "d")) // text[] → elem oid
       sendMsg(out, 'C', cstr("SELECT 3"))
       sendMsg(out, 'Z', Array('I'.toByte))
       s.close()
@@ -144,9 +144,47 @@ class SnapshotCopySpec extends AnyFunSuite with Matchers {
     socket.close()
 
     rel shouldBe Relation("public", "users", Seq(
-      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true, notNull = true),
       RelColumn("name", PgTypes.TextOid),
       RelColumn("tags", PgTypes.TextOid, isArray = true)))
+    rel.nullableIdentity shouldBe false
+  }
+
+  test("REPLICA IDENTITY FULL with a nullable identity column sets nullableIdentity") {
+    // catalog answers: replident 'f', identity columns (a NOT NULL, b nullable)
+    def introspect(rows: Seq[Seq[String]]): Relation = {
+      val server = new ServerSocket(0)
+      val t = new Thread(() => {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val out = new DataOutputStream(s.getOutputStream)
+        readStartup(in)
+        sendTrustReady(out)
+        readMsg(in)
+        sendMsg(out, 'T', rowDesc("attname", "pk", "oid", "is_array", "not_null", "replident"))
+        rows.foreach(r => sendMsg(out, 'D', dataRow(r: _*)))
+        sendMsg(out, 'C', cstr(s"SELECT ${rows.size}"))
+        sendMsg(out, 'Z', Array('I'.toByte))
+        s.close()
+      })
+      t.start()
+      val socket = new Socket("127.0.0.1", server.getLocalPort)
+      val conn = new PgConnect.Conn(
+        new DataInputStream(socket.getInputStream),
+        new DataOutputStream(socket.getOutputStream))
+      conn.startup(PgConnect.Config(user = "graft", database = "appdb",
+        replication = false))
+      val rel = SnapshotCopy.introspectRelation(conn, "public", "t")
+      t.join(5000); server.close(); socket.close()
+      rel
+    }
+    introspect(Seq(
+      Seq("a", "t", "20", "f", "t", "f"),
+      Seq("b", "t", "25", "f", "f", "f"))).nullableIdentity shouldBe true
+    // all identity columns NOT NULL → FULL still joins with ===
+    introspect(Seq(
+      Seq("a", "t", "20", "f", "t", "f"),
+      Seq("b", "f", "25", "f", "f", "f"))).nullableIdentity shouldBe false
   }
 
   test("ErrorResponse mid-COPY drains to ReadyForQuery and throws; conn survives") {

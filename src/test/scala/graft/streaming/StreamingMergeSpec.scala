@@ -221,6 +221,38 @@ class StreamingMergeSpec extends AnyFunSuite with Matchers {
     ex.getCause.getMessage shouldBe "always"
   }
 
+  test("supervisor retries a transiently-failing resync with backoff") {
+    // a resync can race the dying stream's task flush (checkpoint delete
+    // fails) — the supervisor must retry the resync, not run the body
+    // against half-torn-down state or abort supervision
+    var runs = 0
+    var resyncAttempts = 0
+    val r = Supervisor.runForever(
+      body = () => {
+        runs += 1
+        if (runs == 1) throw new SchemaChangedException("relation changed")
+      },
+      resync = () => {
+        resyncAttempts += 1
+        if (resyncAttempts < 3) throw new IllegalStateException("checkpoint still exists")
+      },
+      backoffMs = 1L)
+    resyncAttempts shouldBe 3 // two transient failures, then success
+    runs shouldBe 2
+    r.resyncs shouldBe 1 // one logical resync, retried internally
+  }
+
+  test("supervisor gives up on a permanently-failing resync") {
+    val ex = intercept[IllegalStateException] {
+      Supervisor.runForever(
+        body = () => throw new SchemaChangedException("relation changed"),
+        resync = () => throw new IllegalStateException("checkpoint still exists"),
+        maxRestarts = 2, backoffMs = 1L)
+    }
+    ex.getMessage should include("resync failed")
+    ex.getCause.getMessage should include("checkpoint still exists")
+  }
+
   test("supervisor bounds a non-converging resync loop") {
     var resyncs = 0
     val ex = intercept[IllegalStateException] {
