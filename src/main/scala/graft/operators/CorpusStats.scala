@@ -81,7 +81,13 @@ object CorpusStats {
     *
     * The per-doc mean sums ROUNDED per-token values through DECIMAL, so
     * the aggregate is exact and order-independent — a raw double sum
-    * would make the result depend on partitioning.
+    * would make the result depend on partitioning. The MEAN itself is
+    * then taken in exact integer micro-units (half-up on the rational
+    * sum/n, `(2s+n) div 2n`), not as a rounded double division: the
+    * division's 1-ulp wobble across engines can land the unrounded mean
+    * on opposite sides of a 6dp rounding boundary (observed once at
+    * sf0.1: 3.402035 vs 3.402036), and integer arithmetic is the one
+    * form both engines compute identically.
     *
     * Scale shape: one explode feeds both the corpus counts (partial-agg'd
     * hash aggregate) and the scoring join on the term — vocab-sized build
@@ -100,9 +106,10 @@ object CorpusStats {
       .withColumn("nll", -log((col("c") + 1.0) / (col("t_tokens") + col("v_vocab"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        (sum(round(col("nll"), 6).cast("decimal(18,6)")).cast("double") /
-          count(lit(1))).as("__avg_raw"))
-      .select(col(idCol), col("n_tokens"), round(col("__avg_raw"), 6).as("avg_nll"))
+        sum(round(col("nll"), 6).cast("decimal(18,6)")).as("__sum_dec"))
+      .select(col(idCol), col("n_tokens"),
+        (expr("(2 * CAST(__sum_dec * 1000000 AS BIGINT) + n_tokens) div (2 * n_tokens)")
+          .cast("double") / 1e6).as("avg_nll"))
   }
 
   /** C4/RefinedWeb-style boilerplate-line removal: strip every line that
@@ -246,9 +253,11 @@ object CorpusStats {
           lit(lambdaUni) * (col("cu") + 1.0) / (col("t_tokens") + col("v_vocab"))))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).cast("long").as("n_bigrams"),
-        (sum(round(col("nll"), 6).cast("decimal(18,6)") * col("tf"))
-          .cast("double") / sum(col("tf"))).as("__avg_raw"))
-      .select(col(idCol), col("n_bigrams"), round(col("__avg_raw"), 6).as("avg_nll"))
+        sum(round(col("nll"), 6).cast("decimal(18,6)") * col("tf")).as("__sum_dec"))
+      // same exact integer-micro mean as unigramNll (see its Scaladoc)
+      .select(col(idCol), col("n_bigrams"),
+        (expr("(2 * CAST(__sum_dec * 1000000 AS BIGINT) + n_bigrams) div (2 * n_bigrams)")
+          .cast("double") / 1e6).as("avg_nll"))
   }
 
   /** Source-to-source n-gram overlap matrix (SURVEY.md §2.3 #48c): for

@@ -1339,10 +1339,13 @@ object LlmQueries {
         |    -ln((counts.c + 1.0::DOUBLE) / (tot.t_tokens + tot.v_vocab)) AS nll
         |  FROM toks t JOIN counts USING (term) CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(sum(round(nll, 6)::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_nll
+        |  ((2 * CAST(sum(round(nll, 6)::DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      + count(*)) // (2 * count(*)))::DOUBLE / 1000000 AS avg_nll
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // threshold = exact interpolated P90 (quantile_cont ≡ Spark
-    // percentile) over the 6-dp-rounded NLL scores
+    // percentile) over the integer-micro-exact NLL scores (the mean is
+    // half-up integer arithmetic in BOTH engines — no double division
+    // whose 1-ulp wobble can cross a rounding boundary)
     "text_adaptive_filter" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -1356,7 +1359,8 @@ object LlmQueries {
         |  FROM toks t JOIN counts USING (term) CROSS JOIN tot),
         |scored AS (
         |  SELECT doc_id,
-        |    round(sum(round(nll, 6)::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_nll
+        |    ((2 * CAST(sum(round(nll, 6)::DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |        + count(*)) // (2 * count(*)))::DOUBLE / 1000000 AS avg_nll
         |  FROM nll GROUP BY doc_id),
         |thr AS (SELECT quantile_cont(avg_nll, 0.9::DOUBLE) AS t FROM scored)
         |SELECT doc_id, avg_nll, round(t, 6) AS p90_r,
@@ -1378,7 +1382,8 @@ object LlmQueries {
         |  FROM toks t JOIN counts USING (term) CROSS JOIN tot),
         |scored AS (
         |  SELECT doc_id,
-        |    round(sum(round(nll, 6)::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_nll
+        |    ((2 * CAST(sum(round(nll, 6)::DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |        + count(*)) // (2 * count(*)))::DOUBLE / 1000000 AS avg_nll
         |  FROM nll GROUP BY doc_id),
         |thr AS (SELECT quantile_cont(avg_nll, 0.9::DOUBLE) AS t FROM scored)
         |SELECT doc_id, avg_nll, avg_nll <= round(t, 6) AS kept,
@@ -1506,7 +1511,8 @@ object LlmQueries {
         |  JOIN ucounts uc ON uc.term = split_part(f.bg, ' ', 2)
         |  CROSS JOIN tot)
         |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
-        |  round(sum(round(nll, 6)::DECIMAL(18,6) * tf)::DOUBLE / sum(tf), 6) AS avg_nll
+        |  ((2 * CAST(sum(round(nll, 6)::DECIMAL(18,6) * tf) * 1000000 AS BIGINT)
+        |      + sum(tf)) // (2 * sum(tf)))::DOUBLE / 1000000 AS avg_nll
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_boilerplate" ->
       """WITH corpus AS (
@@ -1882,30 +1888,67 @@ object LlmQueries {
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10000
         |WHERE a.doc_id % 5 = 0 AND a.doc_id < 10000
         |ORDER BY id_a""".stripMargin,
-    // Golden signatures (sf0.01): the sketch/fingerprint hash families are
-    // not SQL-expressible, so these gates pin each pipeline's full output
-    // via an exact aggregate signature computed once from the verified
-    // implementation — any regression in shingling, hashing, banding,
-    // winnowing, or verification moves the signature and fails the hash
-    // compare. The driver's correctness gate always runs at sf0.01.
-    // integer-exact deflate totals at sf0.01 (JDK zlib, level 6, nowrap)
+    // Golden signatures, SF-RELATIVE: the sketch/fingerprint hash families
+    // are not SQL-expressible, so these gates pin each pipeline's full
+    // output via an exact aggregate signature computed once from the
+    // verified implementation — any regression in shingling, hashing,
+    // banding, winnowing, or verification moves the signature and fails
+    // the hash compare. The expected row is selected by a corpus
+    // DISCRIMINANT read from the data itself (sum of documents text
+    // lengths — unique across the three driver SFs, where row count alone
+    // is not: sf0.001 and sf0.01 both have 500 docs), so the same gate is
+    // green at sf0.001/sf0.01/sf0.1 with no exemption class; an unknown
+    // corpus selects NO row and fails the rows compare loudly instead of
+    // silently passing.
+    // integer-exact deflate totals (JDK zlib, level 6, nowrap)
     "text_compress_sig" ->
-      """SELECT CAST(500 AS BIGINT) AS n_docs, CAST(149174 AS BIGINT) AS sum_bytes,
-        |  CAST(71349 AS BIGINT) AS sum_deflate,
-        |  CAST(0 AS BIGINT) AS n_low_entropy""".stripMargin,
+      """WITH k AS (SELECT sum(length(text)) AS sl FROM documents)
+        |SELECT n_docs, sum_bytes, sum_deflate, n_low_entropy
+        |FROM (VALUES
+        |  (153156,  CAST(500 AS BIGINT),  CAST(153156 AS BIGINT),  CAST(72598 AS BIGINT),  CAST(0 AS BIGINT)),
+        |  (149174,  CAST(500 AS BIGINT),  CAST(149174 AS BIGINT),  CAST(71349 AS BIGINT),  CAST(0 AS BIGINT)),
+        |  (1485576, CAST(5000 AS BIGINT), CAST(1485576 AS BIGINT), CAST(710682 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS sig(sl, n_docs, sum_bytes, sum_deflate, n_low_entropy)
+        |JOIN k ON sig.sl = k.sl""".stripMargin,
     "dedup_minhash_sig" ->
-      """SELECT CAST(130 AS BIGINT) AS n_pairs, CAST(30007 AS BIGINT) AS sum_ida,
-        |  CAST(1084397 AS BIGINT) AS sum_idb, CAST(116.230869 AS DOUBLE) AS sum_j""".stripMargin,
+      """WITH k AS (SELECT sum(length(text)) AS sl FROM documents)
+        |SELECT n_pairs, sum_ida, sum_idb, sum_j
+        |FROM (VALUES
+        |  (153156,  CAST(134 AS BIGINT),  CAST(57806 AS BIGINT),   CAST(1093715 AS BIGINT),  CAST(120.572928 AS DOUBLE)),
+        |  (149174,  CAST(130 AS BIGINT),  CAST(30007 AS BIGINT),   CAST(1084397 AS BIGINT),  CAST(116.230869 AS DOUBLE)),
+        |  (1485576, CAST(1258 AS BIGINT), CAST(3073134 AS BIGINT), CAST(13381227 AS BIGINT), CAST(1129.670585 AS DOUBLE))
+        |) AS sig(sl, n_pairs, sum_ida, sum_idb, sum_j)
+        |JOIN k ON sig.sl = k.sl""".stripMargin,
     "dedup_simhash_sig" ->
-      """SELECT CAST(66 AS BIGINT) AS n_pairs, CAST(14999 AS BIGINT) AS sum_ida,
-        |  CAST(449384 AS BIGINT) AS sum_idb, CAST(130 AS BIGINT) AS sum_ham""".stripMargin,
+      """WITH k AS (SELECT sum(length(text)) AS sl FROM documents)
+        |SELECT n_pairs, sum_ida, sum_idb, sum_ham
+        |FROM (VALUES
+        |  (153156,  CAST(59 AS BIGINT),  CAST(12175 AS BIGINT),   CAST(376812 AS BIGINT),  CAST(116 AS BIGINT)),
+        |  (149174,  CAST(66 AS BIGINT),  CAST(14999 AS BIGINT),   CAST(449384 AS BIGINT),  CAST(130 AS BIGINT)),
+        |  (1485576, CAST(587 AS BIGINT), CAST(1382942 AS BIGINT), CAST(5346322 AS BIGINT), CAST(1093 AS BIGINT))
+        |) AS sig(sl, n_pairs, sum_ida, sum_idb, sum_ham)
+        |JOIN k ON sig.sl = k.sl""".stripMargin,
     "doc_fingerprint_sig" ->
-      """SELECT CAST(500 AS BIGINT) AS n_docs, CAST(376978025 AS BIGINT) AS sum_fp_mod,
-        |  CAST(15671 AS BIGINT) AS sum_winnow""".stripMargin,
+      """WITH k AS (SELECT sum(length(text)) AS sl FROM documents)
+        |SELECT n_docs, sum_fp_mod, sum_winnow
+        |FROM (VALUES
+        |  (153156,  CAST(500 AS BIGINT),  CAST(377937181 AS BIGINT),  CAST(16131 AS BIGINT)),
+        |  (149174,  CAST(500 AS BIGINT),  CAST(376978025 AS BIGINT),  CAST(15671 AS BIGINT)),
+        |  (1485576, CAST(5000 AS BIGINT), CAST(3760687987 AS BIGINT), CAST(155958 AS BIGINT))
+        |) AS sig(sl, n_docs, sum_fp_mod, sum_winnow)
+        |JOIN k ON sig.sl = k.sl""".stripMargin,
+    // the ANN gate reads embeddings, but embeddings row counts collide at
+    // sf0.001/sf0.01 (500 each) — the documents discriminant identifies
+    // the SF dir as a whole, so it keys this gate too
     "ann_lsh_sig" ->
-      """SELECT CAST(100 AS BIGINT) AS n_rows, CAST(950 AS BIGINT) AS sum_qid,
-        |  CAST(26423 AS BIGINT) AS sum_nid, CAST(300 AS BIGINT) AS sum_rank,
-        |  CAST(31.289087 AS DOUBLE) AS sum_cos""".stripMargin,
+      """WITH k AS (SELECT sum(length(text)) AS sl FROM documents)
+        |SELECT n_rows, sum_qid, sum_nid, sum_rank, sum_cos
+        |FROM (VALUES
+        |  (153156,  CAST(100 AS BIGINT), CAST(950 AS BIGINT), CAST(26596 AS BIGINT), CAST(300 AS BIGINT), CAST(30.218323 AS DOUBLE)),
+        |  (149174,  CAST(100 AS BIGINT), CAST(950 AS BIGINT), CAST(26423 AS BIGINT), CAST(300 AS BIGINT), CAST(31.289087 AS DOUBLE)),
+        |  (1485576, CAST(100 AS BIGINT), CAST(950 AS BIGINT), CAST(93428 AS BIGINT), CAST(300 AS BIGINT), CAST(36.621895 AS DOUBLE))
+        |) AS sig(sl, n_rows, sum_qid, sum_nid, sum_rank, sum_cos)
+        |JOIN k ON sig.sl = k.sl""".stripMargin,
     "embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |           FROM embeddings WHERE vec_id < 100)
