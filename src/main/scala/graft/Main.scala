@@ -294,6 +294,14 @@ object Main {
             appliedLsn, stop = stop, spooledFloor = floor)
         } finally socket.close()
       } catch {
+        // a schema change is NOT retryable here: reconnecting hands the
+        // re-announced relation to a FRESH decoder, which caches the new
+        // schema without complaint — the change would be swallowed and the
+        // merge (still configured with the old relations) would silently
+        // desync. Propagate so the supervised body resyncs (drop slot →
+        // re-introspect → re-backfill), the reference's ErrRelationChanged
+        // path (sync_service.go:95-110).
+        case e: graft.streaming.SchemaChangedException => throw e
         case e: Exception =>
           System.err.println(s"[livePump] stream attempt failed: ${e.getMessage}")
       }
@@ -439,30 +447,9 @@ object Main {
     def build() = if (isLive) liveBuildSync(spark, fc) else buildSync(spark, fc)
     val (sync0, relations0) = build()
     var sync = sync0
-    // SINGLE-PROCESS live mode, as the reference's `mammoth sync`: when
-    // the source connection is a postgres:// DSN, the replication pump
-    // (connect/auth/START_REPLICATION → message spool) runs on a daemon
-    // thread beside the supervised merge loop, resuming from the commit
-    // log's applied LSN. A jdbc: source (tests, captures, external
-    // spoolers) keeps the spool-fed behavior unchanged.
-    val stopPump = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var relations = relations0
     val dsn = fc.postgres.connection
-    if (dsn.startsWith("postgres://") || dsn.startsWith("postgresql://")) {
-      // the applied position is TARGET-regime-aware (file commit log for a
-      // parquet store, the in-database record for a jdbc: warehouse) — the
-      // ack must follow whichever the merge actually writes
-      val pump = new Thread(() => {
-        livePump(spark, dsn, fc.postgres.slotName, messagesDir,
-          appliedLsn = () => sync.appliedLsn(), stop = stopPump,
-          // the map can go stale across a schema-change resync; the
-          // decoder's conservative fallback (FULL → nullable) stays safe
-          notNullIdentity = Relation.notNullIdentityMap(relations0))
-        ()
-      }, "graft-live-pump")
-      pump.setDaemon(true)
-      pump.start()
-    }
-    try sync.runSupervised(
+    sync.runSupervised(
       body = () => {
         val messages: Dataset[WalMessage] = spark.readStream
           .schema(Encoders.product[WalMessage].schema)
@@ -470,7 +457,50 @@ object Main {
           .json(messagesDir)
           .as(Encoders.product[WalMessage])
         val q = sync.startFromMessages(messages)
-        q.awaitTermination()
+        // SINGLE-PROCESS live mode, as the reference's `mammoth sync`: the
+        // replication pump (connect/auth/START_REPLICATION → message
+        // spool) runs on a daemon thread INSIDE the supervised body,
+        // resuming from the target's applied LSN (regime-aware: file
+        // commit log for a parquet store, the in-database record for a
+        // jdbc: warehouse). Living inside the body means a schema change
+        // detected by the pump's decoder fails THIS body with
+        // SchemaChangedException — supervisor → resnapshot → fresh slot +
+        // fresh pump — instead of dying on a thread nobody supervises. A
+        // jdbc: source (tests, captures, external spoolers) keeps the
+        // spool-fed behavior, no pump.
+        val stopPump = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val schemaChange = new java.util.concurrent.atomic.AtomicReference[
+          graft.streaming.SchemaChangedException](null)
+        if (isLive) {
+          val pump = new Thread(() => {
+            try {
+              livePump(spark, dsn, fc.postgres.slotName, messagesDir,
+                appliedLsn = () => sync.appliedLsn(), stop = stopPump,
+                // the map is rebuilt per body from the CURRENT relations
+                // (resnapshot refreshes them); the decoder's conservative
+                // fallback (FULL → nullable) stays safe regardless
+                notNullIdentity = Relation.notNullIdentityMap(relations))
+              ()
+            } catch {
+              case e: graft.streaming.SchemaChangedException =>
+                schemaChange.set(e)
+                // wake the body: the stream itself is healthy, so only
+                // stopping it gets awaitTermination to return promptly
+                try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+            }
+          }, "graft-live-pump")
+          pump.setDaemon(true)
+          pump.start()
+        }
+        try {
+          while (q.isActive && schemaChange.get() == null) q.awaitTermination(500)
+          Option(schemaChange.get()).foreach(e => throw e)
+          // stream ended on its own (clean stop or failure already thrown
+          // by awaitTermination above): supervision decides what's next
+        } finally {
+          stopPump.set(true)
+          try if (q.isActive) q.stop() catch { case scala.util.control.NonFatal(_) => () }
+        }
       },
       resnapshot = () => {
         // schema changed: drop the streaming checkpoint (its state no
@@ -500,10 +530,10 @@ object Main {
           val catalog = new graft.cdc.PgCatalog(graft.cdc.PgConnect.parseUri(dsn0))
           try sync.resyncReplication(catalog) finally catalog.close()
         }
-        val (fresh, _) = build()
+        val (fresh, freshRels) = build()
         sync = fresh
+        relations = freshRels
       })
-    finally stopPump.set(true)
     ()
   }
 }

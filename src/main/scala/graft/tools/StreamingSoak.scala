@@ -89,6 +89,16 @@ object StreamingSoak {
     RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
     RelColumn("name", PgTypes.TextOid),
     RelColumn("bal", PgTypes.Float8Oid)))
+  /** Post-DDL shape: `ALTER TABLE users ADD COLUMN note text DEFAULT 'x'`.
+    * The soak's schema-change leg switches the generator to this relation
+    * mid-run; the pump's decoder must raise [[graft.streaming.SchemaChangedException]]
+    * on the re-announce and the pipeline must resync (drop slot → fresh
+    * exported-snapshot backfill) and converge on the new schema. */
+  private val Rel2 = Relation("public", "users", Seq(
+    RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+    RelColumn("name", PgTypes.TextOid),
+    RelColumn("bal", PgTypes.Float8Oid),
+    RelColumn("note", PgTypes.TextOid)))
 
   /** One generated transaction: its commit LSN and the raw pgoutput
     * frames (Relation frame included every txn so a reconnect's fresh
@@ -102,8 +112,12 @@ object StreamingSoak {
     private val rnd = new java.util.Random(seed)
     private var lsn = 10L
     private var nextId = 1L
-    // expected end state after sequentially applying every action
-    val state = scala.collection.mutable.LinkedHashMap.empty[Long, (String, Double)]
+    // schema epoch: 1 = Rel (3 cols), 2 = Rel2 (+note, the post-DDL shape)
+    private var epoch = 1
+    // expected end state after sequentially applying every action; note is
+    // "" in epoch 1 (column doesn't exist) and gains the DDL default "x"
+    // for every pre-existing row at the switch
+    val state = scala.collection.mutable.LinkedHashMap.empty[Long, (String, Double, String)]
     private val live = scala.collection.mutable.ArrayBuffer.empty[Long]
     // freed identities (deleted or rekeyed-away), available for REUSE:
     // inserts and rekeys occasionally claim a dead identity, exercising
@@ -129,54 +143,86 @@ object StreamingSoak {
     var deletes = 0L
     def maxLsn: Long = this.synchronized { lsn }
 
+    /** The source's DDL moment: every existing row gains the column
+      * default, subsequent txns announce Rel2 and carry 4-cell tuples. */
+    def switchSchema(): Unit = this.synchronized {
+      epoch = 2
+      state.mapValuesInPlace { case (_, (nm, bal, _)) => (nm, bal, "x") }
+      ()
+    }
+    def currentEpoch: Int = this.synchronized { epoch }
+
+    /** Consistent snapshot for the resync backfill: state + WAL position
+      * captured ATOMICALLY (the semantics a real exported snapshot pins).
+      * CSV matches `copy … with (format csv, header true)` of Rel2. */
+    def captureSnapshot(): (Long, String) = this.synchronized {
+      val sb = new StringBuilder("id,name,bal,note\n")
+      state.foreach { case (id, (nm, bal, note)) =>
+        sb.append(id).append(',').append(nm).append(',')
+          .append(bal).append(',').append(note).append('\n')
+      }
+      (lsn, sb.toString)
+    }
+
     def genTxn(): Unit = this.synchronized {
       val xid = txns + 100
       lsn += 10
       val commit = lsn
+      // epoch 2 appends the note cell to every tuple (TOAST-unchanged in
+      // the toast case — an added text column is TOASTable like any other)
+      def cells(id: Long, nm: PgOutput.Cell, bal: PgOutput.Cell,
+          note: PgOutput.Cell): Seq[PgOutput.Cell] =
+        if (epoch == 2) Seq(PgOutput.CellText(id.toString), nm, bal, note)
+        else Seq(PgOutput.CellText(id.toString), nm, bal)
+      def keyCells(id: Long): Seq[PgOutput.Cell] =
+        PgOutput.CellText(id.toString) +:
+          Seq.fill(if (epoch == 2) 3 else 2)(PgOutput.CellNull)
       val dmls = (0 until txnSize).map { _ =>
         val roll = rnd.nextInt(100)
         if (live.isEmpty || roll < 30) { // INSERT (20% reusing a dead identity)
           val id = claimIdentity(reuseP = 20)
           val (nm, bal) = (s"u$id", (rnd.nextInt(100000) / 100.0))
-          live += id; state(id) = (nm, bal)
+          val note = if (epoch == 2) s"n$id" else ""
+          live += id; state(id) = (nm, bal, note)
           actions += 1
-          PgOutput.encodeInsert(RelId, Seq(
-            PgOutput.CellText(id.toString), PgOutput.CellText(nm),
-            PgOutput.CellText(bal.toString)))
+          PgOutput.encodeInsert(RelId, cells(id,
+            PgOutput.CellText(nm), PgOutput.CellText(bal.toString),
+            PgOutput.CellText(note)))
         } else if (roll < 75) { // full-row UPDATE
           val id = live(rnd.nextInt(live.size))
-          val (nm, _) = state(id)
+          val (nm, _, _) = state(id)
           val bal = rnd.nextInt(100000) / 100.0
-          state(id) = (nm, bal)
+          val note = if (epoch == 2) s"v$xid" else ""
+          state(id) = (nm, bal, note)
           actions += 1
-          PgOutput.encodeUpdate(RelId, None, Seq(
-            PgOutput.CellText(id.toString), PgOutput.CellText(nm),
-            PgOutput.CellText(bal.toString)))
-        } else if (roll < 85) { // UPDATE with TOAST-unchanged name
+          PgOutput.encodeUpdate(RelId, None, cells(id,
+            PgOutput.CellText(nm), PgOutput.CellText(bal.toString),
+            PgOutput.CellText(note)))
+        } else if (roll < 85) { // UPDATE with TOAST-unchanged name (+note)
           val id = live(rnd.nextInt(live.size))
-          val (nm, _) = state(id)
+          val (nm, _, note) = state(id)
           val bal = rnd.nextInt(100000) / 100.0
-          state(id) = (nm, bal) // name survives through the unchanged marker
+          state(id) = (nm, bal, note) // name+note survive the unchanged marker
           actions += 1; toastUnchanged += 1
-          PgOutput.encodeUpdate(RelId, None, Seq(
-            PgOutput.CellText(id.toString), PgOutput.CellUnchanged,
-            PgOutput.CellText(bal.toString)))
+          PgOutput.encodeUpdate(RelId, None, cells(id,
+            PgOutput.CellUnchanged, PgOutput.CellText(bal.toString),
+            PgOutput.CellUnchanged))
         } else if (roll < 93) { // identity-changing UPDATE (rekey; 30%
           // into a dead identity — the displaced-delete class)
           val idx = rnd.nextInt(live.size)
           val oldId = live(idx)
           val newId = claimIdentity(reuseP = 30)
-          val (nm, _) = state(oldId)
+          val (nm, _, _) = state(oldId)
           val bal = rnd.nextInt(100000) / 100.0
+          val note = if (epoch == 2) s"r$newId" else ""
           live(idx) = newId
-          state.remove(oldId); state(newId) = (nm, bal)
+          state.remove(oldId); state(newId) = (nm, bal, note)
           graveyard += oldId // the old identity is freed
           actions += 1; rekeys += 1
           PgOutput.encodeUpdate(RelId,
-            Some(('K', Seq(PgOutput.CellText(oldId.toString),
-              PgOutput.CellNull, PgOutput.CellNull))),
-            Seq(PgOutput.CellText(newId.toString), PgOutput.CellText(nm),
-              PgOutput.CellText(bal.toString)))
+            Some(('K', keyCells(oldId))),
+            cells(newId, PgOutput.CellText(nm),
+              PgOutput.CellText(bal.toString), PgOutput.CellText(note)))
         } else { // DELETE
           val idx = rnd.nextInt(live.size)
           val id = live(idx)
@@ -184,13 +230,12 @@ object StreamingSoak {
           state.remove(id)
           graveyard += id
           actions += 1; deletes += 1
-          PgOutput.encodeDelete(RelId, 'K', Seq(
-            PgOutput.CellText(id.toString), PgOutput.CellNull, PgOutput.CellNull))
+          PgOutput.encodeDelete(RelId, 'K', keyCells(id))
         }
       }
       val frames =
         PgOutput.encodeBegin(commit, 0L, xid) +:
-        PgOutput.encodeRelation(RelId, Rel) +:
+        PgOutput.encodeRelation(RelId, if (epoch == 2) Rel2 else Rel) +:
         dmls :+
         PgOutput.encodeCommit(commit, commit, 0L)
       wal += Txn(commit, frames)
@@ -205,26 +250,40 @@ object StreamingSoak {
       wal.filter(_.commitLsn > resume).toSeq
     }
     def retainedTxns: Int = this.synchronized { wal.size }
-    def expected: Map[Long, (String, Double)] = this.synchronized { state.toMap }
+    def expected: Map[Long, (String, Double, String)] = this.synchronized { state.toMap }
   }
 
   def main(args: Array[String]): Unit = {
     val durationSec = args.headOption.map(_.toInt).getOrElse(120)
     val rate = args.drop(1).headOption.map(_.toInt).getOrElse(2000)
     val killFraction = args.drop(2).headOption.map(_.toDouble).getOrElse(0.5)
+    val schemaFraction = args.drop(3).headOption.map(_.toDouble).getOrElse(0.72)
     val txnSize = 10
     val spark: SparkSession = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     val receipt = run(spark, durationSec, rate, txnSize,
-      killAtFraction = killFraction, writeReceiptFile = true)
+      killAtFraction = killFraction, writeReceiptFile = true,
+      schemaChangeAtFraction = schemaFraction)
     println(receipt)
     spark.stop()
   }
 
   /** Drives the soak; returns the JSON receipt. Extracted so a smoke spec
-    * can run a short soak in-process. */
+    * can run a short soak in-process.
+    *
+    * @param schemaChangeAtFraction when in (0,1), the generator switches
+    *        to the post-DDL relation (Rel2, +note) at this fraction of the
+    *        duration: the pump's decoder must raise
+    *        SchemaChangedException, and the soak then drives the FULL
+    *        production resync — streaming checkpoint destroyed, slot
+    *        dropped and recreated through [[graft.cdc.PgCatalog]]
+    *        (drop-slot resync in soak position), exported-snapshot COPY
+    *        re-backfill via [[graft.Main.liveBootstrap]], applied LSN
+    *        seeded at the new consistent point, pump + stream restarted on
+    *        the new schema — and must converge byte-exact on Rel2. */
   def run(spark: SparkSession, durationSec: Int, rate: Int, txnSize: Int,
-      killAtFraction: Double, writeReceiptFile: Boolean): String = {
+      killAtFraction: Double, writeReceiptFile: Boolean,
+      schemaChangeAtFraction: Double = 0.0): String = {
     val base = java.nio.file.Files.createTempDirectory("graft_soak").toString
     System.err.println(s"[soak] workdir: $base")
     val messagesDir = s"$base/messages"
@@ -236,7 +295,10 @@ object StreamingSoak {
     val stopServer = new AtomicBoolean(false)
     val activeSocket = new AtomicReference[Socket](null)
 
-    // ---- loopback replication server (accept loop: survives reconnects) ----
+    // ---- loopback replication server (accept loop: survives reconnects;
+    // catalog/pool connections are handled CONCURRENTLY with the pump's
+    // replication connection, as the bootstrap holds both open at once) ----
+    val slotState = new SlotState
     val server = new ServerSocket(0)
     val serverThread = new Thread(() => {
       while (!stopServer.get()) {
@@ -244,9 +306,13 @@ object StreamingSoak {
           val s = server.accept()
           activeSocket.set(s)
           acceptCount.incrementAndGet()
-          try handleConnection(s, gen, ackedApply)
-          catch { case _: Throwable => () } // severed socket: await reconnect
-          finally { try s.close() catch { case _: Throwable => () } }
+          val t = new Thread(() => {
+            try handleConnection(s, gen, ackedApply, slotState)
+            catch { case _: Throwable => () } // severed socket: await reconnect
+            finally { try s.close() catch { case _: Throwable => () } }
+          }, "soak-pg-conn")
+          t.setDaemon(true)
+          t.start()
         } catch { case _: Throwable => () } // accept interrupted by close
       }
     }, "soak-pg-server")
@@ -272,13 +338,23 @@ object StreamingSoak {
     // ---- live pump (connect → spool → ack), supervised reconnect ----
     val commitLog = new CommitLog(spark, s"$tablesBase/_commitlog")
     val pumped = new AtomicLong(0L)
+    // the pump's decoder raising SchemaChangedException is the resync
+    // signal (livePump rethrows it rather than reconnecting — a fresh
+    // decoder would swallow the change); the soak loop consumes it
+    val schemaSignal = new AtomicReference[Throwable](null)
     def newPump(): (Thread, AtomicBoolean) = {
       val stop = new AtomicBoolean(false)
-      val t = new Thread(() => pumped.addAndGet(graft.Main.livePump(
-        spark, s"postgres://graft@127.0.0.1:${server.getLocalPort}/soak",
-        slot = "soak", messagesDir = messagesDir,
-        appliedLsn = () => commitLog.lastLsn.getOrElse(0L),
-        stop = stop, retryBackoffMs = 300L)), "soak-pump")
+      val t = new Thread(() => {
+        try pumped.addAndGet(graft.Main.livePump(
+          spark, s"postgres://graft@127.0.0.1:${server.getLocalPort}/soak",
+          slot = "soak", messagesDir = messagesDir,
+          appliedLsn = () => commitLog.lastLsn.getOrElse(0L),
+          stop = stop, retryBackoffMs = 300L))
+        catch {
+          case e: graft.streaming.SchemaChangedException => schemaSignal.set(e)
+        }
+        ()
+      }, "soak-pump")
       t.setDaemon(true)
       t.start()
       (t, stop)
@@ -287,7 +363,10 @@ object StreamingSoak {
 
     // ---- supervised merge loop ----
     val cfg = graft.SyncConfig(Seq(Rel), tablesBase, ckptBase,
-      batchTimeout = "2 seconds")
+      batchTimeout = "2 seconds", slotName = "soak")
+    val cfg2 = graft.SyncConfig(Seq(Rel2), tablesBase, ckptBase,
+      batchTimeout = "2 seconds", slotName = "soak")
+    var curCfg = cfg
     def startStream(sync: graft.GraftSync) = sync.startFromMessages(
       spark.readStream
         .schema(Encoders.product[WalMessage].schema)
@@ -303,8 +382,12 @@ object StreamingSoak {
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val killAt = durationSec * killAtFraction
+    val schemaAt = durationSec * schemaChangeAtFraction
+    val schemaLeg = schemaChangeAtFraction > 0 && schemaChangeAtFraction < 1
     var maxStateRows = 0L
     var killed = false
+    var schemaSwitched = false
+    var schemaResyncs = 0L
     var reconnectsBeforeKill = 0L
     var streamRestarts = 0L
     var lastStreamError = ""
@@ -339,9 +422,38 @@ object StreamingSoak {
       if (lastStreamError.contains("CHECKPOINT_LOCATION_NOT_EMPTY")) destroyCheckpoint()
       q = startStream(sync)
     }
+    // the pump detected a schema change: drive the FULL production resync —
+    // stream down, checkpoint destroyed, slot dropped + recreated through
+    // the wire catalog (PgCatalog), exported-snapshot COPY re-backfill via
+    // Main.liveBootstrap, applied LSN seeded at the new consistent point,
+    // pump + stream back up on the post-DDL relation
+    def resyncTick(): Unit = Option(schemaSignal.getAndSet(null)).foreach { _ =>
+      schemaResyncs += 1
+      try q.stop() catch { case _: Throwable => () }
+      destroyCheckpoint()
+      stopPump.set(true)
+      pumpThread.join(5000)
+      curCfg = cfg2
+      val sync2 = new graft.GraftSync(spark, cfg2)
+      val catalog = new PgCatalog(PgConnect.Endpoint(
+        "127.0.0.1", server.getLocalPort,
+        PgConnect.Config(user = "graft", database = "soak")))
+      try graft.Main.liveBootstrap(spark, sync2, catalog, Seq(Rel2),
+        java.nio.file.Files.createTempDirectory("graft_soak_resync"))
+      finally catalog.close()
+      sync = sync2
+      val restarted = newPump()
+      pumpThread = restarted._1; stopPump = restarted._2
+      q = startStream(sync)
+    }
     while (elapsed < durationSec) {
       Thread.sleep(1000)
       superviseTick()
+      resyncTick()
+      if (schemaLeg && !schemaSwitched && elapsed >= schemaAt) {
+        schemaSwitched = true
+        gen.switchSchema() // the source's DDL moment
+      }
       // slot semantics: retain only WAL the standby has not ACKED (the
       // pump acks the applied position, so this equals the commit log —
       // but using the slot-level ack is the faithful contract, and an ack
@@ -370,7 +482,7 @@ object StreamingSoak {
         pumpThread.join(5000)
         val restarted = newPump()
         pumpThread = restarted._1; stopPump = restarted._2
-        sync = new graft.GraftSync(spark, cfg)
+        sync = new graft.GraftSync(spark, curCfg)
         q = startStream(sync)
       }
     }
@@ -384,6 +496,7 @@ object StreamingSoak {
     while (!quiesced && System.nanoTime() < quiesceDeadline) {
       Thread.sleep(1000)
       superviseTick()
+      resyncTick() // a late schema change can surface during the drain
       quiesced = commitLog.lastLsn.getOrElse(0L) >= targetLsn
     }
     val wallToQuiesce = (System.nanoTime() - t0) / 1e9
@@ -395,10 +508,14 @@ object StreamingSoak {
     pumpThread.join(10000)
 
     // ---- convergence: table state ≡ generator's tracked expectation ----
+    // (on the POST-DDL schema when the schema leg ran — note column read
+    // back; a soak that switched but never resynced fails right here, the
+    // table would still be 3 columns)
     val expected = gen.expected
     val actual = sync.table("users")
       .collect()
-      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+        if (schemaSwitched) r.getString(3) else "")))
       .toMap
     val missing = expected.keySet.diff(actual.keySet).size
     val extraKeys = actual.keySet.diff(expected.keySet)
@@ -421,7 +538,9 @@ object StreamingSoak {
       }
     }
     val wrong = expected.count { case (k, v) => actual.get(k).exists(_ != v) }
-    val converged = missing == 0 && extra == 0 && wrong == 0 && quiesced
+    // a schema leg that never resynced is a failure even if values match
+    val converged = missing == 0 && extra == 0 && wrong == 0 && quiesced &&
+      (!schemaLeg || schemaResyncs > 0)
 
     def dirBytes(p: String): Long = {
       val f = new java.io.File(p)
@@ -439,6 +558,11 @@ object StreamingSoak {
       s""""expected_rows":${expected.size},"missing":$missing,"extra":$extra,"wrong":$wrong,""" +
       s""""commit_log_lsn":${commitLog.lastLsn.getOrElse(0L)},"target_lsn":$targetLsn,""" +
       s""""kill_at_sec":${math.rint(killAt * 10) / 10},"reconnects":${acceptCount.get()},""" +
+      s""""schema_change_at_sec":${if (schemaLeg) math.rint(schemaAt * 10) / 10 else 0},""" +
+      s""""schema_resyncs":$schemaResyncs,""" +
+      s""""resync_ddl":"${slotState.ddl.toArray.map(_.toString)
+        .filter(d => d.contains("drop_replication_slot") || d.startsWith("CREATE_REPLICATION_SLOT"))
+        .map(_.takeWhile(_ != '(').replace("\"", "'").trim).mkString("; ")}",""" +
       s""""reconnects_before_kill":$reconnectsBeforeKill,""" +
       s""""stream_restarts":$streamRestarts,"last_stream_error":"$lastStreamError",""" +
       s""""max_assembler_state_rows":$maxStateRows,""" +
@@ -451,11 +575,24 @@ object StreamingSoak {
     receipt
   }
 
-  /** One accepted connection: bootstrap + COPY BOTH streaming from the
-    * retained WAL at the requested resume LSN; a reader thread absorbs
-    * standby statuses into the acked-apply position. */
+  /** Slot + snapshot state shared across the server's connections — the
+    * scripted analogue of pg_replication_slots plus the exported-snapshot
+    * image the resync backfill COPYs. */
+  private final class SlotState {
+    @volatile var slotLsn: Option[Long] = Some(10L) // the soak's initial "slot"
+    @volatile var capturedLsn: Long = 0L
+    @volatile var capturedCsv: String = ""
+    val ddl = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  }
+
+  /** One accepted connection, dispatching by statement like a real
+    * backend: IDENTIFY_SYSTEM/START_REPLICATION enter COPY BOTH streaming
+    * (pump connections), CREATE_REPLICATION_SLOT captures a consistent
+    * snapshot (state + WAL position atomically — exported-snapshot
+    * semantics), and the catalog/DDL/COPY statements serve the
+    * slot-lifecycle bootstrap's pool connection (PgCatalog.poolConn). */
   private def handleConnection(s: Socket, gen: Generator,
-      ackedApply: AtomicLong): Unit = {
+      ackedApply: AtomicLong, slot: SlotState): Unit = {
     val in = new DataInputStream(s.getInputStream)
     val out = new DataOutputStream(s.getOutputStream)
     readStartup(in)
@@ -463,20 +600,80 @@ object StreamingSoak {
     sendMsg(out, 'S', cstr("server_version") ++ cstr("16.3"))
     sendMsg(out, 'K', i32(1) ++ i32(2))
     sendMsg(out, 'Z', Array('I'.toByte))
-    // IDENTIFY_SYSTEM
-    val (t1, _) = readMsg(in)
-    require(t1 == 'Q', s"expected IDENTIFY_SYSTEM, got '$t1'")
-    sendMsg(out, 'T', rowDesc("systemid", "timeline", "xlogpos", "dbname"))
-    sendMsg(out, 'D', dataRow("7", "1", Lsn.format(gen.maxLsn), "soak"))
-    sendMsg(out, 'C', cstr("SELECT 1"))
-    sendMsg(out, 'Z', Array('I'.toByte))
-    // START_REPLICATION … LOGICAL X/Y …
-    val (t2, q2) = readMsg(in)
-    require(t2 == 'Q', s"expected START_REPLICATION, got '$t2'")
-    val sql = new String(q2, 0, q2.length - 1, UTF_8)
-    val resume = "LOGICAL ([0-9A-Fa-f]+/[0-9A-Fa-f]+)".r.findFirstMatchIn(sql)
-      .map(m => Lsn.parse(m.group(1))).getOrElse(0L)
-    sendMsg(out, 'W', Array[Byte](0, 0, 0)) // CopyBothResponse
+    def ok(tag: String): Unit = {
+      sendMsg(out, 'C', cstr(tag))
+      sendMsg(out, 'Z', Array('I'.toByte))
+    }
+    def oneRow(cols: Seq[String], row: Seq[String]): Unit = {
+      sendMsg(out, 'T', rowDesc(cols: _*))
+      sendMsg(out, 'D', dataRow(row: _*))
+      sendMsg(out, 'C', cstr("SELECT 1"))
+      sendMsg(out, 'Z', Array('I'.toByte))
+    }
+    def emptyResult(cols: String*): Unit = {
+      sendMsg(out, 'T', rowDesc(cols: _*))
+      sendMsg(out, 'C', cstr("SELECT 0"))
+      sendMsg(out, 'Z', Array('I'.toByte))
+    }
+    while (true) {
+      val (t, q) = readMsg(in)
+      if (t == 'X') return
+      require(t == 'Q', s"unexpected '$t'")
+      val sql = new String(q, 0, q.length - 1, UTF_8)
+      if (sql.startsWith("IDENTIFY_SYSTEM"))
+        oneRow(Seq("systemid", "timeline", "xlogpos", "dbname"),
+          Seq("7", "1", Lsn.format(gen.maxLsn), "soak"))
+      else if (sql.startsWith("START_REPLICATION")) {
+        val resume = "LOGICAL ([0-9A-Fa-f]+/[0-9A-Fa-f]+)".r.findFirstMatchIn(sql)
+          .map(m => Lsn.parse(m.group(1))).getOrElse(0L)
+        sendMsg(out, 'W', Array[Byte](0, 0, 0)) // CopyBothResponse
+        streamReplication(s, in, out, gen, ackedApply, resume)
+        return
+      } else if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
+        slot.ddl.add(sql)
+        val (capLsn, csv) = gen.captureSnapshot()
+        slot.capturedLsn = capLsn
+        slot.capturedCsv = csv
+        slot.slotLsn = Some(capLsn)
+        sendMsg(out, 'T', rowDesc(
+          "slot_name", "consistent_point", "snapshot_name", "output_plugin"))
+        sendMsg(out, 'D', dataRow("soak", Lsn.format(capLsn),
+          "00000003-0000501A-1", "pgoutput")) // pg_export_snapshot-shaped
+        sendMsg(out, 'C', cstr("CREATE_REPLICATION_SLOT"))
+        sendMsg(out, 'Z', Array('I'.toByte))
+      } else if (sql.startsWith("SELECT schemaname, tablename"))
+        oneRow(Seq("schemaname", "tablename"), Seq("public", "users"))
+      else if (sql.startsWith("SELECT restart_lsn"))
+        slot.slotLsn match {
+          case Some(l) => oneRow(Seq("restart_lsn"), Seq(Lsn.format(l)))
+          case None    => emptyResult("restart_lsn")
+        }
+      else if (sql.startsWith("SELECT pg_drop_replication_slot")) {
+        slot.ddl.add(sql); slot.slotLsn = None; ok("SELECT 1")
+      } else if (sql.startsWith("DROP PUBLICATION")) { slot.ddl.add(sql); ok("DROP PUBLICATION") }
+      else if (sql.startsWith("CREATE PUBLICATION")) { slot.ddl.add(sql); ok("CREATE PUBLICATION") }
+      else if (sql == SnapshotCopy.beginSql) ok("BEGIN")
+      else if (sql.startsWith("SET TRANSACTION SNAPSHOT")) ok("SET")
+      else if (sql.startsWith("copy ")) {
+        // CopyOutResponse: overall text format + per-column formats
+        val nCols = 4
+        sendMsg(out, 'H',
+          Array[Byte](0, ((nCols >> 8) & 0xFF).toByte, (nCols & 0xFF).toByte) ++
+            Array.fill[Byte](2 * nCols)(0))
+        sendCopyData(out, slot.capturedCsv.getBytes(UTF_8))
+        out.writeByte('c'); out.writeInt(4) // CopyDone
+        ok(s"COPY")
+      } else if (sql == SnapshotCopy.commitSql) ok("COMMIT")
+      else sys.error(s"unscripted sql: $sql")
+    }
+  }
+
+  /** COPY BOTH streaming from the retained WAL at the requested resume
+    * LSN; a reader thread absorbs standby statuses into the acked-apply
+    * position. */
+  private def streamReplication(s: Socket, in: DataInputStream,
+      out: DataOutputStream, gen: Generator, ackedApply: AtomicLong,
+      resume: Long): Unit = {
 
     val connOpen = new AtomicBoolean(true)
     val reader = new Thread(() => {
