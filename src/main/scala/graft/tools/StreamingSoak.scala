@@ -258,12 +258,15 @@ object StreamingSoak {
     val rate = args.drop(1).headOption.map(_.toInt).getOrElse(2000)
     val killFraction = args.drop(2).headOption.map(_.toDouble).getOrElse(0.5)
     val schemaFraction = args.drop(3).headOption.map(_.toDouble).getOrElse(0.72)
+    val maxFiles = args.drop(4).headOption.map(_.toInt).getOrElse(50)
+    val trigger = args.drop(5).headOption.getOrElse("2 seconds")
     val txnSize = 10
     val spark: SparkSession = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     val receipt = run(spark, durationSec, rate, txnSize,
       killAtFraction = killFraction, writeReceiptFile = true,
-      schemaChangeAtFraction = schemaFraction)
+      schemaChangeAtFraction = schemaFraction,
+      maxFilesPerTrigger = maxFiles, batchTimeout = trigger)
     println(receipt)
     spark.stop()
   }
@@ -283,7 +286,8 @@ object StreamingSoak {
     *        the new schema — and must converge byte-exact on Rel2. */
   def run(spark: SparkSession, durationSec: Int, rate: Int, txnSize: Int,
       killAtFraction: Double, writeReceiptFile: Boolean,
-      schemaChangeAtFraction: Double = 0.0): String = {
+      schemaChangeAtFraction: Double = 0.0,
+      maxFilesPerTrigger: Int = 50, batchTimeout: String = "2 seconds"): String = {
     val base = java.nio.file.Files.createTempDirectory("graft_soak").toString
     System.err.println(s"[soak] workdir: $base")
     val messagesDir = s"$base/messages"
@@ -363,14 +367,14 @@ object StreamingSoak {
 
     // ---- supervised merge loop ----
     val cfg = graft.SyncConfig(Seq(Rel), tablesBase, ckptBase,
-      batchTimeout = "2 seconds", slotName = "soak")
+      batchTimeout = batchTimeout, slotName = "soak")
     val cfg2 = graft.SyncConfig(Seq(Rel2), tablesBase, ckptBase,
-      batchTimeout = "2 seconds", slotName = "soak")
+      batchTimeout = batchTimeout, slotName = "soak")
     var curCfg = cfg
     def startStream(sync: graft.GraftSync) = sync.startFromMessages(
       spark.readStream
         .schema(Encoders.product[WalMessage].schema)
-        .option("maxFilesPerTrigger", 50)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .json(messagesDir)
         .as(Encoders.product[WalMessage]),
       streamName = "soak")
@@ -551,7 +555,8 @@ object StreamingSoak {
     val receipt =
       s"""{"metric":"graft_soak","converged":$converged,"duration_sec":$durationSec,""" +
       s""""wall_to_quiesce_sec":${math.rint(wallToQuiesce * 10) / 10},""" +
-      s""""offered_rate_actions_sec":$rate,"txns":${gen.txns},"actions":${gen.actions},""" +
+      s""""offered_rate_actions_sec":$rate,"max_files_per_trigger":$maxFilesPerTrigger,""" +
+      s""""batch_timeout":"$batchTimeout","txns":${gen.txns},"actions":${gen.actions},""" +
       s""""rekeys":${gen.rekeys},"toast_unchanged":${gen.toastUnchanged},"deletes":${gen.deletes},""" +
       s""""applied_actions_per_sec":${math.rint(gen.actions / wallToQuiesce * 10) / 10},""" +
       s""""messages_pumped":${pumped.get()},"final_rows":${actual.size},""" +
