@@ -96,4 +96,71 @@ class LivePumpSpec extends AnyFunSuite with Matchers with Eventually {
     total.get() shouldBe 3L
     serverThread.join(5000)
   }
+
+  test("livePump: a mid-stream schema change RETHROWS instead of reconnecting") {
+    // the resync contract: a reconnect would hand the re-announced relation
+    // to a FRESH decoder, which caches the new schema silently — the merge
+    // (still configured with the old relations) would desync. livePump must
+    // surface SchemaChangedException to its supervisor.
+    val relA = Relation("public", "t1", Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("v", PgTypes.TextOid)))
+    val relB = relA.copy(columns = relA.columns :+ RelColumn("extra", PgTypes.Int4Oid))
+
+    val server = new ServerSocket(0)
+    val serverThread = new Thread(() => {
+      try while (true) { // accept loop: a (buggy) reconnect would land here
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val out = new DataOutputStream(s.getOutputStream)
+        readStartup(in)
+        sendTrustReady(out)
+        answerQuery(in, out, "IDENTIFY_SYSTEM",
+          Seq("systemid", "timeline", "xlogpos", "dbname"),
+          Seq("42", "1", "0/500", "appdb"))
+        readMsg(in) // START_REPLICATION
+        sendMsg(out, 'W', Array[Byte](0, 0, 0))
+        // txn 1 with schema A, then txn 2 re-announcing a CHANGED schema
+        Seq(
+          PgOutput.encodeBegin(700L, 0L, 11),
+          PgOutput.encodeRelation(9, relA),
+          PgOutput.encodeInsert(9, Seq(PgOutput.CellText("5"), PgOutput.CellText("y"))),
+          PgOutput.encodeCommit(700L, 700L, 0L),
+          PgOutput.encodeBegin(800L, 0L, 12),
+          PgOutput.encodeRelation(9, relB) // the decoder raises HERE
+        ).zipWithIndex.foreach { case (p, i) =>
+          sendCopyData(out, PgReplication.encodeXLogData(700L + i, 900L, 0L, p))
+        }
+        out.flush()
+        try { var open = true; while (open) open = readMsg(in)._1 == 'd' }
+        catch { case _: Throwable => () }
+        try s.close() catch { case _: Throwable => () }
+      } catch { case _: Throwable => () }
+    })
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_livepump2").toString
+    val stop = new AtomicBoolean(false)
+    val caught = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val pump = new Thread(() => {
+      try Main.livePump(
+        spark, s"postgres://graft@127.0.0.1:${server.getLocalPort}/appdb",
+        slot = "s1", messagesDir = s"$dir/messages",
+        appliedLsn = () => 0L, stop = stop, retryBackoffMs = 100L)
+      catch { case e: Throwable => caught.set(e) }
+      ()
+    })
+    pump.setDaemon(true)
+    pump.start()
+
+    // the pump must DIE with the schema change, not sit in a reconnect loop
+    eventually(timeout(Span(20, Seconds))) {
+      pump.isAlive shouldBe false
+      caught.get() shouldBe a[graft.streaming.SchemaChangedException]
+      caught.get().getMessage should include("t1")
+    }
+    stop.set(true)
+    server.close()
+  }
 }
