@@ -492,11 +492,26 @@ object Main {
           pump.setDaemon(true)
           pump.start()
         }
+        // a schema change detected INSIDE foreachBatch (e.g. the merge's
+        // relation-drift guard) surfaces from awaitTermination wrapped in
+        // StreamingQueryException — unwrap the cause chain so the
+        // supervisor's resync branch matches it, not the plain-restart one
+        def schemaCause(t: Throwable): Option[graft.streaming.SchemaChangedException] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+            .collectFirst { case e: graft.streaming.SchemaChangedException => e }
         try {
           while (q.isActive && schemaChange.get() == null) q.awaitTermination(500)
           Option(schemaChange.get()).foreach(e => throw e)
           // stream ended on its own (clean stop or failure already thrown
           // by awaitTermination above): supervision decides what's next
+        } catch {
+          case e if scala.util.control.NonFatal(e) =>
+            // the pump's signal wins over a concurrent stream failure: a
+            // restart without resync would hand the re-announced relation
+            // to a fresh decoder that accepts it silently
+            throw Option(schemaChange.get())
+              .orElse(schemaCause(e))
+              .getOrElse(e)
         } finally {
           stopPump.set(true)
           try if (q.isActive) q.stop() catch { case scala.util.control.NonFatal(_) => () }

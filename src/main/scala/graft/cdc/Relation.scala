@@ -48,14 +48,20 @@ final case class Relation(schema: String, table: String, columns: Seq[RelColumn]
 }
 
 object Relation {
-  /** qualified name → identity columns introspection knows are NOT NULL.
+  /** qualified name → ALL columns introspection knows are NOT NULL.
     * Fed to [[PgOutput.Decoder]] so a REPLICA IDENTITY FULL relation whose
-    * identity columns are all constrained NOT NULL keeps the `===` join
-    * (and the bucketed snapshot's exchange-free co-location) instead of
-    * the conservative `<=>` the wire alone would force. */
+    * wire identity columns are all constrained NOT NULL keeps the `===`
+    * join (and the bucketed snapshot's exchange-free co-location) instead
+    * of the conservative `<=>` the wire alone would force. ALL NOT NULL
+    * columns, not just introspected-identity (PK) ones: under FULL the
+    * wire flags EVERY column as identity, so a PK-only map could never
+    * prove a multi-column table non-nullable. (The authoritative flag for
+    * the MERGE path is the introspected relation's own `nullableIdentity`,
+    * decided from relreplident/attnotnull — this map serves the decoder's
+    * wire-side relation cache.) */
   def notNullIdentityMap(rels: Seq[Relation]): Map[String, Set[String]] =
     rels.map(r => r.qualifiedName ->
-      r.identityColumns.filter(_.notNull).map(_.name).toSet).toMap
+      r.columns.filter(_.notNull).map(_.name).toSet).toMap
 }
 
 /** Postgres OID → Spark type mapping, the analogue of the reference's

@@ -54,13 +54,30 @@ final class JdbcStreamingMerge(
     val rows = batch.filter(batch("lsn") > watermark)
       .dropDuplicates("table", "lsn", "seq").persist()
     try {
-      val touched = rows.map(_.table).distinct().collect().toSet
+      // one job yields the touched tables AND the relation-drift guard
+      // (same contract as StreamingMerge.applyBatch: a column the
+      // configured relation doesn't know means the source schema moved
+      // without a resync — the generated MERGE would silently drop it)
+      val streamCols = rows
+        .flatMap(a => Iterator.single((a.table, "")) ++
+          (a.values.keysIterator ++ a.keyBefore.keysIterator ++
+            a.nulls.iterator ++ a.unchanged.iterator).map((a.table, _)))
+        .distinct().collect()
+      val touched = streamCols.map(_._1).toSet
       if (touched.isEmpty) return
       val unknown = touched -- known
       if (unknown.nonEmpty) // supervisor reacts with resync, as the
         // reference drops the slot on ErrRelationChanged
         throw new SchemaChangedException(
           s"unknown relation(s) in stream: ${unknown.toSeq.sorted.mkString(", ")}")
+      val colsByTable = relations.map(r => r.table -> r.columnNames.toSet).toMap
+      val unknownCols = streamCols.filter { case (t, c) =>
+        c.nonEmpty && colsByTable.get(t).exists(!_.contains(c))
+      }
+      if (unknownCols.nonEmpty)
+        throw new SchemaChangedException(
+          "stream carries columns unknown to the configured relation " +
+            s"(schema changed at the source?): ${unknownCols.sorted.take(8).mkString(", ")}")
       val maxLsn = rows.map(_.lsn).reduce(math.max(_, _))
       target.applyBatchTransactional(
         relations.filter(r => touched(r.table)), rows, maxLsn)

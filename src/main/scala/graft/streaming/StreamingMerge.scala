@@ -68,7 +68,6 @@ final class StreamingMerge(
     * from zero when a stream is restarted from a fresh checkpoint, so they
     * cannot carry idempotence across restarts. */
   def applyBatch(batch0: Dataset[ChangeAction], batchId: Long): Unit = {
-    import batch0.sparkSession.implicits._
     // the batch is scanned several times below (table set, watermark cut,
     // ack max, compaction input) — pin it so a file-source batch isn't
     // re-read from JSON per pass
@@ -140,7 +139,29 @@ final class StreamingMerge(
     val compacted = (if (simpleStreams) ChangelogCompactor.compactSimple(fresh)
                      else ChangelogCompactor.compact(fresh)).cache()
     try {
-      val touched = compacted.map(_.table).distinct().collect().toSeq.sorted
+      // One tiny job over the cached changelog yields BOTH the touched
+      // table set and a relation-DRIFT guard: an action carrying a column
+      // the configured relation does not know means the source schema
+      // moved under us without a resync (e.g. the pump's schema-change
+      // signal was lost to a crash at exactly the DDL boundary and the
+      // reconnect's fresh decoder accepted the new schema silently).
+      // Merging would silently DROP the unknown column's values — raise
+      // the resync signal here instead. The "" sentinel keeps tables whose
+      // actions carry no values (deletes) in the touched set; distinct
+      // (table, column) pairs are relation-schema-sized.
+      val streamCols = compacted
+        .flatMap(a => Iterator.single((a.table, "")) ++
+          (a.values.keysIterator ++ a.keyBefore.keysIterator ++
+            a.nulls.iterator ++ a.unchanged.iterator).map((a.table, _)))
+        .distinct().collect()
+      val unknownCols = streamCols.filter { case (t, c) =>
+        c.nonEmpty && relByTable.get(t).exists(r => !r.columnNames.contains(c))
+      }
+      if (unknownCols.nonEmpty)
+        throw new SchemaChangedException(
+          "stream carries columns unknown to the configured relation " +
+            s"(schema changed at the source?): ${unknownCols.sorted.take(8).mkString(", ")}")
+      val touched = streamCols.map(_._1).distinct.sorted.toSeq
       if (touched.isEmpty) {
         // everything elided in-batch: still acknowledge the consumed WAL
         commitLog.commit(batchId, ackLsn)

@@ -516,10 +516,16 @@ object StreamingSoak {
     // back; a soak that switched but never resynced fails right here, the
     // table would still be 3 columns)
     val expected = gen.expected
-    val actual = sync.table("users")
+    val finalTable = sync.table("users")
+    // read the note column only if the table actually HAS it — a switch
+    // that never resynced leaves a 3-column table, which must fail the
+    // convergence check (note mismatches + schemaResyncs guard), not crash
+    // before the diagnostic receipt is written
+    val hasNote = finalTable.schema.fieldNames.contains("note")
+    val actual = finalTable
       .collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
-        if (schemaSwitched) r.getString(3) else "")))
+        if (schemaSwitched && hasNote) r.getString(3) else "")))
       .toMap
     val missing = expected.keySet.diff(actual.keySet).size
     val extraKeys = actual.keySet.diff(expected.keySet)

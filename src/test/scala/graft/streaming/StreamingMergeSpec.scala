@@ -191,6 +191,28 @@ class StreamingMergeSpec extends AnyFunSuite with Matchers {
       sm.applyBatch(Seq(action("tags", 1, "I", 1, "x")).toDS(), batchId = 0)
   }
 
+  test("relation drift in the stream raises SchemaChangedException (unknown column)") {
+    // the source schema moved without a resync (the pump's signal can be
+    // lost to a crash at exactly the DDL boundary): an action carrying a
+    // column the configured relation doesn't know must raise, not merge —
+    // merging would silently drop the new column's values forever
+    val base = tmp()
+    val sm = new StreamingMerge(spark, base, Seq(rel), s"$base/_log")
+    val drifted = ChangeAction("items", 1, 0, "I", Map("id" -> "1"),
+      Map("id" -> "1", "name" -> "a", "note" -> "added-by-ddl"),
+      Nil, Nil, rekey = false)
+    val ex = intercept[SchemaChangedException] {
+      sm.applyBatch(Seq(drifted).toDS(), batchId = 0)
+    }
+    ex.getMessage should include("note")
+    // an explicitly-NULLed unknown column is the same drift signal
+    val driftedNull = ChangeAction("items", 2, 0, "U", Map("id" -> "1"),
+      Map("id" -> "1", "name" -> "a"), Seq("note"), Nil, rekey = false)
+    intercept[SchemaChangedException] {
+      sm.applyBatch(Seq(driftedNull).toDS(), batchId = 1)
+    }
+  }
+
   test("supervisor restarts on failure and resyncs on schema change") {
     var runs = 0
     var resyncs = 0
