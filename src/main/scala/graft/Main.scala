@@ -508,10 +508,16 @@ object Main {
           case e if scala.util.control.NonFatal(e) =>
             // the pump's signal wins over a concurrent stream failure: a
             // restart without resync would hand the re-announced relation
-            // to a fresh decoder that accepts it silently
-            throw Option(schemaChange.get())
-              .orElse(schemaCause(e))
-              .getOrElse(e)
+            // to a fresh decoder that accepts it silently. The displaced
+            // stream exception rides along as suppressed — if the resync
+            // doesn't cure the underlying failure, the operator still
+            // sees what actually killed the stream.
+            Option(schemaChange.get()) match {
+              case Some(s) =>
+                if (s ne e) s.addSuppressed(e)
+                throw s
+              case None => throw schemaCause(e).getOrElse(e)
+            }
         } finally {
           stopPump.set(true)
           try if (q.isActive) q.stop() catch { case scala.util.control.NonFatal(_) => () }

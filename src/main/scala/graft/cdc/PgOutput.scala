@@ -45,8 +45,11 @@ object PgOutput {
     * @param typeIsArray PG type OID → is-array, from source introspection
     *        (the reference builds this map the same way; OIDs absent from
     *        the map decode as non-array).
-    * @param notNullIdentity qualified relation name → identity columns
-    *        introspection knows are NOT NULL ([[Relation.notNullIdentityMap]]).
+    * @param notNullIdentity qualified relation name → ALL columns
+    *        introspection knows are NOT NULL ([[Relation.notNullIdentityMap]];
+    *        all of them, not just PK columns — under FULL the wire flags
+    *        EVERY column as identity, so a PK-only map could never prove a
+    *        multi-column table non-nullable).
     *        The Relation message carries the replica-identity setting but
     *        NOT column nullability, so for a REPLICA IDENTITY FULL relation
     *        ('f') any identity column absent from this map is treated as

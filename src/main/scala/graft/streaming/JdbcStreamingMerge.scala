@@ -40,6 +40,7 @@ final class JdbcStreamingMerge(
       relations.groupBy(_.table).collect { case (t, rs) if rs.size > 1 =>
         rs.map(_.qualifiedName).mkString(" vs ") }.mkString("; "))
   private val known = relations.map(_.table).toSet
+  private val colsByTable = relations.map(r => r.table -> r.columnNames.toSet).toMap
   @transient lazy val target = new JdbcTarget(targetUrl, properties)
 
   /** Apply one micro-batch. Public so tests and backfills drive the exact
@@ -55,29 +56,17 @@ final class JdbcStreamingMerge(
       .dropDuplicates("table", "lsn", "seq").persist()
     try {
       // one job yields the touched tables AND the relation-drift guard
-      // (same contract as StreamingMerge.applyBatch: a column the
+      // (the contract shared with StreamingMerge.applyBatch: a column the
       // configured relation doesn't know means the source schema moved
       // without a resync — the generated MERGE would silently drop it)
-      val streamCols = rows
-        .flatMap(a => Iterator.single((a.table, "")) ++
-          (a.values.keysIterator ++ a.keyBefore.keysIterator ++
-            a.nulls.iterator ++ a.unchanged.iterator).map((a.table, _)))
-        .distinct().collect()
-      val touched = streamCols.map(_._1).toSet
+      val touched =
+        SchemaChangedException.touchedTablesCheckingDrift(rows, colsByTable).toSet
       if (touched.isEmpty) return
       val unknown = touched -- known
       if (unknown.nonEmpty) // supervisor reacts with resync, as the
         // reference drops the slot on ErrRelationChanged
         throw new SchemaChangedException(
           s"unknown relation(s) in stream: ${unknown.toSeq.sorted.mkString(", ")}")
-      val colsByTable = relations.map(r => r.table -> r.columnNames.toSet).toMap
-      val unknownCols = streamCols.filter { case (t, c) =>
-        c.nonEmpty && colsByTable.get(t).exists(!_.contains(c))
-      }
-      if (unknownCols.nonEmpty)
-        throw new SchemaChangedException(
-          "stream carries columns unknown to the configured relation " +
-            s"(schema changed at the source?): ${unknownCols.sorted.take(8).mkString(", ")}")
       val maxLsn = rows.map(_.lsn).reduce(math.max(_, _))
       target.applyBatchTransactional(
         relations.filter(r => touched(r.table)), rows, maxLsn)

@@ -14,6 +14,41 @@ import graft.cdc._
   */
 final class SchemaChangedException(msg: String) extends RuntimeException(msg)
 
+object SchemaChangedException {
+  /** One pass over a changelog that yields BOTH the touched-table set and
+    * the relation-DRIFT guard shared by the parquet and jdbc merge paths:
+    * an action carrying a column (values/keyBefore/nulls/unchanged) the
+    * configured relation does not know means the source schema moved
+    * under us without a resync — e.g. the pump's schema-change signal was
+    * lost to a crash at exactly the DDL boundary and the reconnect's
+    * fresh decoder accepted the new schema silently. Merging would
+    * silently DROP the unknown column's values, so raise the resync
+    * signal instead. The "" sentinel keeps tables whose actions carry no
+    * columns (bare deletes) in the touched set; distinct (table, column)
+    * pairs are relation-schema-sized, so the collect is tiny.
+    *
+    * @param colsByTable configured table → known column names
+    * @return touched table names, sorted
+    * @throws SchemaChangedException on drift */
+  def touchedTablesCheckingDrift(actions: org.apache.spark.sql.Dataset[graft.cdc.ChangeAction],
+      colsByTable: Map[String, Set[String]]): Seq[String] = {
+    import actions.sparkSession.implicits._
+    val streamCols = actions
+      .flatMap(a => Iterator.single((a.table, "")) ++
+        (a.values.keysIterator ++ a.keyBefore.keysIterator ++
+          a.nulls.iterator ++ a.unchanged.iterator).map((a.table, _)))
+      .distinct().collect()
+    val unknownCols = streamCols.filter { case (t, c) =>
+      c.nonEmpty && colsByTable.get(t).exists(!_.contains(c))
+    }
+    if (unknownCols.nonEmpty)
+      throw new SchemaChangedException(
+        "stream carries columns unknown to the configured relation " +
+          s"(schema changed at the source?): ${unknownCols.sorted.take(8).mkString(", ")}")
+    streamCols.map(_._1).distinct.sorted.toSeq
+  }
+}
+
 /** Micro-batched continuous synchronization — the engine's re-expression of
   * the reference's streaming loop (sync/stream/stream.go): accumulate
   * transactions, flush a batch every `batchtimeout`/`batchmaxitems`, write
@@ -57,6 +92,7 @@ final class StreamingMerge(
         rs.map(_.qualifiedName).mkString(" vs ") }.mkString("; ") +
       " — sync them as separate services or rename")
   private val relByTable = relations.map(r => r.table -> r).toMap
+  private val colsByTable = relations.map(r => r.table -> r.columnNames.toSet).toMap
   @transient lazy val commitLog = new CommitLog(spark, commitLogPath)
 
   /** Apply one batch of change actions to the table store. Public so tests
@@ -139,29 +175,8 @@ final class StreamingMerge(
     val compacted = (if (simpleStreams) ChangelogCompactor.compactSimple(fresh)
                      else ChangelogCompactor.compact(fresh)).cache()
     try {
-      // One tiny job over the cached changelog yields BOTH the touched
-      // table set and a relation-DRIFT guard: an action carrying a column
-      // the configured relation does not know means the source schema
-      // moved under us without a resync (e.g. the pump's schema-change
-      // signal was lost to a crash at exactly the DDL boundary and the
-      // reconnect's fresh decoder accepted the new schema silently).
-      // Merging would silently DROP the unknown column's values — raise
-      // the resync signal here instead. The "" sentinel keeps tables whose
-      // actions carry no values (deletes) in the touched set; distinct
-      // (table, column) pairs are relation-schema-sized.
-      val streamCols = compacted
-        .flatMap(a => Iterator.single((a.table, "")) ++
-          (a.values.keysIterator ++ a.keyBefore.keysIterator ++
-            a.nulls.iterator ++ a.unchanged.iterator).map((a.table, _)))
-        .distinct().collect()
-      val unknownCols = streamCols.filter { case (t, c) =>
-        c.nonEmpty && relByTable.get(t).exists(r => !r.columnNames.contains(c))
-      }
-      if (unknownCols.nonEmpty)
-        throw new SchemaChangedException(
-          "stream carries columns unknown to the configured relation " +
-            s"(schema changed at the source?): ${unknownCols.sorted.take(8).mkString(", ")}")
-      val touched = streamCols.map(_._1).distinct.sorted.toSeq
+      val touched =
+        SchemaChangedException.touchedTablesCheckingDrift(compacted, colsByTable)
       if (touched.isEmpty) {
         // everything elided in-batch: still acknowledge the consumed WAL
         commitLog.commit(batchId, ackLsn)

@@ -414,17 +414,30 @@ object StreamingSoak {
     // (foreachBatch failure) restarts on the same checkpoint and is
     // COUNTED — a green soak must end with zero unexpected restarts
     def superviseTick(): Unit = if (!q.isActive) {
-      // JSON-safe: Spark exception messages carry newlines and plan dumps
-      lastStreamError = Option(q.exception.map(_.getMessage).orNull)
-        .getOrElse("")
-        .map(c => if (c == '"' || c == '\\') '\'' else if (c.isControl) ' ' else c)
-        .take(200)
-      streamRestarts += 1
-      // a poisoned checkpoint (the teardown race above) can never start:
-      // clear it — the commit-log watermark makes a fresh checkpoint safe,
-      // which is the entire replay design
-      if (lastStreamError.contains("CHECKPOINT_LOCATION_NOT_EMPTY")) destroyCheckpoint()
-      q = startStream(sync)
+      // a merge-raised SchemaChangedException (the relation-DRIFT guard:
+      // the pump's signal was lost and post-DDL actions reached the merge)
+      // must route into the SAME resync path as the pump signal — a plain
+      // restart on the same checkpoint would replay the drifted batch and
+      // die identically forever, exactly what the production supervisor's
+      // unwrap-and-resync avoids
+      val schemaCause = q.exception.flatMap(e =>
+        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+          .collectFirst { case s: graft.streaming.SchemaChangedException => s })
+      schemaCause match {
+        case Some(s) => schemaSignal.set(s) // resyncTick consumes it next
+        case None =>
+          // JSON-safe: Spark messages carry newlines and plan dumps
+          lastStreamError = Option(q.exception.map(_.getMessage).orNull)
+            .getOrElse("")
+            .map(c => if (c == '"' || c == '\\') '\'' else if (c.isControl) ' ' else c)
+            .take(200)
+          streamRestarts += 1
+          // a poisoned checkpoint (the teardown race above) can never
+          // start: clear it — the commit-log watermark makes a fresh
+          // checkpoint safe, which is the entire replay design
+          if (lastStreamError.contains("CHECKPOINT_LOCATION_NOT_EMPTY")) destroyCheckpoint()
+          q = startStream(sync)
+      }
     }
     // the pump detected a schema change: drive the FULL production resync —
     // stream down, checkpoint destroyed, slot dropped + recreated through

@@ -113,4 +113,18 @@ class JdbcStreamingMergeSpec extends AnyFunSuite with Matchers {
         ChangeAction("mystery", 999, 0, "I", Map("id" -> "1"),
           Map("id" -> "1"), Nil, Nil, rekey = false)).toDS(), 0L)
   }
+
+  test("relation drift (unknown column) fails the batch for supervised resync") {
+    // same contract as StreamingMerge's drift guard: a column the
+    // configured relation doesn't know would be silently dropped by the
+    // generated MERGE — it must raise instead
+    val merge = new JdbcStreamingMerge(url, Map.empty, Seq(rel))
+    val ex = intercept[SchemaChangedException] {
+      merge.applyBatch(Seq(
+        ChangeAction("accounts", 998, 0, "I", Map("id" -> "9"),
+          Map("id" -> "9", "bal" -> "1.0", "note" -> "added-by-ddl"),
+          Nil, Nil, rekey = false)).toDS(), 0L)
+    }
+    ex.getMessage should include("note")
+  }
 }
