@@ -235,7 +235,30 @@ final class CommitLog(spark: SparkSession, path: String) extends Serializable {
   def lastBatchId: Option[Long] = read.map(_._1)
   def lastLsn: Option[Long] = read.map(_._2)
 
-  private def read: Option[(Long, Long)] =
+  private def read: Option[(Long, Long)] = {
+    // concurrent-overwrite hazards of the HADOOP rename path (non-file
+    // schemes; the local path writes via java.nio ATOMIC_MOVE and has
+    // neither): OVERWRITE rename is delete-then-rename, so a reader can
+    // catch the file MISSING (FileNotFound after a true exists()); and
+    // ChecksumFs renames data THEN the .crc sidecar, so a reader between
+    // the two verifies fresh data against the stale sidecar. Both windows
+    // are microseconds — retry briefly; a failure that PERSISTS is real
+    // corruption/deletion and must still surface.
+    var attempts = 0
+    while (true) {
+      try return readOnce
+      catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                  _: java.io.FileNotFoundException) =>
+          attempts += 1
+          if (attempts >= 5) throw e
+          Thread.sleep(20L * attempts)
+      }
+    }
+    None // unreachable
+  }
+
+  private def readOnce: Option[(Long, Long)] =
     if (!fs.exists(file)) None
     else {
       val in = fs.open(file)
@@ -250,16 +273,41 @@ final class CommitLog(spark: SparkSession, path: String) extends Serializable {
     }
 
   def commit(batchId: Long, maxLsn: Long): Unit = {
-    val tmp = new Path(path, s"applied.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"""{"batchId":$batchId,"maxLsn":$maxLsn}""".getBytes("UTF-8"))
-    finally out.close()
-    // atomic overwrite-rename: the delete-then-rename form has a crash
-    // window where the watermark is GONE (every batch since stream start
-    // would replay), and FileSystem.rename returns false instead of
-    // throwing on failure — FileContext does both correctly
-    org.apache.hadoop.fs.FileContext.getFileContext(
-        file.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, file, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val record = s"""{"batchId":$batchId,"maxLsn":$maxLsn}"""
+    val scheme = file.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // LOCAL fs: bypass Hadoop entirely. Its OVERWRITE rename is
+      // delete-then-rename (a concurrent reader can catch the watermark
+      // file MISSING — which reads as "no commits yet", a silently
+      // collapsed watermark) and its ChecksumFs renames the .crc sidecar
+      // in a SECOND step (the reader between the two dies with
+      // ChecksumException — a chaos soak caught exactly this killing the
+      // run). java.nio ATOMIC_MOVE has neither window, and writing the
+      // tmp outside Hadoop leaves no sidecar at all.
+      val dir = java.nio.file.Paths.get(
+        if (scheme == null) new Path(path).toString else new Path(path).toUri.getPath)
+      java.nio.file.Files.createDirectories(dir)
+      // clear a sidecar left by a pre-nio writer generation of this log —
+      // it would fail every checksummed read of the new (nio-written) data
+      java.nio.file.Files.deleteIfExists(dir.resolve(".applied.json.crc"))
+      val tmp = dir.resolve("applied.json.tmp")
+      java.nio.file.Files.write(tmp, record.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, dir.resolve("applied.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new Path(path, s"applied.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(record.getBytes("UTF-8")) finally out.close()
+      // atomic overwrite-rename: the delete-then-rename form has a crash
+      // window where the watermark is GONE (every batch since stream start
+      // would replay), and FileSystem.rename returns false instead of
+      // throwing on failure — FileContext does both correctly (readers
+      // absorb its transient visibility windows, see `read`)
+      org.apache.hadoop.fs.FileContext.getFileContext(
+          file.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, file, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      ()
+    }
   }
 }

@@ -308,4 +308,30 @@ class StreamingMergeSpec extends AnyFunSuite with Matchers {
     log.commit(2, 200L) // second commit exercises the OVERWRITE rename path
     (log.lastBatchId, log.lastLsn) shouldBe ((Some(2L), Some(200L)))
   }
+
+  test("commit log read is safe against a concurrent overwrite-rename (crc race)") {
+    // the local ChecksumFs renames the data file THEN its .crc sidecar —
+    // a reader between the two verifies new data against the stale
+    // sidecar and (pre-fix) threw ChecksumException. The production
+    // shape: the pump's appliedLsn() polls lastLsn while the merge
+    // commits every batch. A chaos soak caught this killing the run.
+    val log = new CommitLog(spark, tmp())
+    log.commit(0, 0L)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val reader = new Thread(() => {
+      try while (!stop.get()) { log.lastLsn; () }
+      catch { case t: Throwable => failure.set(t) }
+    })
+    reader.start()
+    val deadline = System.nanoTime() + 2L * 1000000000L
+    var i = 1L
+    while (System.nanoTime() < deadline && failure.get() == null) {
+      log.commit(i, i * 10); i += 1
+    }
+    stop.set(true)
+    reader.join(5000)
+    failure.get() shouldBe null
+    log.lastLsn shouldBe Some((i - 1) * 10)
+  }
 }
