@@ -277,7 +277,8 @@ object Main {
       messagesDir: String, appliedLsn: () => Long,
       stop: java.util.concurrent.atomic.AtomicBoolean,
       retryBackoffMs: Long = 5000L,
-      notNullIdentity: Map[String, Set[String]] = Map.empty): Long = {
+      notNullIdentity: Map[String, Set[String]] = Map.empty,
+      expectedColumns: Map[String, Seq[String]] = Map.empty): Long = {
     val ep = graft.cdc.PgConnect.parseUri(dsn)
     var total = 0L
     val floor = new java.util.concurrent.atomic.AtomicLong(appliedLsn())
@@ -289,7 +290,8 @@ object Main {
           floor.set(math.max(floor.get(), resume))
           graft.cdc.PgConnect.openReplication(socket, ep.config, slot, resume)
           val session = new graft.cdc.PgReplication.Session(startLsn = resume,
-            notNullIdentity = notNullIdentity)
+            notNullIdentity = notNullIdentity,
+            expectedColumns = expectedColumns)
           total += spoolFromSocket(spark, socket, messagesDir, session,
             appliedLsn, stop = stop, spooledFloor = floor)
         } finally socket.close()
@@ -336,14 +338,20 @@ object Main {
     * Offline capture replay ([[streamToFile]]) has no source connection
     * to introspect and keeps the empty map. */
   def replicationSession(fc: GraftConfig.FileConfig, startLsn: Long = 0L,
-      skipAcknowledge: Boolean = false): graft.cdc.PgReplication.Session =
+      skipAcknowledge: Boolean = false): graft.cdc.PgReplication.Session = {
+    val rels = introspectRelations(fc)
     new graft.cdc.PgReplication.Session(
       startLsn = startLsn,
       typeIsArray = Jdbc.introspectArrayTypes(fc.postgres.connection),
       skipAcknowledge = skipAcknowledge,
       // identity nullability rides along so a REPLICA IDENTITY FULL table
-      // whose key columns are constrained NOT NULL keeps the `===` join
-      notNullIdentity = Relation.notNullIdentityMap(introspectRelations(fc)))
+      // whose key columns are constrained NOT NULL keeps the `===` join;
+      // the expected-columns seed checks even a fresh decoder's first
+      // announcement against the configured shape (unqualified config
+      // names introspect with schema "" and stay unguarded — see Decoder)
+      notNullIdentity = Relation.notNullIdentityMap(rels),
+      expectedColumns = Relation.expectedColumnsMap(rels))
+  }
 
   /** Introspect the configured tables from the source database. */
   def introspectRelations(fc: GraftConfig.FileConfig): Seq[Relation] =
@@ -476,10 +484,14 @@ object Main {
             try {
               livePump(spark, dsn, fc.postgres.slotName, messagesDir,
                 appliedLsn = () => sync.appliedLsn(), stop = stopPump,
-                // the map is rebuilt per body from the CURRENT relations
+                // the maps are rebuilt per body from the CURRENT relations
                 // (resnapshot refreshes them); the decoder's conservative
-                // fallback (FULL → nullable) stays safe regardless
-                notNullIdentity = Relation.notNullIdentityMap(relations))
+                // fallback (FULL → nullable) stays safe regardless. The
+                // expected-columns seed closes the at-boundary column-DROP
+                // window: even a FRESH decoder generation checks its first
+                // relation announcement against the configured shape.
+                notNullIdentity = Relation.notNullIdentityMap(relations),
+                expectedColumns = Relation.expectedColumnsMap(relations))
               ()
             } catch {
               case e: graft.streaming.SchemaChangedException =>

@@ -59,8 +59,26 @@ object PgOutput {
     *        nullable — correct, at the cost of the bucketed snapshot's
     *        exchange-free join. Default ('d') and index ('i') identities
     *        are NOT NULL by Postgres's own rules and never set the flag. */
+  /** @param expectedColumns qualified relation name → ordered column
+    *        names the SYNC LAYER is configured with (from introspection at
+    *        bootstrap). Closes the last lost-signal window: a decoder that
+    *        is FRESH at the exact DDL boundary (crash between the change
+    *        and its announcement) has no cached relation to compare
+    *        against, so a column DROP would be accepted silently and the
+    *        merge would inherit stale values forever (adds are caught by
+    *        the merge-side drift guard; drops are indistinguishable from
+    *        TOAST-unchanged there). Seeding the EXPECTATION — names only,
+    *        in attnum order, because identity flags (FULL marks every
+    *        column) and array OIDs (wire carries the array type,
+    *        introspection records the element) legitimately differ in
+    *        representation between the wire and introspection — makes the
+    *        very first 'R' of any decoder generation raise on drop, add,
+    *        or rename. Relations absent from the map are unguarded (the
+    *        map is strict-name-keyed; a schemaless-introspected relation
+    *        has qualified name ".t" and simply never matches). */
   final class Decoder(typeIsArray: Map[Int, Boolean] = Map.empty,
-      notNullIdentity: Map[String, Set[String]] = Map.empty) {
+      notNullIdentity: Map[String, Set[String]] = Map.empty,
+      expectedColumns: Map[String, Seq[String]] = Map.empty) {
     private val relations = mutable.Map.empty[Int, Relation]
     private var openXid: Option[Long] = None
     private var txnLsn: Long = 0L
@@ -124,6 +142,17 @@ object PgOutput {
           val rel = Relation(namespace, relName, cols, nullableIdentity = nullableId)
           if (rel.identityColumns.isEmpty)
             throw new IllegalStateException(s"relation has no identity columns: $relName")
+          // configured-shape guard: unlike the cache compare below, this
+          // fires on the FIRST announcement of a fresh decoder generation
+          // too — the only window where a column DROP could slip through
+          expectedColumns.get(rel.qualifiedName).foreach { expected =>
+            val announced = cols.map(_.name)
+            if (announced != expected)
+              throw new SchemaChangedException(
+                s"relation ${rel.qualifiedName} announced columns " +
+                  s"(${announced.mkString(", ")}) != configured " +
+                  s"(${expected.mkString(", ")}): schema changed at the source")
+          }
           relations.get(relId) match {
             case Some(prev) if !prev.equalsSchema(rel) =>
               // the sync layer's supervisor reacts with drop + resync,

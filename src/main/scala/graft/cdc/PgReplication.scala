@@ -116,9 +116,10 @@ object PgReplication {
       typeIsArray: Map[Int, Boolean] = Map.empty,
       skipAcknowledge: Boolean = false,
       standbyIntervalMicros: Long = 10000000L,
-      notNullIdentity: Map[String, Set[String]] = Map.empty) {
+      notNullIdentity: Map[String, Set[String]] = Map.empty,
+      expectedColumns: Map[String, Seq[String]] = Map.empty) {
 
-    val decoder = new PgOutput.Decoder(typeIsArray, notNullIdentity)
+    val decoder = new PgOutput.Decoder(typeIsArray, notNullIdentity, expectedColumns)
     private var committed: Long = startLsn
     private var lastStatusMicros: Long = Long.MinValue
     private var closedFlag = false

@@ -62,6 +62,15 @@ object Relation {
   def notNullIdentityMap(rels: Seq[Relation]): Map[String, Set[String]] =
     rels.map(r => r.qualifiedName ->
       r.columns.filter(_.notNull).map(_.name).toSet).toMap
+
+  /** qualified name → ordered column names, fed to
+    * [[PgOutput.Decoder]]'s configured-shape guard so the FIRST relation
+    * announcement of a fresh decoder generation is checked against what
+    * the sync layer is configured with (names only — identity flags and
+    * array OIDs differ in representation between wire and introspection;
+    * see the Decoder scaladoc). */
+  def expectedColumnsMap(rels: Seq[Relation]): Map[String, Seq[String]] =
+    rels.map(r => r.qualifiedName -> r.columnNames).toMap
 }
 
 /** Postgres OID → Spark type mapping, the analogue of the reference's

@@ -346,14 +346,19 @@ object StreamingSoak {
     // signal (livePump rethrows it rather than reconnecting — a fresh
     // decoder would swallow the change); the soak loop consumes it
     val schemaSignal = new AtomicReference[Throwable](null)
-    def newPump(): (Thread, AtomicBoolean) = {
+    def newPump(rels: Seq[Relation]): (Thread, AtomicBoolean) = {
       val stop = new AtomicBoolean(false)
       val t = new Thread(() => {
         try pumped.addAndGet(graft.Main.livePump(
           spark, s"postgres://graft@127.0.0.1:${server.getLocalPort}/soak",
           slot = "soak", messagesDir = messagesDir,
           appliedLsn = () => commitLog.lastLsn.getOrElse(0L),
-          stop = stop, retryBackoffMs = 300L))
+          stop = stop, retryBackoffMs = 300L,
+          // configured-shape seed in soak position: a pump restarted with
+          // a FRESH decoder checks its first announcement against the
+          // CURRENT relation — the at-boundary column-drop window — and
+          // the healthy stream must never trip it (false-positive proof)
+          expectedColumns = Relation.expectedColumnsMap(rels)))
         catch {
           case e: graft.streaming.SchemaChangedException => schemaSignal.set(e)
         }
@@ -363,7 +368,7 @@ object StreamingSoak {
       t.start()
       (t, stop)
     }
-    var (pumpThread, stopPump) = newPump()
+    var (pumpThread, stopPump) = newPump(Seq(Rel))
 
     // ---- supervised merge loop ----
     val cfg = graft.SyncConfig(Seq(Rel), tablesBase, ckptBase,
@@ -459,7 +464,7 @@ object StreamingSoak {
         java.nio.file.Files.createTempDirectory("graft_soak_resync"))
       finally catalog.close()
       sync = sync2
-      val restarted = newPump()
+      val restarted = newPump(Seq(Rel2))
       pumpThread = restarted._1; stopPump = restarted._2
       q = startStream(sync)
     }
@@ -497,7 +502,7 @@ object StreamingSoak {
         Option(activeSocket.get()).foreach(s =>
           try s.close() catch { case _: Throwable => () })
         pumpThread.join(5000)
-        val restarted = newPump()
+        val restarted = newPump(curCfg.relations)
         pumpThread = restarted._1; stopPump = restarted._2
         sync = new graft.GraftSync(spark, curCfg)
         q = startStream(sync)

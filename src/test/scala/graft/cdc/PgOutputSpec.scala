@@ -136,6 +136,37 @@ class PgOutputSpec extends AnyFunSuite with Matchers {
     a[SchemaChangedException] should be thrownBy d.feed(encodeRelation(99, changed))
   }
 
+  test("configured-shape guard: a FRESH decoder raises on its first " +
+      "announcement after a column drop/add/rename") {
+    // the cache compare above needs a PREVIOUS announcement; a decoder
+    // born at the exact DDL boundary has none, so only the seeded
+    // expectation can catch a dropped column (the merge-side drift guard
+    // sees absence as TOAST-unchanged)
+    val expected = Map("public.t1" -> Seq("id", "v", "gone"))
+    def fresh() = new Decoder(expectedColumns = expected)
+    def announce(d: Decoder, r: Relation): Unit = {
+      d.feed(encodeBegin(1000, 0L, 42)); d.feed(encodeRelation(99, r)); ()
+    }
+    // dropped column: wire announces fewer columns than configured
+    a[SchemaChangedException] should be thrownBy announce(fresh(), rel)
+    // renamed column
+    val renamed = Relation("public", "t1", Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("v", PgTypes.TextOid),
+      RelColumn("gone2", PgTypes.Int4Oid)))
+    a[SchemaChangedException] should be thrownBy announce(fresh(), renamed)
+    // exact configured shape: fine, and identity flags / type OIDs are
+    // representation details the guard must NOT compare
+    val exact = Relation("public", "t1", Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("v", PgTypes.TextOid, isIdentity = true), // FULL-style flag
+      RelColumn("gone", PgTypes.Int4Oid)))
+    noException should be thrownBy announce(fresh(), exact)
+    // relations absent from the map stay unguarded (strict name keying)
+    noException should be thrownBy
+      announce(new Decoder(expectedColumns = Map("public.other" -> Seq("x"))), rel)
+  }
+
   test("protocol violations fail loudly") {
     // DML before BEGIN
     an[IllegalStateException] should be thrownBy
