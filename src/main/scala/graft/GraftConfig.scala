@@ -86,15 +86,24 @@ object GraftConfig {
       val trigger =
         if (sync.batchTimeout.contains(" ")) sync.batchTimeout // Spark interval
         else s"${parseDuration(sync.batchTimeout).get} milliseconds"
+      // engine extensions ride the free-form properties map so the file
+      // keeps the reference's shape: deltastore=true opts the parquet
+      // target into the write-optimized delta regime (graft.cdc.DeltaStore)
+      val graftKeys = Set("deltastore", "deltacompactrows", "deltacompactfiles")
       SyncConfig(
         relations = resolved,
         tablesBase = target.connection,
         checkpointBase = s"${target.connection}/_checkpoints",
         batchTimeout = trigger,
         batchMaxItems = sync.batchMaxItems.toLong,
-        targetProperties = target.properties,
+        targetProperties = target.properties.view
+          .filterKeys(k => !graftKeys(k.toLowerCase)).toMap,
         slotName = postgres.slotName,
-        prohibitDropSlot = sync.prohibitDropSlot).validate()
+        prohibitDropSlot = sync.prohibitDropSlot,
+        deltaStore = target.properties.getOrElse("deltastore", "false").toBoolean,
+        deltaCompactRows = target.properties.getOrElse("deltacompactrows", "100000").toLong,
+        deltaCompactFiles = target.properties.getOrElse("deltacompactfiles", "64").toInt)
+        .validate()
     }
   }
 

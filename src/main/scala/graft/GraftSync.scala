@@ -44,7 +44,13 @@ final case class SyncConfig(
     slotName: String = "mammoth",
     // sync.prohibitdropslot — publication/schema drift then errors out
     // instead of resyncing
-    prohibitDropSlot: Boolean = false) {
+    prohibitDropSlot: Boolean = false,
+    // write-optimized parquet store (graft.cdc.DeltaStore): per-batch
+    // delta append + threshold-triggered fold, raising the apply ceiling
+    // the full-rewrite path hits on large tables
+    deltaStore: Boolean = false,
+    deltaCompactRows: Long = 100000L,
+    deltaCompactFiles: Int = 64) {
 
   /** Fail-fast validation, mirroring the reference's config.Validate
     * (config/config.go:86, required-field checks before anything runs). */
@@ -63,6 +69,10 @@ final case class SyncConfig(
     require(scala.util.Try(
       org.apache.spark.sql.streaming.Trigger.ProcessingTime(batchTimeout)).isSuccess,
       s"unparseable batchtimeout: '$batchTimeout'")
+    // the delta store is a parquet-target regime; a jdbc: warehouse pays
+    // its rewrite server-side and would silently ignore the flag
+    require(!deltaStore || !tablesBase.startsWith("jdbc:"),
+      "deltastore=true applies to a parquet tablesBase, not a jdbc: target")
     this
   }
 }
@@ -86,7 +96,10 @@ final class GraftSync(spark: SparkSession, cfg0: SyncConfig) {
   // still dedupes against what the table store has already absorbed.
   private lazy val merge = new StreamingMerge(
     spark, cfg.tablesBase, cfg.relations, s"${cfg.tablesBase}/_commitlog",
-    simpleStreams = cfg.simpleStreams)
+    simpleStreams = cfg.simpleStreams,
+    deltaStore = cfg.deltaStore,
+    deltaCompactRows = cfg.deltaCompactRows,
+    deltaCompactFiles = cfg.deltaCompactFiles)
 
   /** Reconcile publication + replication slot against the source catalog
     * BEFORE anything moves — the reference `Run` prologue
@@ -195,11 +208,16 @@ final class GraftSync(spark: SparkSession, cfg0: SyncConfig) {
     if (jdbcMode) math.max(0L, jdbcTarget.appliedLsn())
     else merge.commitLog.lastLsn.getOrElse(0L)
 
-  /** Read the current live state of a synced table. */
+  /** Read the current live state of a synced table (layout-aware: folds
+    * pending deltas of the delta-store regime into the base; without
+    * deltas this is the plain recovered parquet read). */
   def table(name: String): DataFrame =
     if (jdbcMode) jdbcTarget.read(spark, name)
-    else {
-      SnapshotWriter.recover(spark, cfg.tablesBase, name)
-      spark.read.parquet(SnapshotWriter.livePath(cfg.tablesBase, name))
+    else cfg.relations.find(_.table == name) match {
+      case Some(rel) =>
+        graft.cdc.DeltaStore.read(spark, cfg.tablesBase, rel, cfg.simpleStreams)
+      case None =>
+        SnapshotWriter.recover(spark, cfg.tablesBase, name)
+        spark.read.parquet(SnapshotWriter.livePath(cfg.tablesBase, name))
     }
 }

@@ -73,12 +73,25 @@ object SchemaChangedException {
   *        compaction then uses the columnar fast path
   *        ([[ChangelogCompactor.compactSimple]]) — one codegen'd
   *        aggregation instead of a typed fold. */
+/** @param deltaStore write-optimized regime ([[graft.cdc.DeltaStore]]):
+  *        append each batch's compacted actions as a delta inside the
+  *        table dir — O(batch) apply, independent of table size — and
+  *        fold into the base only past `deltaCompactRows` accumulated
+  *        rows / `deltaCompactFiles` deltas. Raises the single-process
+  *        apply ceiling the rate ladder pinned on the full-rewrite path
+  *        (whose per-batch cost scales with TABLE size). Plain parquet
+  *        readers of the live dir see the base alone; read current state
+  *        through [[graft.cdc.DeltaStore.read]] (the GraftSync facade
+  *        does). */
 final class StreamingMerge(
     spark: SparkSession,
     tablesBase: String,
     relations: Seq[Relation],
     commitLogPath: String,
-    simpleStreams: Boolean = false) extends Serializable {
+    simpleStreams: Boolean = false,
+    deltaStore: Boolean = false,
+    deltaCompactRows: Long = 100000L,
+    deltaCompactFiles: Int = 64) extends Serializable {
 
   // WalMessage/ChangeAction carry the UNQUALIFIED table name (the wire
   // decoder drops the namespace), so two same-named tables in different
@@ -172,16 +185,61 @@ final class StreamingMerge(
     val freshMaxRow = fresh.agg(org.apache.spark.sql.functions.max("lsn")).head()
     if (freshMaxRow.isNullAt(0)) return // nothing new in this batch
     val ackLsn = math.max(logLsn, freshMaxRow.getLong(0))
-    val compacted = (if (simpleStreams) ChangelogCompactor.compactSimple(fresh)
-                     else ChangelogCompactor.compact(fresh)).cache()
+    // Delta mode works on the RAW cut batch, not the compacted one:
+    // compaction is NOT closed under composition — a folded rekey action
+    // carries the LSN of its LAST component, so re-folding two batches'
+    // compacted outputs can interleave rekey chains of DIFFERENT rows
+    // (raw `29: k1→k2, 30: k4→k1` folds batch-locally to actions whose
+    // LSN order puts k4→k1 FIRST, and the re-fold then chains k4 through
+    // a k1 that belonged to another row — DeltaStoreSpec's property gate
+    // caught exactly this). Raw actions across batches are precisely the
+    // replayed-super-batch shape whose single fold is already proven, so
+    // deltas store raw and the fold happens once, at read/compaction.
+    val working = (if (deltaStore) fresh
+                   else if (simpleStreams) ChangelogCompactor.compactSimple(fresh)
+                   else ChangelogCompactor.compact(fresh)).cache()
     try {
       val touched =
-        SchemaChangedException.touchedTablesCheckingDrift(compacted, colsByTable)
+        SchemaChangedException.touchedTablesCheckingDrift(working, colsByTable)
       if (touched.isEmpty) {
         // everything elided in-batch: still acknowledge the consumed WAL
         commitLog.commit(batchId, ackLsn)
         return
       }
+      if (deltaStore) {
+        // O(batch) apply: append, fold only past the threshold. Same
+        // per-table marker contract as the staged path (a crash between
+        // tables replays per table under the watermark cut above).
+        touched.foreach { table =>
+          val rel = relByTable.getOrElse(table,
+            throw new SchemaChangedException(s"unknown relation in stream: $table"))
+          val acts = working.filter(working("table") === table)
+          val fs = new Path(tablesBase).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val live = SnapshotWriter.livePath(tablesBase, table)
+          if (!fs.exists(new Path(live, "_SUCCESS"))) {
+            // no base yet (direct streaming starts without a backfill):
+            // publish this batch as the base so the live dir is a valid
+            // parquet dir for plain readers and schema checks
+            val empty = spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rel.toStructType)
+            val folded = if (simpleStreams) ChangelogCompactor.compactSimple(acts)
+                         else ChangelogCompactor.compact(acts)
+            val scratch = SnapshotWriter.scratchPath(tablesBase, table)
+            MergeInto(empty, folded, rel).write.mode("overwrite").parquet(scratch)
+            SnapshotWriter.writeAppliedMarker(spark, scratch, ackLsn)
+            SnapshotWriter.swapLive(spark, tablesBase, table)
+          } else {
+            DeltaStore.append(acts, tablesBase, table, ackLsn)
+            val deltas = DeltaStore.listDeltas(spark, tablesBase, table)
+            if (deltas.map(_._3).sum > deltaCompactRows ||
+                deltas.size > deltaCompactFiles)
+              DeltaStore.compact(spark, tablesBase, rel, simpleStreams)
+          }
+        }
+        commitLog.commit(batchId, ackLsn)
+        return
+      }
+      val compacted = working
       // stage every table first …
       val staged = touched.map { table =>
         val rel = relByTable.getOrElse(table,
@@ -206,7 +264,7 @@ final class StreamingMerge(
         SnapshotWriter.swapLive(spark, tablesBase, table)
       }
       commitLog.commit(batchId, ackLsn) // ≙ StandbyStatusUpdate acknowledge
-    } finally compacted.unpersist()
+    } finally working.unpersist()
   }
 
   /** Wire a change-action stream into the merge pipeline. */

@@ -260,13 +260,16 @@ object StreamingSoak {
     val schemaFraction = args.drop(3).headOption.map(_.toDouble).getOrElse(0.72)
     val maxFiles = args.drop(4).headOption.map(_.toInt).getOrElse(50)
     val trigger = args.drop(5).headOption.getOrElse("2 seconds")
+    val delta = args.drop(6).headOption.contains("delta")
+    val compactRows = args.drop(7).headOption.map(_.toLong).getOrElse(100000L)
     val txnSize = 10
     val spark: SparkSession = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     val receipt = run(spark, durationSec, rate, txnSize,
       killAtFraction = killFraction, writeReceiptFile = true,
       schemaChangeAtFraction = schemaFraction,
-      maxFilesPerTrigger = maxFiles, batchTimeout = trigger)
+      maxFilesPerTrigger = maxFiles, batchTimeout = trigger,
+      deltaStore = delta, deltaCompactRows = compactRows)
     println(receipt)
     spark.stop()
   }
@@ -287,7 +290,8 @@ object StreamingSoak {
   def run(spark: SparkSession, durationSec: Int, rate: Int, txnSize: Int,
       killAtFraction: Double, writeReceiptFile: Boolean,
       schemaChangeAtFraction: Double = 0.0,
-      maxFilesPerTrigger: Int = 50, batchTimeout: String = "2 seconds"): String = {
+      maxFilesPerTrigger: Int = 50, batchTimeout: String = "2 seconds",
+      deltaStore: Boolean = false, deltaCompactRows: Long = 100000L): String = {
     val base = java.nio.file.Files.createTempDirectory("graft_soak").toString
     System.err.println(s"[soak] workdir: $base")
     val messagesDir = s"$base/messages"
@@ -372,9 +376,11 @@ object StreamingSoak {
 
     // ---- supervised merge loop ----
     val cfg = graft.SyncConfig(Seq(Rel), tablesBase, ckptBase,
-      batchTimeout = batchTimeout, slotName = "soak")
+      batchTimeout = batchTimeout, slotName = "soak", deltaStore = deltaStore,
+      deltaCompactRows = deltaCompactRows)
     val cfg2 = graft.SyncConfig(Seq(Rel2), tablesBase, ckptBase,
-      batchTimeout = batchTimeout, slotName = "soak")
+      batchTimeout = batchTimeout, slotName = "soak", deltaStore = deltaStore,
+      deltaCompactRows = deltaCompactRows)
     var curCfg = cfg
     def startStream(sync: graft.GraftSync) = sync.startFromMessages(
       spark.readStream
@@ -580,7 +586,8 @@ object StreamingSoak {
       s"""{"metric":"graft_soak","converged":$converged,"duration_sec":$durationSec,""" +
       s""""wall_to_quiesce_sec":${math.rint(wallToQuiesce * 10) / 10},""" +
       s""""offered_rate_actions_sec":$rate,"max_files_per_trigger":$maxFilesPerTrigger,""" +
-      s""""batch_timeout":"$batchTimeout","txns":${gen.txns},"actions":${gen.actions},""" +
+      s""""batch_timeout":"$batchTimeout","store":"${if (deltaStore) "delta" else "full"}",""" +
+      s""""txns":${gen.txns},"actions":${gen.actions},""" +
       s""""rekeys":${gen.rekeys},"toast_unchanged":${gen.toastUnchanged},"deletes":${gen.deletes},""" +
       s""""applied_actions_per_sec":${math.rint(gen.actions / wallToQuiesce * 10) / 10},""" +
       s""""messages_pumped":${pumped.get()},"final_rows":${actual.size},""" +

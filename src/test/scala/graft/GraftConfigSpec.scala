@@ -150,4 +150,35 @@ class GraftConfigSpec extends AnyFunSuite with Matchers {
         "snowflake:\n  properties: [no-equals-here]\n", env = Map.empty)
     }
   }
+
+  test("deltastore properties opt into the delta regime and are stripped " +
+      "from the JDBC pass-through") {
+    val fc = GraftConfig.parse(
+      """sync:
+        |  tables: [accounts]
+        |postgres:
+        |  connection: "host=db"
+        |snowflake:
+        |  connection: "/tmp/tables"
+        |  properties: [deltastore=true, deltacompactrows=500000, deltacompactfiles=16, ssl=true]
+        |""".stripMargin, env = Map.empty)
+    val rel = graft.cdc.Relation("public", "accounts", Seq(
+      graft.cdc.RelColumn("id", graft.cdc.PgTypes.Int8Oid, isIdentity = true)))
+    val sc = fc.validate().toSyncConfig(Seq(rel))
+    sc.deltaStore shouldBe true
+    sc.deltaCompactRows shouldBe 500000L
+    sc.deltaCompactFiles shouldBe 16
+    // engine-extension keys must not leak into JDBC connection properties
+    sc.targetProperties shouldBe Map("ssl" -> "true")
+    // absent → defaults off
+    val fc2 = GraftConfig.parse(
+      """sync:
+        |  tables: [accounts]
+        |postgres:
+        |  connection: "host=db"
+        |snowflake:
+        |  connection: "/tmp/tables"
+        |""".stripMargin, env = Map.empty)
+    fc2.validate().toSyncConfig(Seq(rel)).deltaStore shouldBe false
+  }
 }
