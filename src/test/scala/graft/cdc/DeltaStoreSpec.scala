@@ -178,6 +178,14 @@ class DeltaStoreSpec extends AnyFunSuite with Matchers {
     SnapshotWriter.readAppliedMarker(spark, base, "t") shouldBe Some(2L)
   }
 
+  test("deltastore with a jdbc: target is refused at config time") {
+    intercept[IllegalArgumentException] {
+      graft.SyncConfig(Seq(relT), "jdbc:derby:memory:x", "/tmp/ck",
+        deltaStore = true).validate()
+    }
+    ()
+  }
+
   test("the file-count threshold triggers a fold too") {
     val base = tmp()
     runBatches((1 to 5).map(i => Seq(act(i.toLong, if (i == 1) "I" else "U", "k1", s"v$i"))),
