@@ -278,7 +278,8 @@ object Main {
       stop: java.util.concurrent.atomic.AtomicBoolean,
       retryBackoffMs: Long = 5000L,
       notNullIdentity: Map[String, Set[String]] = Map.empty,
-      expectedColumns: Map[String, Seq[String]] = Map.empty): Long = {
+      expectedColumns: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]] = Map.empty,
+      typeIsArray: Map[Int, Boolean] = Map.empty): Long = {
     val ep = graft.cdc.PgConnect.parseUri(dsn)
     var total = 0L
     val floor = new java.util.concurrent.atomic.AtomicLong(appliedLsn())
@@ -290,6 +291,7 @@ object Main {
           floor.set(math.max(floor.get(), resume))
           graft.cdc.PgConnect.openReplication(socket, ep.config, slot, resume)
           val session = new graft.cdc.PgReplication.Session(startLsn = resume,
+            typeIsArray = typeIsArray,
             notNullIdentity = notNullIdentity,
             expectedColumns = expectedColumns)
           total += spoolFromSocket(spark, socket, messagesDir, session,
@@ -453,6 +455,18 @@ object Main {
     // snapshot-aligned backfill); jdbc: sources (tests, captures,
     // external spoolers) keep the JDBC backfill
     def build() = if (isLive) liveBuildSync(spark, fc) else buildSync(spark, fc)
+    // array-ness of a pg_type OID is immutable, so one wire scan covers
+    // the process lifetime; it bridges wire array OIDs to introspection's
+    // element OIDs for the decoder's configured-shape TYPE guard (OIDs
+    // outside the map are unverifiable there and skip — never a false
+    // positive, see PgOutput.Decoder)
+    val typeIsArray: Map[Int, Boolean] =
+      if (!isLive) Map.empty
+      else {
+        val catalog = new graft.cdc.PgCatalog(graft.cdc.PgConnect.parseUri(dsn0))
+        try graft.cdc.SnapshotCopy.introspectArrayTypes(catalog.poolConn)
+        finally catalog.close()
+      }
     val (sync0, relations0) = build()
     var sync = sync0
     var relations = relations0
@@ -488,10 +502,12 @@ object Main {
                 // (resnapshot refreshes them); the decoder's conservative
                 // fallback (FULL → nullable) stays safe regardless. The
                 // expected-columns seed closes the at-boundary column-DROP
-                // window: even a FRESH decoder generation checks its first
-                // relation announcement against the configured shape.
+                // and TYPE-change windows: even a FRESH decoder generation
+                // checks its first relation announcement — names AND
+                // Spark-mapped types — against the configured shape.
                 notNullIdentity = Relation.notNullIdentityMap(relations),
-                expectedColumns = Relation.expectedColumnsMap(relations))
+                expectedColumns = Relation.expectedColumnsMap(relations),
+                typeIsArray = typeIsArray)
               ()
             } catch {
               case e: graft.streaming.SchemaChangedException =>

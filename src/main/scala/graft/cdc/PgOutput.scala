@@ -59,26 +59,32 @@ object PgOutput {
     *        nullable — correct, at the cost of the bucketed snapshot's
     *        exchange-free join. Default ('d') and index ('i') identities
     *        are NOT NULL by Postgres's own rules and never set the flag. */
-  /** @param expectedColumns qualified relation name → ordered column
-    *        names the SYNC LAYER is configured with (from introspection at
-    *        bootstrap). Closes the last lost-signal window: a decoder that
-    *        is FRESH at the exact DDL boundary (crash between the change
-    *        and its announcement) has no cached relation to compare
-    *        against, so a column DROP would be accepted silently and the
-    *        merge would inherit stale values forever (adds are caught by
-    *        the merge-side drift guard; drops are indistinguishable from
-    *        TOAST-unchanged there). Seeding the EXPECTATION — names only,
-    *        in attnum order, because identity flags (FULL marks every
-    *        column) and array OIDs (wire carries the array type,
-    *        introspection records the element) legitimately differ in
-    *        representation between the wire and introspection — makes the
-    *        very first 'R' of any decoder generation raise on drop, add,
-    *        or rename. Relations absent from the map are unguarded (the
-    *        map is strict-name-keyed; a schemaless-introspected relation
-    *        has qualified name ".t" and simply never matches). */
+  /** @param expectedColumns qualified relation name → ordered
+    *        (column name, Spark-mapped type) the SYNC LAYER is configured
+    *        with (from introspection at bootstrap,
+    *        [[Relation.expectedColumnsMap]]). Closes the last lost-signal
+    *        window: a decoder that is FRESH at the exact DDL boundary
+    *        (crash between the change and its announcement) has no cached
+    *        relation to compare against, so a column DROP would be
+    *        accepted silently and the merge would inherit stale values
+    *        forever (adds are caught by the merge-side drift guard; drops
+    *        are indistinguishable from TOAST-unchanged there). Seeding the
+    *        EXPECTATION makes the very first 'R' of any decoder generation
+    *        raise on drop, add, or rename — and on a TYPE change, compared
+    *        through [[PgTypes.toSpark]] (the representation both sides
+    *        decode into; raw OIDs legitimately differ: wire carries array
+    *        OIDs, introspection element OIDs). A wire OID that is neither
+    *        in `typeIsArray` nor in [[PgTypes.mappedOids]] is
+    *        UNVERIFIABLE (its Spark fallback is the catch-all string, so
+    *        a mismatch there proves nothing) and skips the type check for
+    *        that column only — never a false positive, and a genuine
+    *        change to an unmapped type still fails loudly at decode time.
+    *        Relations absent from the map are unguarded (the map is
+    *        strict-name-keyed; a schemaless-introspected relation has
+    *        qualified name ".t" and simply never matches). */
   final class Decoder(typeIsArray: Map[Int, Boolean] = Map.empty,
       notNullIdentity: Map[String, Set[String]] = Map.empty,
-      expectedColumns: Map[String, Seq[String]] = Map.empty) {
+      expectedColumns: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]] = Map.empty) {
     private val relations = mutable.Map.empty[Int, Relation]
     private var openXid: Option[Long] = None
     private var txnLsn: Long = 0L
@@ -147,11 +153,23 @@ object PgOutput {
           // too — the only window where a column DROP could slip through
           expectedColumns.get(rel.qualifiedName).foreach { expected =>
             val announced = cols.map(_.name)
-            if (announced != expected)
+            if (announced != expected.map(_._1))
               throw new SchemaChangedException(
                 s"relation ${rel.qualifiedName} announced columns " +
                   s"(${announced.mkString(", ")}) != configured " +
-                  s"(${expected.mkString(", ")}): schema changed at the source")
+                  s"(${expected.map(_._1).mkString(", ")}): schema changed at the source")
+            // same names, changed type: only verifiable wire OIDs compare
+            // (an OID outside typeIsArray ∪ mappedOids maps to the
+            // catch-all string fallback, which proves nothing)
+            cols.zip(expected).foreach { case (c, (name, expType)) =>
+              val verifiable = c.isArray || PgTypes.mappedOids.contains(c.pgOid)
+              val wireType = PgTypes.toSpark(c.pgOid, c.isArray, PgTypes.NumericAnsi)
+              if (verifiable && wireType != expType)
+                throw new SchemaChangedException(
+                  s"relation ${rel.qualifiedName} column $name announced as " +
+                    s"$wireType (oid ${c.pgOid}) != configured $expType: " +
+                    "type changed at the source")
+            }
           }
           relations.get(relId) match {
             case Some(prev) if !prev.equalsSchema(rel) =>

@@ -117,7 +117,7 @@ object PgReplication {
       skipAcknowledge: Boolean = false,
       standbyIntervalMicros: Long = 10000000L,
       notNullIdentity: Map[String, Set[String]] = Map.empty,
-      expectedColumns: Map[String, Seq[String]] = Map.empty) {
+      expectedColumns: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]] = Map.empty) {
 
     val decoder = new PgOutput.Decoder(typeIsArray, notNullIdentity, expectedColumns)
     private var committed: Long = startLsn

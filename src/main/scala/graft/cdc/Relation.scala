@@ -63,14 +63,22 @@ object Relation {
     rels.map(r => r.qualifiedName ->
       r.columns.filter(_.notNull).map(_.name).toSet).toMap
 
-  /** qualified name → ordered column names, fed to
+  /** qualified name → ordered (column name, Spark-mapped type), fed to
     * [[PgOutput.Decoder]]'s configured-shape guard so the FIRST relation
     * announcement of a fresh decoder generation is checked against what
-    * the sync layer is configured with (names only — identity flags and
-    * array OIDs differ in representation between wire and introspection;
-    * see the Decoder scaladoc). */
-  def expectedColumnsMap(rels: Seq[Relation]): Map[String, Seq[String]] =
-    rels.map(r => r.qualifiedName -> r.columnNames).toMap
+    * the sync layer is configured with. Types are compared through
+    * [[PgTypes.toSpark]] rather than raw OIDs because the wire and
+    * introspection legitimately differ in representation (identity flags:
+    * FULL marks every column; arrays: the wire carries the array type's
+    * OID, introspection records the element's) — the Spark mapping is the
+    * common denominator both sides decode INTO, so equality there is
+    * exactly "the decode would produce the configured shape". The mode is
+    * pinned to [[PgTypes.NumericAnsi]] on both sides (the guard compares
+    * representations, so the pipeline's numeric policy must not skew one
+    * side). */
+  def expectedColumnsMap(rels: Seq[Relation]): Map[String, Seq[(String, DataType)]] =
+    rels.map(r => r.qualifiedName -> r.columns.map(c =>
+      c.name -> PgTypes.toSpark(c.pgOid, c.isArray, PgTypes.NumericAnsi))).toMap
 }
 
 /** Postgres OID → Spark type mapping, the analogue of the reference's

@@ -125,4 +125,17 @@ object SnapshotCopy {
       nullableIdentity = replident == "f" &&
         cols.exists(c => c.isIdentity && !c.notNull))
   }
+
+  /** Wire-protocol twin of [[graft.sources.Jdbc.introspectArrayTypes]]
+    * (same pg_type scan, text-protocol booleans) for the live path, where
+    * no JDBC driver exists. Feeds [[PgOutput.Decoder]]'s typeIsArray map
+    * so the configured-shape guard can verify array-typed columns: the
+    * wire announces the ARRAY type's OID while introspection records the
+    * element's, and only this map bridges the two. Array-ness of a pg_type
+    * OID is immutable, so one scan per process is enough. */
+  def introspectArrayTypes(conn: PgConnect.Conn): Map[Int, Boolean] =
+    conn.simpleQuery(graft.sources.Jdbc.PgArrayTypesSql).rows.flatMap { r =>
+      for (oid <- r.headOption.flatten; arr <- r.lift(1).flatten)
+        yield oid.toInt -> (arr == "t")
+    }.toMap
 }

@@ -142,7 +142,10 @@ class PgOutputSpec extends AnyFunSuite with Matchers {
     // born at the exact DDL boundary has none, so only the seeded
     // expectation can catch a dropped column (the merge-side drift guard
     // sees absence as TOAST-unchanged)
-    val expected = Map("public.t1" -> Seq("id", "v", "gone"))
+    val expected = Relation.expectedColumnsMap(Seq(Relation("public", "t1", Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("v", PgTypes.TextOid),
+      RelColumn("gone", PgTypes.Int4Oid)))))
     def fresh() = new Decoder(expectedColumns = expected)
     def announce(d: Decoder, r: Relation): Unit = {
       d.feed(encodeBegin(1000, 0L, 42)); d.feed(encodeRelation(99, r)); ()
@@ -155,16 +158,72 @@ class PgOutputSpec extends AnyFunSuite with Matchers {
       RelColumn("v", PgTypes.TextOid),
       RelColumn("gone2", PgTypes.Int4Oid)))
     a[SchemaChangedException] should be thrownBy announce(fresh(), renamed)
-    // exact configured shape: fine, and identity flags / type OIDs are
-    // representation details the guard must NOT compare
+    // exact configured shape: fine, and identity flags are representation
+    // details the guard must NOT compare (FULL marks every column)
     val exact = Relation("public", "t1", Seq(
       RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
       RelColumn("v", PgTypes.TextOid, isIdentity = true), // FULL-style flag
       RelColumn("gone", PgTypes.Int4Oid)))
     noException should be thrownBy announce(fresh(), exact)
     // relations absent from the map stay unguarded (strict name keying)
+    noException should be thrownBy announce(new Decoder(expectedColumns =
+      Map("public.other" -> Seq("x" -> org.apache.spark.sql.types.StringType))), rel)
+  }
+
+  test("configured-shape guard: a TYPE change with unchanged names raises " +
+      "on a fresh decoder; representation differences must not") {
+    import org.apache.spark.sql.types._
+    def announce(d: Decoder, r: Relation): Unit = {
+      d.feed(encodeBegin(1000, 0L, 42)); d.feed(encodeRelation(99, r)); ()
+    }
+    val configured = Relation("public", "t1", Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("v", PgTypes.Int4Oid)))
+    val seed = Relation.expectedColumnsMap(Seq(configured))
+    // int4 → text at the exact DDL boundary: names alone cannot see it;
+    // the Spark-mapped comparison does (IntegerType != StringType)
+    val retyped = Relation("public", "t1", Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("v", PgTypes.TextOid)))
+    val e = the[SchemaChangedException] thrownBy
+      announce(new Decoder(expectedColumns = seed), retyped)
+    e.getMessage should include("type changed")
+    // int4 → int8 (both verifiable scalars)
+    val widened = Relation("public", "t1", Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("v", PgTypes.Int8Oid)))
+    a[SchemaChangedException] should be thrownBy
+      announce(new Decoder(expectedColumns = seed), widened)
+    // array representation: introspection records the ELEMENT oid with
+    // isArray, the wire announces the ARRAY type's oid — both map to
+    // ArrayType and the guard must accept the healthy stream
+    val textArrayOid = 1009 // pg_catalog._text, public constant
+    val configuredArr = Relation("public", "t1", Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("tags", PgTypes.TextOid, isArray = true))) // element repr
+    val seedArr = Relation.expectedColumnsMap(Seq(configuredArr))
+    val wireArr = Relation("public", "t1", Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("tags", textArrayOid))) // wire repr: array oid
+    noException should be thrownBy announce(new Decoder(
+      typeIsArray = Map(textArrayOid -> true), expectedColumns = seedArr), wireArr)
+    // ...and array → scalar IS a type change when the oid is verifiable
+    val wireScalarTags = Relation("public", "t1", Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("tags", PgTypes.TextOid))) // text[] became text
+    a[SchemaChangedException] should be thrownBy announce(new Decoder(
+      typeIsArray = Map(textArrayOid -> true), expectedColumns = seedArr),
+      wireScalarTags)
+    // an OID outside typeIsArray ∪ mappedOids is UNVERIFIABLE: its Spark
+    // fallback is the catch-all string, so a mismatch proves nothing —
+    // skip, never a false positive (the decode still fails loudly on a
+    // genuine change)
+    val customOid = 99999
+    val wireCustom = Relation("public", "t1", Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("v", customOid)))
     noException should be thrownBy
-      announce(new Decoder(expectedColumns = Map("public.other" -> Seq("x"))), rel)
+      announce(new Decoder(expectedColumns = seed), wireCustom)
   }
 
   test("protocol violations fail loudly") {

@@ -187,6 +187,38 @@ class SnapshotCopySpec extends AnyFunSuite with Matchers {
       Seq("b", "f", "25", "f", "f", "f"))).nullableIdentity shouldBe false
   }
 
+  test("wire introspectArrayTypes parses the pg_type scan (text booleans)") {
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new DataInputStream(s.getInputStream)
+      val out = new DataOutputStream(s.getOutputStream)
+      readStartup(in)
+      sendTrustReady(out)
+      val (tq, q) = readMsg(in)
+      tq shouldBe 'Q'
+      new String(q, 0, q.length - 1, UTF_8) shouldBe
+        graft.sources.Jdbc.PgArrayTypesSql
+      sendMsg(out, 'T', rowDesc("data_type_oid", "is_array"))
+      sendMsg(out, 'D', dataRow("23", "f"))   // int4
+      sendMsg(out, 'D', dataRow("1007", "t")) // _int4
+      sendMsg(out, 'D', dataRow("1009", "t")) // _text
+      sendMsg(out, 'C', cstr("SELECT 3"))
+      sendMsg(out, 'Z', Array('I'.toByte))
+      s.close()
+    })
+    t.start()
+    val socket = new Socket("127.0.0.1", server.getLocalPort)
+    val conn = new PgConnect.Conn(
+      new DataInputStream(socket.getInputStream),
+      new DataOutputStream(socket.getOutputStream))
+    conn.startup(PgConnect.Config(user = "graft", database = "appdb",
+      replication = false))
+    val m = SnapshotCopy.introspectArrayTypes(conn)
+    t.join(5000); server.close(); socket.close()
+    m shouldBe Map(23 -> false, 1007 -> true, 1009 -> true)
+  }
+
   test("ErrorResponse mid-COPY drains to ReadyForQuery and throws; conn survives") {
     val server2 = new ServerSocket(0)
     val t2 = new Thread(() => {
