@@ -90,6 +90,11 @@ object GraftConfig {
       // keeps the reference's shape: deltastore=true opts the parquet
       // target into the write-optimized delta regime (graft.cdc.DeltaStore)
       val graftKeys = Set("deltastore", "deltacompactrows", "deltacompactfiles")
+      // read the graft keys from the SAME case-normalized view the
+      // passthrough filter uses: stripping `deltaStore=true` from the
+      // properties case-insensitively but reading it back case-SENSITIVELY
+      // would silently drop the setting (feature off, no error)
+      val normProps = target.properties.map { case (k, v) => k.toLowerCase -> v }
       SyncConfig(
         relations = resolved,
         tablesBase = target.connection,
@@ -100,9 +105,9 @@ object GraftConfig {
           .filterKeys(k => !graftKeys(k.toLowerCase)).toMap,
         slotName = postgres.slotName,
         prohibitDropSlot = sync.prohibitDropSlot,
-        deltaStore = target.properties.getOrElse("deltastore", "false").toBoolean,
-        deltaCompactRows = target.properties.getOrElse("deltacompactrows", "100000").toLong,
-        deltaCompactFiles = target.properties.getOrElse("deltacompactfiles", "64").toInt)
+        deltaStore = normProps.getOrElse("deltastore", "false").toBoolean,
+        deltaCompactRows = normProps.getOrElse("deltacompactrows", "100000").toLong,
+        deltaCompactFiles = normProps.getOrElse("deltacompactfiles", "64").toInt)
         .validate()
     }
   }

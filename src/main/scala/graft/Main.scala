@@ -529,9 +529,18 @@ object Main {
             .collectFirst { case e: graft.streaming.SchemaChangedException => e }
         try {
           while (q.isActive && schemaChange.get() == null) q.awaitTermination(500)
+          // the loop can exit WITHOUT awaitTermination ever observing a
+          // failure: the query can die between a timed awaitTermination
+          // returning and the isActive check (or before the first
+          // iteration, for a fast startup failure) — the condition then
+          // reads false and the loop falls through clean. Returning
+          // normally here would make the supervisor treat a dead stream
+          // as clean completion and exit successfully with the error
+          // swallowed, so rethrow any terminal error explicitly first.
+          q.exception.foreach(e => throw e)
           Option(schemaChange.get()).foreach(e => throw e)
           // stream ended on its own (clean stop or failure already thrown
-          // by awaitTermination above): supervision decides what's next
+          // above): supervision decides what's next
         } catch {
           case e if scala.util.control.NonFatal(e) =>
             // the pump's signal wins over a concurrent stream failure: a

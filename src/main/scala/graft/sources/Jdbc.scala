@@ -105,8 +105,9 @@ object Jdbc {
             b += RelColumn(name, oidOfTypeName(rs.getString("TYPE_NAME")),
               pks.contains(name), isArray = true, notNull = notNull)
           else
-            b += RelColumn(name, oidOf(jdbcType), pks.contains(name),
-              notNull = notNull)
+            b += RelColumn(name,
+              oidOfColumn(jdbcType, rs.getString("TYPE_NAME")),
+              pks.contains(name), notNull = notNull)
         } finally rs.close()
         b.result()
       }
@@ -143,6 +144,23 @@ object Jdbc {
   val PgArrayTypesSql: String =
     "select pgt.oid as data_type_oid, pgt.typcategory = 'A' as is_array " +
       "from pg_type as pgt order by data_type_oid"
+
+  /** Scalar-column OID from (DATA_TYPE, TYPE_NAME). pgjdbc reports
+    * java.sql.Types.TIMESTAMP for BOTH timestamp and timestamptz (it
+    * predates TIMESTAMP_WITH_TIMEZONE), but the wire Relation message
+    * announces OID 1184 for timestamptz — mapping on DATA_TYPE alone
+    * would seed the configured-shape type guard (PgOutput expectedColumns)
+    * with TimestampOid and make every relation announcement raise
+    * SchemaChangedException: a non-converging resync loop for any
+    * timestamptz column introspected over JDBC. TYPE_NAME disambiguates
+    * the timestamp family. */
+  private[sources] def oidOfColumn(jdbcType: Int, typeName: String): Int = {
+    val tn = Option(typeName).getOrElse("").toLowerCase
+    if (jdbcType == java.sql.Types.TIMESTAMP &&
+        (tn == "timestamptz" || tn == "timestamp with time zone"))
+      graft.cdc.PgTypes.TimestamptzOid
+    else oidOf(jdbcType)
+  }
 
   /** java.sql.Types → the engine's PG OID vocabulary (inverse direction
     * of PgTypes.toSpark / the reference's getSfType). */

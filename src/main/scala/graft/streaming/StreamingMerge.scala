@@ -74,8 +74,10 @@ object SchemaChangedException {
   *        ([[ChangelogCompactor.compactSimple]]) — one codegen'd
   *        aggregation instead of a typed fold. */
 /** @param deltaStore write-optimized regime ([[graft.cdc.DeltaStore]]):
-  *        append each batch's compacted actions as a delta inside the
-  *        table dir — O(batch) apply, independent of table size — and
+  *        append each batch's RAW watermark-cut actions as a delta inside
+  *        the table dir — never per-batch-compacted ones: compaction is
+  *        not closed under composition (see DeltaStore.scala's invariant
+  *        note) — O(batch) apply, independent of table size — and
   *        fold into the base only past `deltaCompactRows` accumulated
   *        rows / `deltaCompactFiles` deltas. Raises the single-process
   *        apply ceiling the rate ladder pinned on the full-rewrite path
@@ -245,12 +247,17 @@ final class StreamingMerge(
         val rel = relByTable.getOrElse(table,
           throw new SchemaChangedException(s"unknown relation in stream: $table"))
         // (recover already ran in the watermark pass above)
-        val live = SnapshotWriter.livePath(tablesBase, table)
-        val fs = new Path(tablesBase).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // Snapshot side goes through DeltaStore.read, NOT a plain parquet
+        // read of the live dir: a prior deltaStore=true run may have left
+        // pending `_delta` dirs (underscore paths are invisible to plain
+        // parquet readers), and swapLive below removes the WHOLE old live
+        // dir — reading the base alone would silently drop those already-
+        // acknowledged deltas forever on a deltaStore=false config flip.
+        // Folding them here makes the swap's removal legitimate: their
+        // effect rides the staged snapshot. (With no deltas present this
+        // is exactly the old base-only read.)
         val snapshot: DataFrame =
-          if (fs.exists(new Path(live))) spark.read.parquet(live)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rel.toStructType)
+          DeltaStore.read(spark, tablesBase, rel, simpleStreams)
         val merged = MergeInto(snapshot, compacted, rel)
         val scratch = SnapshotWriter.scratchPath(tablesBase, table)
         merged.write.mode("overwrite").parquet(scratch)

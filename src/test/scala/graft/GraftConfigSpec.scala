@@ -180,5 +180,22 @@ class GraftConfigSpec extends AnyFunSuite with Matchers {
         |  connection: "/tmp/tables"
         |""".stripMargin, env = Map.empty)
     fc2.validate().toSyncConfig(Seq(rel)).deltaStore shouldBe false
+    // case variants: the strip filter is case-insensitive, so the read
+    // back must be too — `deltaStore=true` silently ignored (stripped
+    // from the passthrough AND not read) was a real footgun
+    val fc3 = GraftConfig.parse(
+      """sync:
+        |  tables: [accounts]
+        |postgres:
+        |  connection: "host=db"
+        |snowflake:
+        |  connection: "/tmp/tables"
+        |  properties: [deltaStore=true, deltaCompactRows=250000, DeltaCompactFiles=8]
+        |""".stripMargin, env = Map.empty)
+    val sc3 = fc3.validate().toSyncConfig(Seq(rel))
+    sc3.deltaStore shouldBe true
+    sc3.deltaCompactRows shouldBe 250000L
+    sc3.deltaCompactFiles shouldBe 8
+    sc3.targetProperties shouldBe Map.empty
   }
 }

@@ -186,6 +186,34 @@ class DeltaStoreSpec extends AnyFunSuite with Matchers {
     ()
   }
 
+  test("a deltaStore=false run over a store with pending deltas folds " +
+      "them, not loses them (config-flip data loss)") {
+    // The full-rewrite path stages base⊕batch into scratch and swapLive
+    // REMOVES the whole old live dir — including `_delta` dirs a prior
+    // deltaStore=true run left pending. Their changes are already
+    // acknowledged (commit log and marker at/above the delta LSNs) so
+    // they never replay: before the DeltaStore.read fix the flip run
+    // read the base alone and the deltas' effect vanished permanently.
+    val base = tmp()
+    runBatches(Seq(
+      Seq(act(1, "I", "k1", "a"), act(2, "I", "k2", "b")), // publishes the base
+      Seq(act(3, "U", "k1", "a2"), act(4, "I", "k3", "c")), // pending delta 1
+      Seq(act(5, "D", "k2"))), base, delta = true)          // pending delta 2
+    DeltaStore.listDeltas(spark, base, "t").size shouldBe 2
+    // ops lowers deltastore=false and restarts: same store, same commit log
+    runBatches(Seq(Seq(act(6, "U", "k3", "c2"))), base, delta = false)
+    // batch ids restart at 0 after a restart — the LSN watermark, not the
+    // batch counter, is what cut the replay; lsn=6 is fresh and applies
+    val expected = Map("k1" -> Some("a2"), "k3" -> Some("c2"))
+    readRows(base) shouldBe expected
+    // the swap legitimately removed the folded deltas with the old live dir
+    DeltaStore.listDeltas(spark, base, "t") shouldBe empty
+    // and the BASE alone carries the full state for plain readers
+    spark.read.parquet(SnapshotWriter.livePath(base, "t"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1)))
+      .toMap shouldBe expected
+  }
+
   test("the file-count threshold triggers a fold too") {
     val base = tmp()
     runBatches((1 to 5).map(i => Seq(act(i.toLong, if (i == 1) "I" else "U", "k1", s"v$i"))),

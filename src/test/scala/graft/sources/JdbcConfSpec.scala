@@ -61,4 +61,22 @@ class JdbcConfSpec extends AnyFunSuite with Matchers {
     Jdbc.oidOfTypeName("_hstore") shouldBe TextOid
     Jdbc.oidOfTypeName(null) shouldBe TextOid
   }
+
+  test("timestamptz disambiguates via TYPE_NAME: pgjdbc reports " +
+      "Types.TIMESTAMP for both timestamp flavors") {
+    import graft.cdc.PgTypes._
+    import java.sql.{Types => T}
+    // mapping on DATA_TYPE alone would seed the configured-shape type
+    // guard with TimestampOid while the wire announces 1184 — a
+    // non-converging resync loop for any timestamptz column on the
+    // JDBC-introspected path
+    Jdbc.oidOfColumn(T.TIMESTAMP, "timestamptz") shouldBe TimestamptzOid
+    Jdbc.oidOfColumn(T.TIMESTAMP, "timestamp with time zone") shouldBe TimestamptzOid
+    Jdbc.oidOfColumn(T.TIMESTAMP, "timestamp") shouldBe TimestampOid
+    Jdbc.oidOfColumn(T.TIMESTAMP, "TIMESTAMP") shouldBe TimestampOid
+    Jdbc.oidOfColumn(T.TIMESTAMP, null) shouldBe TimestampOid
+    // drivers that DO report the distinct JDBC type still map right
+    Jdbc.oidOfColumn(T.TIMESTAMP_WITH_TIMEZONE, "timestamptz") shouldBe TimestamptzOid
+    Jdbc.oidOfColumn(T.INTEGER, "int4") shouldBe Int4Oid
+  }
 }
