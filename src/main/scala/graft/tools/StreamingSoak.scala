@@ -262,14 +262,22 @@ object StreamingSoak {
     val trigger = args.drop(5).headOption.getOrElse("2 seconds")
     val delta = args.drop(6).headOption.contains("delta")
     val compactRows = args.drop(7).headOption.map(_.toLong).getOrElse(100000L)
+    val quiesceSec = args.drop(8).headOption.map(_.toInt).getOrElse(180)
     val txnSize = 10
-    val spark: SparkSession = graft.GraftSession.local()
+    // GRAFT_SOAK_CPUS caps this process's task slots — the multi-process
+    // scale-out probe (ShardedSoak procs mode) splits the host's cores
+    // across shard JVMs so the aggregate line is cores-constant
+    val spark: SparkSession = sys.env.get("GRAFT_SOAK_CPUS") match {
+      case Some(c) => graft.GraftSession.builder(s"local[$c]", c.toInt).getOrCreate()
+      case None    => graft.GraftSession.local()
+    }
     spark.sparkContext.setLogLevel("WARN")
     val receipt = run(spark, durationSec, rate, txnSize,
       killAtFraction = killFraction, writeReceiptFile = true,
       schemaChangeAtFraction = schemaFraction,
       maxFilesPerTrigger = maxFiles, batchTimeout = trigger,
-      deltaStore = delta, deltaCompactRows = compactRows)
+      deltaStore = delta, deltaCompactRows = compactRows,
+      quiesceDeadlineSec = quiesceSec)
     println(receipt)
     spark.stop()
   }
@@ -291,7 +299,18 @@ object StreamingSoak {
       killAtFraction: Double, writeReceiptFile: Boolean,
       schemaChangeAtFraction: Double = 0.0,
       maxFilesPerTrigger: Int = 50, batchTimeout: String = "2 seconds",
-      deltaStore: Boolean = false, deltaCompactRows: Long = 100000L): String = {
+      deltaStore: Boolean = false, deltaCompactRows: Long = 100000L,
+      // distinct per concurrent pipeline: Spark refuses two ACTIVE
+      // streaming queries with the same name in one session, and the
+      // sharded scale-out soak (ShardedSoak) runs several of these
+      // pipelines side by side
+      streamName: String = "soak",
+      // drain budget after the generator stops. A run offered past the
+      // pipeline's knee banks a backlog ≈ (offered-applied)·duration that
+      // the drain must absorb at the APPLIED rate — saturation probes
+      // (the rate ladder's upper points, ShardedSoak) size this from the
+      // backlog; a run near the knee keeps the 180 s default
+      quiesceDeadlineSec: Int = 180): String = {
     val base = java.nio.file.Files.createTempDirectory("graft_soak").toString
     System.err.println(s"[soak] workdir: $base")
     val messagesDir = s"$base/messages"
@@ -388,7 +407,7 @@ object StreamingSoak {
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .json(messagesDir)
         .as(Encoders.product[WalMessage]),
-      streamName = "soak")
+      streamName = streamName)
     // the file source needs ≥1 file at start
     new java.io.File(messagesDir).mkdirs()
     var sync = new graft.GraftSync(spark, cfg)
@@ -519,7 +538,7 @@ object StreamingSoak {
     stopGen.set(true)
     genThread.join(5000)
     val targetLsn = gen.maxLsn
-    val quiesceDeadline = System.nanoTime() + 180L * 1000000000L
+    val quiesceDeadline = System.nanoTime() + quiesceDeadlineSec * 1000000000L
     var quiesced = false
     while (!quiesced && System.nanoTime() < quiesceDeadline) {
       Thread.sleep(1000)
