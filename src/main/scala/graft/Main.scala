@@ -72,7 +72,7 @@ object Main {
               startLsn = restLsn.headOption.map(_.toLong).getOrElse(0L))
             val commitLog = new graft.streaming.CommitLog(spark, s"$dir/../_commitlog")
             val socket = new java.net.Socket(host, port.toInt)
-            try spoolFromSocket(spark, socket, dir, session,
+            try spoolFromSocket(socket, dir, session,
               appliedLsn = () => commitLog.lastLsn.getOrElse(0L))
             finally socket.close()
           case _ =>
@@ -98,7 +98,7 @@ object Main {
                 socket, ep.config, slot, startLsn)
               System.err.println(s"[streamlive] connected: system ${ident.systemId} " +
                 s"timeline ${ident.timeline} at ${graft.cdc.Lsn.format(ident.xlogPos)}")
-              spoolFromSocket(spark, socket, dir, session,
+              spoolFromSocket(socket, dir, session,
                 appliedLsn = () => commitLog.lastLsn.getOrElse(0L))
             } finally socket.close()
           case _ =>
@@ -178,7 +178,7 @@ object Main {
     *        pump (see [[livePump]]); messages with `lsn <= floor` are
     *        already in the spool and are dropped, not re-appended
     * @return total messages spooled */
-  def spoolFromSocket(spark: SparkSession, socket: java.net.Socket,
+  def spoolFromSocket(socket: java.net.Socket,
       messagesDir: String, session: graft.cdc.PgReplication.Session,
       appliedLsn: () => Long, spoolBatch: Int = 1000,
       stop: java.util.concurrent.atomic.AtomicBoolean =
@@ -203,8 +203,12 @@ object Main {
         val done = buf.take(lastCommitIdx + 1).toSeq
         val rest = buf.drop(lastCommitIdx + 1).toSeq
         session.commit(appliedLsn())
-        spark.createDataset(done)(Encoders.product[WalMessage])
-          .coalesce(1).write.mode("append").json(messagesDir)
+        // plain-IO atomic append: no Spark job on the pump's hot loop
+        // (and no SparkSession needed in a pump process at all) — the
+        // per-flush single-task job this replaces queued through the
+        // driver's one DAGScheduler event loop, the measured ceiling of
+        // a multi-pipeline driver (sharded_soak_threads.json)
+        graft.cdc.WalSpool.append(messagesDir, done)
         total += done.size
         spooledFloor.set(math.max(spooledFloor.get(), done.map(_.lsn).max))
         buf.clear(); buf ++= rest
@@ -272,8 +276,12 @@ object Main {
     * then possible only for the applied..spooled window of a previous
     * process, which the merge's per-batch WAL-position dedup absorbs
     * (StreamingMerge.applyBatch). Returns total messages spooled across
-    * attempts. */
-  def livePump(spark: SparkSession, dsn: String, slot: String,
+    * attempts.
+    *
+    * Spark-free by design (the spool write is plain IO, [[cdc.WalSpool]]):
+    * a production pump is a small process beside the SOURCE, shipping
+    * spool files toward the cluster — it should not need a driver. */
+  def livePump(dsn: String, slot: String,
       messagesDir: String, appliedLsn: () => Long,
       stop: java.util.concurrent.atomic.AtomicBoolean,
       retryBackoffMs: Long = 5000L,
@@ -294,7 +302,7 @@ object Main {
             typeIsArray = typeIsArray,
             notNullIdentity = notNullIdentity,
             expectedColumns = expectedColumns)
-          total += spoolFromSocket(spark, socket, messagesDir, session,
+          total += spoolFromSocket(socket, messagesDir, session,
             appliedLsn, stop = stop, spooledFloor = floor)
         } finally socket.close()
       } catch {
@@ -496,7 +504,7 @@ object Main {
         if (isLive) {
           val pump = new Thread(() => {
             try {
-              livePump(spark, dsn, fc.postgres.slotName, messagesDir,
+              livePump(dsn, fc.postgres.slotName, messagesDir,
                 appliedLsn = () => sync.appliedLsn(), stop = stopPump,
                 // the maps are rebuilt per body from the CURRENT relations
                 // (resnapshot refreshes them); the decoder's conservative

@@ -1,0 +1,125 @@
+package graft.cdc
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Plain-IO writer for the message spool the streaming layer reads with
+  * `spark.readStream.schema(WalMessage).json(dir)`.
+  *
+  * The pump used to spool through `spark.createDataset(..).coalesce(1)
+  * .write.json(dir)` — a single-task Spark JOB per flush (≈10/s per
+  * pipeline at production rates), every one of them queued through the
+  * driver's one DAGScheduler event loop. The sharded-soak receipt showed
+  * that loop IS the single-driver ceiling (per-shard rate collapses past
+  * ~2 concurrent pipelines), and none of that machinery buys anything
+  * here: the flush is one in-memory buffer becoming one local file. This
+  * writer needs no SparkSession at all — which is also the deployment
+  * shape: a pump is a plain process beside the source (the reference's
+  * stream loop, stream.go, is likewise storage-API-free), free to run on
+  * a box that has never seen a Spark driver.
+  *
+  * Compatibility contract with the Spark JSON reader (schema-driven, so
+  * field ORDER is free; these must hold):
+  *   - one JSON object per line (JSONL), UTF-8;
+  *   - every string escaped per JSON (quote, backslash, control chars);
+  *   - maps as objects, seqs as arrays, longs/ints as bare numbers;
+  *   - a file APPEARS atomically: written as a dot-prefixed temp (hidden
+  *     from the file-stream source, same directory = same filesystem)
+  *     and ATOMIC_MOVEd into place — the source must never list a file
+  *     whose tail is still being written, because it reads each file
+  *     exactly once (a truncated read would be silent data loss).
+  *     Spark's own writer gave the same guarantee via its commit
+  *     protocol's rename; this preserves it without the job.
+  *
+  * Round-trip pinned by WalSpoolSpec against the real streaming reader.
+  */
+object WalSpool {
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def escape(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      (c: @annotation.switch) match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case _ =>
+          if (c < 0x20) sb.append(f"\\u${c.toInt}%04x") else sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+    ()
+  }
+
+  private def obj(sb: java.lang.StringBuilder, m: Map[String, String]): Unit = {
+    sb.append('{')
+    var first = true
+    m.foreach { case (k, v) =>
+      if (!first) sb.append(',')
+      first = false
+      escape(sb, k)
+      sb.append(':')
+      if (v == null) { sb.append("null"); () } else escape(sb, v)
+    }
+    sb.append('}')
+    ()
+  }
+
+  private def arr(sb: java.lang.StringBuilder, xs: Seq[String]): Unit = {
+    sb.append('[')
+    var first = true
+    xs.foreach { x =>
+      if (!first) sb.append(',')
+      first = false
+      escape(sb, x)
+    }
+    sb.append(']')
+    ()
+  }
+
+  /** One [[WalMessage]] as a single JSON line (no trailing newline). */
+  def encode(m: WalMessage): String = {
+    val sb = new java.lang.StringBuilder(96)
+    sb.append("{\"xid\":").append(m.xid)
+      .append(",\"seq\":").append(m.seq)
+      .append(",\"msgType\":")
+    escape(sb, m.msgType)
+    sb.append(",\"lsn\":").append(m.lsn)
+      .append(",\"table\":")
+    escape(sb, m.table)
+    sb.append(",\"keyBefore\":")
+    obj(sb, m.keyBefore)
+    sb.append(",\"values\":")
+    obj(sb, m.values)
+    sb.append(",\"nulls\":")
+    arr(sb, m.nulls)
+    sb.append(",\"unchanged\":")
+    arr(sb, m.unchanged)
+    sb.append(",\"rekey\":").append(m.rekey).append('}')
+    sb.toString
+  }
+
+  /** Append one flush's messages as a new spool file, atomically. */
+  def append(dir: String, msgs: Seq[WalMessage]): Unit = {
+    if (msgs.isEmpty) return
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    // unique across concurrent pumps and restarts: time + pid + counter
+    val name = s"spool-${System.currentTimeMillis()}-" +
+      s"${ProcessHandle.current().pid()}-${counter.incrementAndGet()}.json"
+    val tmp = d.resolve(s".$name.tmp")
+    val out = java.nio.file.Files.newBufferedWriter(tmp, UTF_8)
+    try msgs.foreach { m => out.write(encode(m)); out.write("\n") }
+    finally out.close()
+    java.nio.file.Files.move(tmp, d.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+}

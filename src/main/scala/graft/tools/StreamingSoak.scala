@@ -373,7 +373,7 @@ object StreamingSoak {
       val stop = new AtomicBoolean(false)
       val t = new Thread(() => {
         try pumped.addAndGet(graft.Main.livePump(
-          spark, s"postgres://graft@127.0.0.1:${server.getLocalPort}/soak",
+          s"postgres://graft@127.0.0.1:${server.getLocalPort}/soak",
           slot = "soak", messagesDir = messagesDir,
           appliedLsn = () => commitLog.lastLsn.getOrElse(0L),
           stop = stop, retryBackoffMs = 300L,

@@ -70,7 +70,7 @@ class LivePumpSpec extends AnyFunSuite with Matchers with Eventually {
     val total = new AtomicLong(0L)
     val applied = new AtomicLong(0L)
     val pump = new Thread(() => total.set(Main.livePump(
-      spark, s"postgres://graft@127.0.0.1:${server.getLocalPort}/appdb",
+      s"postgres://graft@127.0.0.1:${server.getLocalPort}/appdb",
       slot = "s1", messagesDir = messagesDir,
       appliedLsn = () => applied.get(), stop = stop, retryBackoffMs = 100L)))
     pump.setDaemon(true)
@@ -145,7 +145,7 @@ class LivePumpSpec extends AnyFunSuite with Matchers with Eventually {
     val caught = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     val pump = new Thread(() => {
       try Main.livePump(
-        spark, s"postgres://graft@127.0.0.1:${server.getLocalPort}/appdb",
+        s"postgres://graft@127.0.0.1:${server.getLocalPort}/appdb",
         slot = "s1", messagesDir = s"$dir/messages",
         appliedLsn = () => 0L, stop = stop, retryBackoffMs = 100L)
       catch { case e: Throwable => caught.set(e) }

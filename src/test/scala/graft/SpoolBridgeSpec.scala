@@ -71,7 +71,7 @@ class SpoolBridgeSpec extends AnyFunSuite with Matchers {
     // keepalive's 1000 — nothing spooled has been applied yet
     val socket = new java.net.Socket("127.0.0.1", server.getLocalPort)
     val session = new PgReplication.Session(startLsn = 0L)
-    val n = Main.spoolFromSocket(spark, socket, dir, session,
+    val n = Main.spoolFromSocket(socket, dir, session,
       appliedLsn = () => 0L, spoolBatch = 5)
     socket.close()
     serverThread.join(5000)
