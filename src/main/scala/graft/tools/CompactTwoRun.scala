@@ -106,8 +106,12 @@ object CompactTwoRun {
       s""""sf":"$sfDir","protocol":"fresh context per rep; warm + min-of-3 successful per side",""" +
       s""""reps":$js}"""
     println(receipt)
+    // legacy name for the committed cdc_compact@10 receipt; other
+    // family/factor combinations get their own file
+    val out = if (family == "cdc_compact" && factor == 10) "compact_tworun.json"
+              else s"tworun_${family}_x$factor.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("compact_tworun.json"),
+      java.nio.file.Paths.get(out),
       (receipt + "\n").getBytes("UTF-8"))
   }
 }
