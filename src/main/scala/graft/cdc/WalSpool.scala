@@ -111,6 +111,19 @@ object WalSpool {
     if (msgs.isEmpty) return
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
+    // a pump killed mid-write leaves a dot-tmp the source never sees —
+    // harmless to correctness (its transactions were never acked past the
+    // spool floor, so the next generation redelivers them) but a disk
+    // leak; sweep stale ones. One writer per spool dir by design, and a
+    // write is milliseconds, so anything older than a minute is dead.
+    try {
+      val cutoff = System.currentTimeMillis() - 60000L
+      val stale = java.nio.file.Files.list(d)
+      try stale.filter(p => p.getFileName.toString.startsWith(".spool-") &&
+          p.toFile.lastModified() < cutoff)
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally stale.close()
+    } catch { case _: java.io.IOException => () } // cleanup is best-effort
     // unique across concurrent pumps and restarts: time + pid + counter
     val name = s"spool-${System.currentTimeMillis()}-" +
       s"${ProcessHandle.current().pid()}-${counter.incrementAndGet()}.json"

@@ -85,10 +85,16 @@ object StreamingSoak {
   }
 
   private val RelId = 7001
-  private val Rel = Relation("public", "users", Seq(
-    RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
-    RelColumn("name", PgTypes.TextOid),
-    RelColumn("bal", PgTypes.Float8Oid)))
+  /** Table i of a multi-table soak; the single-table legs keep the
+    * historical name `users` so every existing receipt stays comparable. */
+  private def tableName(i: Int, n: Int): String =
+    if (n == 1) "users" else s"users$i"
+  private def relFor(i: Int, n: Int): Relation =
+    Relation("public", tableName(i, n), Seq(
+      RelColumn("id", PgTypes.Int8Oid, isIdentity = true),
+      RelColumn("name", PgTypes.TextOid),
+      RelColumn("bal", PgTypes.Float8Oid)))
+  private val Rel = relFor(0, 1)
   /** Post-DDL shape: `ALTER TABLE users ADD COLUMN note text DEFAULT 'x'`.
     * The soak's schema-change leg switches the generator to this relation
     * mid-run; the pump's decoder must raise [[graft.streaming.SchemaChangedException]]
@@ -107,31 +113,47 @@ object StreamingSoak {
 
   /** WAL generator + expected-state tracker. Single-threaded (the
     * replication stream is ordered by contract); all mutation under
-    * `this.synchronized`. */
-  private final class Generator(seed: Long, txnSize: Int) {
+    * `this.synchronized`.
+    *
+    * `numTables > 1` fans the stream across that many identically-shaped
+    * relations, one table per transaction round-robin (a 2 s micro-batch
+    * holds many transactions, so every BATCH is multi-table): the
+    * at-volume exercise of the per-table watermark cut, the multi-table
+    * staged publish, and the touched-tables marker pass — previously
+    * spec-covered but never soaked. Identity spaces are per table
+    * (the same id can live in several tables at once, so a fan-out bug
+    * that crossed table streams would corrupt the expectation and fail
+    * convergence loudly). The schema-change leg is single-table only. */
+  private final class Generator(seed: Long, txnSize: Int, numTables: Int = 1) {
     private val rnd = new java.util.Random(seed)
     private var lsn = 10L
-    private var nextId = 1L
+    private val nextId = Array.fill(numTables)(1L)
     // schema epoch: 1 = Rel (3 cols), 2 = Rel2 (+note, the post-DDL shape)
     private var epoch = 1
     // expected end state after sequentially applying every action; note is
     // "" in epoch 1 (column doesn't exist) and gains the DDL default "x"
     // for every pre-existing row at the switch
-    val state = scala.collection.mutable.LinkedHashMap.empty[Long, (String, Double, String)]
-    private val live = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val states = Array.fill(numTables)(
+      scala.collection.mutable.LinkedHashMap.empty[Long, (String, Double, String)])
+    def state = states(0)
+    private val lives = Array.fill(numTables)(
+      scala.collection.mutable.ArrayBuffer.empty[Long])
     // freed identities (deleted or rekeyed-away), available for REUSE:
     // inserts and rekeys occasionally claim a dead identity, exercising
     // the (D,I) merge and the displaced-delete compaction paths end to
     // end (dead-identity reuse is where a silent map-slot overwrite in
     // the compactor lost deletes — keep the load on it)
-    private val graveyard = scala.collection.mutable.ArrayBuffer.empty[Long]
-    private def claimIdentity(reuseP: Int): Long =
+    private val graveyards = Array.fill(numTables)(
+      scala.collection.mutable.ArrayBuffer.empty[Long])
+    private def claimIdentity(t: Int, reuseP: Int): Long = {
+      val graveyard = graveyards(t)
       if (graveyard.nonEmpty && rnd.nextInt(100) < reuseP) {
         val i = rnd.nextInt(graveyard.size)
         val id = graveyard(i)
         graveyard(i) = graveyard.last; graveyard.dropRightInPlace(1)
         id
-      } else { val id = nextId; nextId += 1; id }
+      } else { val id = nextId(t); nextId(t) += 1; id }
+    }
     // retained WAL: truncated below the acked APPLY position (slot
     // semantics); a connection resumes from the first txn past its
     // requested LSN
@@ -168,6 +190,12 @@ object StreamingSoak {
       val xid = txns + 100
       lsn += 10
       val commit = lsn
+      // one table per transaction, round-robin — batches hold many txns,
+      // so every micro-batch spans every table
+      val t = (txns % numTables).toInt
+      val relId = RelId + t
+      val state = states(t)
+      val live = lives(t)
       // epoch 2 appends the note cell to every tuple (TOAST-unchanged in
       // the toast case — an added text column is TOASTable like any other)
       def cells(id: Long, nm: PgOutput.Cell, bal: PgOutput.Cell,
@@ -180,12 +208,12 @@ object StreamingSoak {
       val dmls = (0 until txnSize).map { _ =>
         val roll = rnd.nextInt(100)
         if (live.isEmpty || roll < 30) { // INSERT (20% reusing a dead identity)
-          val id = claimIdentity(reuseP = 20)
+          val id = claimIdentity(t, reuseP = 20)
           val (nm, bal) = (s"u$id", (rnd.nextInt(100000) / 100.0))
           val note = if (epoch == 2) s"n$id" else ""
           live += id; state(id) = (nm, bal, note)
           actions += 1
-          PgOutput.encodeInsert(RelId, cells(id,
+          PgOutput.encodeInsert(relId, cells(id,
             PgOutput.CellText(nm), PgOutput.CellText(bal.toString),
             PgOutput.CellText(note)))
         } else if (roll < 75) { // full-row UPDATE
@@ -195,7 +223,7 @@ object StreamingSoak {
           val note = if (epoch == 2) s"v$xid" else ""
           state(id) = (nm, bal, note)
           actions += 1
-          PgOutput.encodeUpdate(RelId, None, cells(id,
+          PgOutput.encodeUpdate(relId, None, cells(id,
             PgOutput.CellText(nm), PgOutput.CellText(bal.toString),
             PgOutput.CellText(note)))
         } else if (roll < 85) { // UPDATE with TOAST-unchanged name (+note)
@@ -204,22 +232,22 @@ object StreamingSoak {
           val bal = rnd.nextInt(100000) / 100.0
           state(id) = (nm, bal, note) // name+note survive the unchanged marker
           actions += 1; toastUnchanged += 1
-          PgOutput.encodeUpdate(RelId, None, cells(id,
+          PgOutput.encodeUpdate(relId, None, cells(id,
             PgOutput.CellUnchanged, PgOutput.CellText(bal.toString),
             PgOutput.CellUnchanged))
         } else if (roll < 93) { // identity-changing UPDATE (rekey; 30%
           // into a dead identity — the displaced-delete class)
           val idx = rnd.nextInt(live.size)
           val oldId = live(idx)
-          val newId = claimIdentity(reuseP = 30)
+          val newId = claimIdentity(t, reuseP = 30)
           val (nm, _, _) = state(oldId)
           val bal = rnd.nextInt(100000) / 100.0
           val note = if (epoch == 2) s"r$newId" else ""
           live(idx) = newId
           state.remove(oldId); state(newId) = (nm, bal, note)
-          graveyard += oldId // the old identity is freed
+          graveyards(t) += oldId // the old identity is freed
           actions += 1; rekeys += 1
-          PgOutput.encodeUpdate(RelId,
+          PgOutput.encodeUpdate(relId,
             Some(('K', keyCells(oldId))),
             cells(newId, PgOutput.CellText(nm),
               PgOutput.CellText(bal.toString), PgOutput.CellText(note)))
@@ -228,14 +256,15 @@ object StreamingSoak {
           val id = live(idx)
           live(idx) = live.last; live.dropRightInPlace(1)
           state.remove(id)
-          graveyard += id
+          graveyards(t) += id
           actions += 1; deletes += 1
-          PgOutput.encodeDelete(RelId, 'K', keyCells(id))
+          PgOutput.encodeDelete(relId, 'K', keyCells(id))
         }
       }
       val frames =
         PgOutput.encodeBegin(commit, 0L, xid) +:
-        PgOutput.encodeRelation(RelId, if (epoch == 2) Rel2 else Rel) +:
+        PgOutput.encodeRelation(relId,
+          if (epoch == 2) Rel2 else relFor(t, numTables)) +:
         dmls :+
         PgOutput.encodeCommit(commit, commit, 0L)
       wal += Txn(commit, frames)
@@ -251,6 +280,8 @@ object StreamingSoak {
     }
     def retainedTxns: Int = this.synchronized { wal.size }
     def expected: Map[Long, (String, Double, String)] = this.synchronized { state.toMap }
+    def expectedFor(t: Int): Map[Long, (String, Double, String)] =
+      this.synchronized { states(t).toMap }
   }
 
   def main(args: Array[String]): Unit = {
@@ -263,6 +294,7 @@ object StreamingSoak {
     val delta = args.drop(6).headOption.contains("delta")
     val compactRows = args.drop(7).headOption.map(_.toLong).getOrElse(100000L)
     val quiesceSec = args.drop(8).headOption.map(_.toInt).getOrElse(180)
+    val numTables = args.drop(9).headOption.map(_.toInt).getOrElse(1)
     val txnSize = 10
     // GRAFT_SOAK_CPUS caps this process's task slots — the multi-process
     // scale-out probe (ShardedSoak procs mode) splits the host's cores
@@ -277,7 +309,7 @@ object StreamingSoak {
       schemaChangeAtFraction = schemaFraction,
       maxFilesPerTrigger = maxFiles, batchTimeout = trigger,
       deltaStore = delta, deltaCompactRows = compactRows,
-      quiesceDeadlineSec = quiesceSec)
+      quiesceDeadlineSec = quiesceSec, numTables = numTables)
     println(receipt)
     spark.stop()
   }
@@ -310,13 +342,21 @@ object StreamingSoak {
       // the drain must absorb at the APPLIED rate — saturation probes
       // (the rate ladder's upper points, ShardedSoak) size this from the
       // backlog; a run near the knee keeps the 180 s default
-      quiesceDeadlineSec: Int = 180): String = {
+      quiesceDeadlineSec: Int = 180,
+      // >1 fans transactions round-robin across that many identical
+      // relations — the at-volume exercise of the per-table watermark
+      // cut and the multi-table staged publish. Single-table only when
+      // the schema-change leg runs (the resync backfill is scripted for
+      // one table)
+      numTables: Int = 1): String = {
+    require(numTables == 1 || !(schemaChangeAtFraction > 0 && schemaChangeAtFraction < 1),
+      "the schema-change leg is single-table")
     val base = java.nio.file.Files.createTempDirectory("graft_soak").toString
     System.err.println(s"[soak] workdir: $base")
     val messagesDir = s"$base/messages"
     val tablesBase = s"$base/tables"
     val ckptBase = s"$base/ckpt"
-    val gen = new Generator(seed = 20260814L, txnSize = txnSize)
+    val gen = new Generator(seed = 20260814L, txnSize = txnSize, numTables = numTables)
     val ackedApply = new AtomicLong(0L)
     val acceptCount = new AtomicLong(0L)
     val stopServer = new AtomicBoolean(false)
@@ -391,10 +431,11 @@ object StreamingSoak {
       t.start()
       (t, stop)
     }
-    var (pumpThread, stopPump) = newPump(Seq(Rel))
+    val rels = (0 until numTables).map(relFor(_, numTables))
+    var (pumpThread, stopPump) = newPump(rels)
 
     // ---- supervised merge loop ----
-    val cfg = graft.SyncConfig(Seq(Rel), tablesBase, ckptBase,
+    val cfg = graft.SyncConfig(rels, tablesBase, ckptBase,
       batchTimeout = batchTimeout, slotName = "soak", deltaStore = deltaStore,
       deltaCompactRows = deltaCompactRows)
     val cfg2 = graft.SyncConfig(Seq(Rel2), tablesBase, ckptBase,
@@ -554,43 +595,54 @@ object StreamingSoak {
     Option(activeSocket.get()).foreach(s => try s.close() catch { case _: Throwable => () })
     pumpThread.join(10000)
 
-    // ---- convergence: table state ≡ generator's tracked expectation ----
+    // ---- convergence: every table's state ≡ its tracked expectation ----
     // (on the POST-DDL schema when the schema leg ran — note column read
     // back; a soak that switched but never resynced fails right here, the
     // table would still be 3 columns)
-    val expected = gen.expected
-    val finalTable = sync.table("users")
-    // read the note column only if the table actually HAS it — a switch
-    // that never resynced leaves a 3-column table, which must fail the
-    // convergence check (note mismatches + schemaResyncs guard), not crash
-    // before the diagnostic receipt is written
-    val hasNote = finalTable.schema.fieldNames.contains("note")
-    val actual = finalTable
-      .collect()
-      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
-        if (schemaSwitched && hasNote) r.getString(3) else "")))
-      .toMap
-    val missing = expected.keySet.diff(actual.keySet).size
-    val extraKeys = actual.keySet.diff(expected.keySet)
-    val extra = extraKeys.size
-    if (extra > 0) {
-      System.err.println(s"[soak] sample extra keys: ${extraKeys.toSeq.sorted.take(20)}")
-      // post-mortem: the full spooled action history of a few extra keys
-      import org.apache.spark.sql.functions.{col, element_at}
-      val spool = spark.read
-        .schema(Encoders.product[WalMessage].schema).json(messagesDir)
-      extraKeys.toSeq.sorted.take(3).foreach { k =>
-        val hist = spool.filter(
-            element_at(col("keyBefore"), "id") === k.toString ||
-            element_at(col("values"), "id") === k.toString)
-          .select("xid", "seq", "msgType", "lsn", "keyBefore", "values", "rekey")
-          .collect()
-        System.err.println(s"[soak] history of extra key $k:")
-        hist.sortBy(r => (r.getLong(3), r.getInt(1)))
-          .foreach(r => System.err.println(s"[soak]   $r"))
+    var missing = 0
+    var extra = 0
+    var wrong = 0
+    var finalRows = 0
+    var expectedRows = 0
+    (0 until numTables).foreach { ti =>
+      val tn = tableName(ti, numTables)
+      val expected = gen.expectedFor(ti)
+      val finalTable = sync.table(tn)
+      // read the note column only if the table actually HAS it — a switch
+      // that never resynced leaves a 3-column table, which must fail the
+      // convergence check (note mismatches + schemaResyncs guard), not
+      // crash before the diagnostic receipt is written
+      val hasNote = finalTable.schema.fieldNames.contains("note")
+      val actual = finalTable
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+          if (schemaSwitched && hasNote) r.getString(3) else "")))
+        .toMap
+      missing += expected.keySet.diff(actual.keySet).size
+      val extraKeys = actual.keySet.diff(expected.keySet)
+      extra += extraKeys.size
+      if (extraKeys.nonEmpty) {
+        System.err.println(
+          s"[soak] $tn sample extra keys: ${extraKeys.toSeq.sorted.take(20)}")
+        // post-mortem: the full spooled action history of a few extra keys
+        import org.apache.spark.sql.functions.{col, element_at}
+        val spool = spark.read
+          .schema(Encoders.product[WalMessage].schema).json(messagesDir)
+        extraKeys.toSeq.sorted.take(3).foreach { k =>
+          val hist = spool.filter(col("table") === tn && (
+              element_at(col("keyBefore"), "id") === k.toString ||
+              element_at(col("values"), "id") === k.toString))
+            .select("xid", "seq", "msgType", "lsn", "keyBefore", "values", "rekey")
+            .collect()
+          System.err.println(s"[soak] history of $tn extra key $k:")
+          hist.sortBy(r => (r.getLong(3), r.getInt(1)))
+            .foreach(r => System.err.println(s"[soak]   $r"))
+        }
       }
+      wrong += expected.count { case (k, v) => actual.get(k).exists(_ != v) }
+      finalRows += actual.size
+      expectedRows += expected.size
     }
-    val wrong = expected.count { case (k, v) => actual.get(k).exists(_ != v) }
     // a schema leg that never resynced is a failure even if values match
     val converged = missing == 0 && extra == 0 && wrong == 0 && quiesced &&
       (!schemaLeg || schemaResyncs > 0)
@@ -606,11 +658,12 @@ object StreamingSoak {
       s""""wall_to_quiesce_sec":${math.rint(wallToQuiesce * 10) / 10},""" +
       s""""offered_rate_actions_sec":$rate,"max_files_per_trigger":$maxFilesPerTrigger,""" +
       s""""batch_timeout":"$batchTimeout","store":"${if (deltaStore) "delta" else "full"}",""" +
+      s""""tables":$numTables,""" +
       s""""txns":${gen.txns},"actions":${gen.actions},""" +
       s""""rekeys":${gen.rekeys},"toast_unchanged":${gen.toastUnchanged},"deletes":${gen.deletes},""" +
       s""""applied_actions_per_sec":${math.rint(gen.actions / wallToQuiesce * 10) / 10},""" +
-      s""""messages_pumped":${pumped.get()},"final_rows":${actual.size},""" +
-      s""""expected_rows":${expected.size},"missing":$missing,"extra":$extra,"wrong":$wrong,""" +
+      s""""messages_pumped":${pumped.get()},"final_rows":$finalRows,""" +
+      s""""expected_rows":$expectedRows,"missing":$missing,"extra":$extra,"wrong":$wrong,""" +
       s""""commit_log_lsn":${commitLog.lastLsn.getOrElse(0L)},"target_lsn":$targetLsn,""" +
       s""""kill_at_sec":${math.rint(killAt * 10) / 10},"reconnects":${acceptCount.get()},""" +
       s""""schema_change_at_sec":${if (schemaLeg) math.rint(schemaAt * 10) / 10 else 0},""" +
