@@ -172,7 +172,6 @@ object StreamingSoak {
       state.mapValuesInPlace { case (_, (nm, bal, _)) => (nm, bal, "x") }
       ()
     }
-    def currentEpoch: Int = this.synchronized { epoch }
 
     /** Consistent snapshot for the resync backfill: state + WAL position
       * captured ATOMICALLY (the semantics a real exported snapshot pins).
@@ -279,7 +278,6 @@ object StreamingSoak {
       wal.filter(_.commitLsn > resume).toSeq
     }
     def retainedTxns: Int = this.synchronized { wal.size }
-    def expected: Map[Long, (String, Double, String)] = this.synchronized { state.toMap }
     def expectedFor(t: Int): Map[Long, (String, Double, String)] =
       this.synchronized { states(t).toMap }
   }
