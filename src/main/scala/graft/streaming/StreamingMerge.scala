@@ -110,6 +110,31 @@ final class StreamingMerge(
   private val colsByTable = relations.map(r => r.table -> r.columnNames.toSet).toMap
   @transient lazy val commitLog = new CommitLog(spark, commitLogPath)
 
+  /** Per-table work inside one batch runs CONCURRENTLY (bounded pool):
+    * each table's staged merge (or delta append) touches only its own
+    * scratch/live/marker paths and Spark's driver accepts jobs from many
+    * threads, so an N-table batch costs ≈ the slowest table instead of
+    * the sum — the multi-table soak measured the serial form at 8 tables
+    * applying 2.7× slower than 1 table on the same stream
+    * (multitable_soak_receipt.json). The PUBLISH stays serial and
+    * ordered after every stage succeeded, preserving the one-batch-one-
+    * visibility-unit contract. On a failure `Future.sequence` fails
+    * fast; in-flight sibling stages are interrupted and their half-
+    * written scratch dirs are dropped by `SnapshotWriter.recover` when
+    * the batch replays. */
+  private def eachTableConcurrently[A](tables: Seq[String])(f: String => A): Seq[A] =
+    if (tables.size <= 1) tables.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(tables.size, 8))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(Future.sequence(tables.map(t => Future(f(t)))),
+          scala.concurrent.duration.Duration.Inf)
+      } finally { pool.shutdownNow(); () }
+    }
+
   /** Apply one batch of change actions to the table store. Public so tests
     * and batch backfills drive the exact code `foreachBatch` runs.
     *
@@ -212,7 +237,7 @@ final class StreamingMerge(
         // O(batch) apply: append, fold only past the threshold. Same
         // per-table marker contract as the staged path (a crash between
         // tables replays per table under the watermark cut above).
-        touched.foreach { table =>
+        eachTableConcurrently(touched) { table =>
           val rel = relByTable.getOrElse(table,
             throw new SchemaChangedException(s"unknown relation in stream: $table"))
           val acts = working.filter(working("table") === table)
@@ -242,8 +267,8 @@ final class StreamingMerge(
         return
       }
       val compacted = working
-      // stage every table first …
-      val staged = touched.map { table =>
+      // stage every table first (concurrently — see eachTableConcurrently) …
+      val staged = eachTableConcurrently(touched) { table =>
         val rel = relByTable.getOrElse(table,
           throw new SchemaChangedException(s"unknown relation in stream: $table"))
         // (recover already ran in the watermark pass above)
