@@ -28,7 +28,21 @@ object GraftConfig {
       batchTimeout: String = "60 seconds",
       skipAcknowledge: Boolean = false,
       prohibitDropSlot: Boolean = false,
-      tables: Seq[String] = Nil)
+      tables: Seq[String] = Nil,
+      // retention policy for the message-spool directory the live pump
+      // writes and the file-stream source reads. Without retention the
+      // spool grows forever (~10 files/s at the measured knee) and the
+      // source's per-trigger directory listing grows with it —
+      // O(all-files-ever) on a weeks-long run. `delete` (the default)
+      // retires each spool file once its batch is COMMITTED to the
+      // streaming checkpoint — safe here because every spool file is
+      // redelivery-proof: the pump re-spools from the applied-LSN floor
+      // after any crash, so no deleted file is ever the only copy of
+      // unapplied work. `archive` moves committed files to
+      // spoolArchiveDir instead; `off` disables retention (the pre-r16
+      // behavior).
+      spoolRetention: String = "delete",
+      spoolArchiveDir: String = "")
 
   final case class PostgresSection(
       connection: String = "",
@@ -65,6 +79,10 @@ object GraftConfig {
       require(sync.batchTimeout.nonEmpty && parseDuration(sync.batchTimeout).isDefined,
         s"sync.batchtimeout is required (got '${sync.batchTimeout}')")
       require(sync.tables.nonEmpty, "sync.tables is required")
+      require(Set("delete", "archive", "off")(sync.spoolRetention),
+        s"sync.spoolretention must be delete|archive|off (got '${sync.spoolRetention}')")
+      require(sync.spoolRetention != "archive" || sync.spoolArchiveDir.nonEmpty,
+        "sync.spoolretention=archive requires sync.spoolarchivedir")
       require(postgres.connection.nonEmpty, "postgres.connection is required")
       require(postgres.slotName.nonEmpty, "postgres.slotname is required")
       require(parseDuration(postgres.standbyMessageInterval).isDefined,
@@ -89,7 +107,8 @@ object GraftConfig {
       // engine extensions ride the free-form properties map so the file
       // keeps the reference's shape: deltastore=true opts the parquet
       // target into the write-optimized delta regime (graft.cdc.DeltaStore)
-      val graftKeys = Set("deltastore", "deltacompactrows", "deltacompactfiles")
+      val graftKeys = Set("deltastore", "deltacompactrows", "deltacompactfiles",
+        "stagingthreads")
       // read the graft keys from the SAME case-normalized view the
       // passthrough filter uses: stripping `deltaStore=true` from the
       // properties case-insensitively but reading it back case-SENSITIVELY
@@ -107,7 +126,8 @@ object GraftConfig {
         prohibitDropSlot = sync.prohibitDropSlot,
         deltaStore = normProps.getOrElse("deltastore", "false").toBoolean,
         deltaCompactRows = normProps.getOrElse("deltacompactrows", "100000").toLong,
-        deltaCompactFiles = normProps.getOrElse("deltacompactfiles", "64").toInt)
+        deltaCompactFiles = normProps.getOrElse("deltacompactfiles", "64").toInt,
+        stagingThreads = normProps.getOrElse("stagingthreads", "8").toInt)
         .validate()
     }
   }
@@ -156,7 +176,11 @@ object GraftConfig {
         batchTimeout = get("sync", "batchtimeout").getOrElse(d.sync.batchTimeout),
         skipAcknowledge = bool("sync", "skipacknowledge", d.sync.skipAcknowledge),
         prohibitDropSlot = bool("sync", "prohibitdropslot", d.sync.prohibitDropSlot),
-        tables = getList("sync", "tables").getOrElse(Nil)),
+        tables = getList("sync", "tables").getOrElse(Nil),
+        spoolRetention = get("sync", "spoolretention").map(_.trim.toLowerCase)
+          .getOrElse(d.sync.spoolRetention),
+        spoolArchiveDir = get("sync", "spoolarchivedir").map(_.trim)
+          .getOrElse(d.sync.spoolArchiveDir)),
       postgres = PostgresSection(
         connection = get("postgres", "connection").getOrElse(""),
         slotName = get("postgres", "slotname").getOrElse(d.postgres.slotName),

@@ -50,7 +50,10 @@ final case class SyncConfig(
     // the full-rewrite path hits on large tables
     deltaStore: Boolean = false,
     deltaCompactRows: Long = 100000L,
-    deltaCompactFiles: Int = 64) {
+    deltaCompactFiles: Int = 64,
+    // per-batch multi-table staging concurrency (1 ⇒ serial staging);
+    // see StreamingMerge.eachTableConcurrently
+    stagingThreads: Int = 8) {
 
   /** Fail-fast validation, mirroring the reference's config.Validate
     * (config/config.go:86, required-field checks before anything runs). */
@@ -73,6 +76,8 @@ final case class SyncConfig(
     // its rewrite server-side and would silently ignore the flag
     require(!deltaStore || !tablesBase.startsWith("jdbc:"),
       "deltastore=true applies to a parquet tablesBase, not a jdbc: target")
+    require(stagingThreads > 0,
+      s"stagingthreads must be positive (1 = serial staging), got $stagingThreads")
     this
   }
 }
@@ -99,7 +104,8 @@ final class GraftSync(spark: SparkSession, cfg0: SyncConfig) {
     simpleStreams = cfg.simpleStreams,
     deltaStore = cfg.deltaStore,
     deltaCompactRows = cfg.deltaCompactRows,
-    deltaCompactFiles = cfg.deltaCompactFiles)
+    deltaCompactFiles = cfg.deltaCompactFiles,
+    stagingThreads = cfg.stagingThreads)
 
   /** Reconcile publication + replication slot against the source catalog
     * BEFORE anything moves — the reference `Run` prologue

@@ -481,9 +481,23 @@ object Main {
     val dsn = fc.postgres.connection
     sync.runSupervised(
       body = () => {
-        val messages: Dataset[WalMessage] = spark.readStream
+        // Spool retention (sync.spoolretention, default delete): without
+        // it the file source re-lists a forever-growing spool every
+        // trigger — O(all-files-ever) listing and unbounded disk on a
+        // weeks-long run (~860k files/day at the measured ~5k actions/s
+        // knee). cleanSource retires each file once its batch is
+        // committed to the streaming checkpoint; a file is never the only
+        // copy of unapplied work (the pump re-spools from the applied-LSN
+        // floor across any crash), so retirement after commit loses
+        // nothing — SpoolRetentionSpec pins both halves (no row lost,
+        // processed files retired).
+        val reader = spark.readStream
           .schema(Encoders.product[WalMessage].schema)
           .option("maxFilesPerTrigger", math.max(1, fc.sync.batchMaxItems / 1000))
+          .option("cleanSource", fc.sync.spoolRetention)
+        if (fc.sync.spoolRetention == "archive")
+          reader.option("sourceArchiveDir", fc.sync.spoolArchiveDir)
+        val messages: Dataset[WalMessage] = reader
           .json(messagesDir)
           .as(Encoders.product[WalMessage])
         val q = sync.startFromMessages(messages)

@@ -29,12 +29,23 @@ import java.nio.charset.StandardCharsets.UTF_8
   *     exactly once (a truncated read would be silent data loss).
   *     Spark's own writer gave the same guarantee via its commit
   *     protocol's rename; this preserves it without the job.
+  *   - files must READ BACK in append order: the source sorts pending
+  *     files by mtime alone and the merge's LSN watermark assumes
+  *     nondecreasing batch order, so every file is stamped with a
+  *     strictly-increasing mtime (same-ms flushes would otherwise
+  *     tie-break arbitrarily — an out-of-order lower-LSN file lands
+  *     under the watermark and is silently dropped).
   *
   * Round-trip pinned by WalSpoolSpec against the real streaming reader.
   */
 object WalSpool {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastSweepMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val SweepEveryMs = 60000L
+  // last mtime stamped onto a spool file — strictly increasing per JVM
+  // (see the ordering note in append)
+  private val lastStampMs = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def escape(sb: java.lang.StringBuilder, s: String): Unit = {
     sb.append('"')
@@ -116,21 +127,53 @@ object WalSpool {
     // spool floor, so the next generation redelivers them) but a disk
     // leak; sweep stale ones. One writer per spool dir by design, and a
     // write is milliseconds, so anything older than a minute is dead.
-    try {
-      val cutoff = System.currentTimeMillis() - 60000L
-      val stale = java.nio.file.Files.list(d)
-      try stale.filter(p => p.getFileName.toString.startsWith(".spool-") &&
-          p.toFile.lastModified() < cutoff)
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      finally stale.close()
-    } catch { case _: java.io.IOException => () } // cleanup is best-effort
+    // The sweep is TIME-throttled (once a minute, not per append): a
+    // per-append Files.list over a directory that grows at ~10 files/s
+    // would re-tax exactly the hot loop this writer de-taxed — and only
+    // crash leftovers are ever swept, so a periodic pass loses nothing.
+    // Failures during list ITERATION surface as unchecked
+    // RuntimeExceptions (UncheckedIOException, DirectoryIteratorException),
+    // so best-effort means NonFatal, not just IOException.
+    val nowMs = System.currentTimeMillis()
+    val last = lastSweepMs.get()
+    if (nowMs - last >= SweepEveryMs && lastSweepMs.compareAndSet(last, nowMs)) {
+      try {
+        val cutoff = nowMs - 60000L
+        val stale = java.nio.file.Files.list(d)
+        try stale.filter(p => p.getFileName.toString.startsWith(".spool-") &&
+            p.toFile.lastModified() < cutoff)
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally stale.close()
+      } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+    }
+    // The file source orders pending files by MODIFICATION TIME ONLY
+    // (FileStreamSource sorts entries by timestamp; ties break
+    // arbitrarily), and the merge's replay-protection watermark assumes
+    // batches arrive in nondecreasing LSN order — so two flushes landing
+    // in the same millisecond can straddle a batch boundary REVERSED, and
+    // the lower-LSN file's transactions arrive below the already-advanced
+    // watermark and are silently dropped (SpoolRetentionSpec reproduced
+    // exactly this with fast appends). Stamp every spool file with a
+    // strictly-INCREASING mtime instead of whatever the tmp write left:
+    // one sequential writer per dir ⇒ mtime order ≡ append order ≡ LSN
+    // order, deterministic under any tie-break. Across a pump restart the
+    // stamp restarts from the wall clock; if the clock stepped backwards
+    // the new generation's files may sort before the old generation's
+    // unread ones — harmless: a restarted pump re-spools from the
+    // APPLIED floor, so every old unread file is a full duplicate of what
+    // the new generation redelivers and the watermark cut dropping it is
+    // the correct dedup, not loss.
+    val stamp = lastStampMs.updateAndGet(prev =>
+      math.max(prev + 1, System.currentTimeMillis()))
     // unique across concurrent pumps and restarts: time + pid + counter
-    val name = s"spool-${System.currentTimeMillis()}-" +
+    val name = s"spool-$stamp-" +
       s"${ProcessHandle.current().pid()}-${counter.incrementAndGet()}.json"
     val tmp = d.resolve(s".$name.tmp")
     val out = java.nio.file.Files.newBufferedWriter(tmp, UTF_8)
     try msgs.foreach { m => out.write(encode(m)); out.write("\n") }
     finally out.close()
+    java.nio.file.Files.setLastModifiedTime(tmp,
+      java.nio.file.attribute.FileTime.fromMillis(stamp))
     java.nio.file.Files.move(tmp, d.resolve(name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ()

@@ -93,7 +93,11 @@ final class StreamingMerge(
     simpleStreams: Boolean = false,
     deltaStore: Boolean = false,
     deltaCompactRows: Long = 100000L,
-    deltaCompactFiles: Int = 64) extends Serializable {
+    deltaCompactFiles: Int = 64,
+    // per-batch staging concurrency (1 ⇒ serial, the pre-r15 behavior);
+    // bounded: each staged table is itself a multi-core Spark job, so the
+    // pool caps DRIVER-side concurrency, not task parallelism
+    stagingThreads: Int = 8) extends Serializable {
 
   // WalMessage/ChangeAction carry the UNQUALIFIED table name (the wire
   // decoder drops the namespace), so two same-named tables in different
@@ -118,21 +122,55 @@ final class StreamingMerge(
     * applying 2.7× slower than 1 table on the same stream
     * (multitable_soak_receipt.json). The PUBLISH stays serial and
     * ordered after every stage succeeded, preserving the one-batch-one-
-    * visibility-unit contract. On a failure `Future.sequence` fails
-    * fast; in-flight sibling stages are interrupted and their half-
-    * written scratch dirs are dropped by `SnapshotWriter.recover` when
-    * the batch replays. */
-  private def eachTableConcurrently[A](tables: Seq[String])(f: String => A): Seq[A] =
-    if (tables.size <= 1) tables.map(f)
+    * visibility-unit contract.
+    *
+    * Failure discipline: every table's work runs under ONE fresh job
+    * group (thread-local, so set inside each worker), and the FIRST
+    * failure cancels the group — `interruptOnCancel = true` reaches jobs
+    * already running, `cancelJobGroupAndFutureJobs` covers siblings that
+    * have not submitted yet. Crucially the call then AWAITS every future
+    * (lifted to Try) before rethrowing: a fail-fast that merely
+    * interrupted awaiting pool threads would leave the interrupted
+    * thread's already-submitted Spark job running in the background —
+    * an orphaned writer still committing task files into
+    * `$table/__scratch` while the supervisor's replay deletes and
+    * rewrites that same path, a mixed-parts scratch that could gain
+    * _SUCCESS and be published. No thread here outlives the method, so
+    * no scratch writer outlives the batch. The rethrow is the
+    * chronologically FIRST failure (the root cause), not a sibling's
+    * cancellation artifact. Serial-order pool size is a config knob via
+    * `stagingThreads` (1 ⇒ serial staging, the pre-r15 behavior). */
+  private[streaming] def eachTableConcurrently[A](tables: Seq[String])(f: String => A): Seq[A] =
+    if (tables.size <= 1 || stagingThreads <= 1) tables.map(f)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(tables.size, 8))
+        math.min(tables.size, stagingThreads))
+      val sc = spark.sparkContext
+      val groupId = s"graft-batch-${java.util.UUID.randomUUID()}"
       try {
         import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.util.{Failure, Success}
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        Await.result(Future.sequence(tables.map(t => Future(f(t)))),
+        val firstFailure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+        val futures = tables.map { t =>
+          val fut = Future {
+            sc.setJobGroup(groupId, s"graft batch: stage $t", interruptOnCancel = true)
+            try f(t) finally sc.clearJobGroup()
+          }
+          fut.failed.foreach { e =>
+            if (firstFailure.compareAndSet(null, e))
+              sc.cancelJobGroupAndFutureJobs(groupId)
+          }
+          fut
+        }
+        // barrier over Try-lifted futures: completes only when EVERY
+        // sibling has finished (successfully, failed, or cancelled)
+        val results = Await.result(
+          Future.sequence(futures.map(_.transform(Success(_)))),
           scala.concurrent.duration.Duration.Inf)
-      } finally { pool.shutdownNow(); () }
+        Option(firstFailure.get()).foreach(e => throw e)
+        results.map { case Success(a) => a; case Failure(e) => throw e }
+      } finally { pool.shutdown(); () }
     }
 
   /** Apply one batch of change actions to the table store. Public so tests

@@ -100,9 +100,15 @@ object ShardedSoak {
     val jvm = ProcessHandle.current().info().command()
       .orElse("java")
     // the forked runner's own JVM flags (add-opens, -Dspark.* props) are
-    // exactly what a child Spark driver needs; heap is re-sized per shard
+    // exactly what a child Spark driver needs; heap is re-sized per shard.
+    // Strip ALL inherited heap sizing, not just -Xmx: an inherited -Xms
+    // (or -XX:InitialHeapSize) above the forced per-shard -Xmx makes every
+    // child die at launch with "Initial heap size larger than maximum" —
+    // environment-dependent (sbt runners are often given a big fixed heap)
     val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filterNot(_.startsWith("-Xmx")).toSeq
+      .getInputArguments.asScala.filterNot(a =>
+        a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+        a.startsWith("-XX:InitialHeapSize") || a.startsWith("-XX:MaxHeapSize")).toSeq
     val cp = System.getProperty("java.class.path")
     val cpusPerShard = math.max(4, hostCores / n)
     val procs = (0 until n).map { i =>

@@ -293,6 +293,8 @@ object StreamingSoak {
     val compactRows = args.drop(7).headOption.map(_.toLong).getOrElse(100000L)
     val quiesceSec = args.drop(8).headOption.map(_.toInt).getOrElse(180)
     val numTables = args.drop(9).headOption.map(_.toInt).getOrElse(1)
+    val spoolRetention = args.drop(10).headOption.getOrElse("delete")
+    val stagingThreads = args.drop(11).headOption.map(_.toInt).getOrElse(8)
     val txnSize = 10
     // GRAFT_SOAK_CPUS caps this process's task slots — the multi-process
     // scale-out probe (ShardedSoak procs mode) splits the host's cores
@@ -307,7 +309,8 @@ object StreamingSoak {
       schemaChangeAtFraction = schemaFraction,
       maxFilesPerTrigger = maxFiles, batchTimeout = trigger,
       deltaStore = delta, deltaCompactRows = compactRows,
-      quiesceDeadlineSec = quiesceSec, numTables = numTables)
+      quiesceDeadlineSec = quiesceSec, numTables = numTables,
+      spoolRetention = spoolRetention, stagingThreads = stagingThreads)
     println(receipt)
     spark.stop()
   }
@@ -346,7 +349,17 @@ object StreamingSoak {
       // cut and the multi-table staged publish. Single-table only when
       // the schema-change leg runs (the resync backfill is scripted for
       // one table)
-      numTables: Int = 1): String = {
+      numTables: Int = 1,
+      // spool retention under soak: "delete" (the production default)
+      // must keep the spool file count FLAT at ≈ the in-flight backlog
+      // while converging 0/0/0 — files are retired only after their batch
+      // commits, and every file is redelivery-proof by the applied-LSN
+      // floor; "off" is the contrast leg (count grows linearly)
+      spoolRetention: String = "delete",
+      // 1 ⇒ serial per-table staging — the A/B contrast leg for the
+      // concurrent-staging receipt (run serial vs 8 back-to-back in ONE
+      // host window, the two-run dispersion discipline)
+      stagingThreads: Int = 8): String = {
     require(numTables == 1 || !(schemaChangeAtFraction > 0 && schemaChangeAtFraction < 1),
       "the schema-change leg is single-table")
     val base = java.nio.file.Files.createTempDirectory("graft_soak").toString
@@ -435,15 +448,16 @@ object StreamingSoak {
     // ---- supervised merge loop ----
     val cfg = graft.SyncConfig(rels, tablesBase, ckptBase,
       batchTimeout = batchTimeout, slotName = "soak", deltaStore = deltaStore,
-      deltaCompactRows = deltaCompactRows)
+      deltaCompactRows = deltaCompactRows, stagingThreads = stagingThreads)
     val cfg2 = graft.SyncConfig(Seq(Rel2), tablesBase, ckptBase,
       batchTimeout = batchTimeout, slotName = "soak", deltaStore = deltaStore,
-      deltaCompactRows = deltaCompactRows)
+      deltaCompactRows = deltaCompactRows, stagingThreads = stagingThreads)
     var curCfg = cfg
     def startStream(sync: graft.GraftSync) = sync.startFromMessages(
       spark.readStream
         .schema(Encoders.product[WalMessage].schema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .option("cleanSource", spoolRetention) // Main.run's production shape
         .json(messagesDir)
         .as(Encoders.product[WalMessage]),
       streamName = streamName)
@@ -458,6 +472,23 @@ object StreamingSoak {
     val schemaAt = durationSec * schemaChangeAtFraction
     val schemaLeg = schemaChangeAtFraction > 0 && schemaChangeAtFraction < 1
     var maxStateRows = 0L
+    // spool-retention telemetry: (sec, visible spool files, list millis)
+    // sampled every ~5 s. With retention on, the file count must stay
+    // FLAT at ≈ the in-flight backlog (not grow with run length) and the
+    // listing time with it — the O(all-files-ever) failure mode this
+    // receipt exists to refute.
+    val spoolSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    var spoolFilesMax = 0
+    var lastSpoolSampleSec = -5.0
+    def sampleSpool(): Unit = if (elapsed - lastSpoolSampleSec >= 5.0) {
+      lastSpoolSampleSec = elapsed
+      val ls0 = System.nanoTime()
+      val n = Option(new java.io.File(messagesDir).list())
+        .map(_.count(!_.startsWith("."))).getOrElse(0)
+      val listMs = (System.nanoTime() - ls0) / 1000000L
+      spoolFilesMax = math.max(spoolFilesMax, n)
+      spoolSamples += ((elapsed.toInt, n, listMs))
+    }
     var killed = false
     var schemaSwitched = false
     var schemaResyncs = 0L
@@ -536,6 +567,7 @@ object StreamingSoak {
       Thread.sleep(1000)
       superviseTick()
       resyncTick()
+      sampleSpool()
       if (schemaLeg && !schemaSwitched && elapsed >= schemaAt) {
         schemaSwitched = true
         gen.switchSchema() // the source's DDL moment
@@ -583,6 +615,7 @@ object StreamingSoak {
       Thread.sleep(1000)
       superviseTick()
       resyncTick() // a late schema change can surface during the drain
+      sampleSpool()
       quiesced = commitLog.lastLsn.getOrElse(0L) >= targetLsn
     }
     val wallToQuiesce = (System.nanoTime() - t0) / 1e9
@@ -672,6 +705,12 @@ object StreamingSoak {
       s""""reconnects_before_kill":$reconnectsBeforeKill,""" +
       s""""stream_restarts":$streamRestarts,"last_stream_error":"$lastStreamError",""" +
       s""""max_assembler_state_rows":$maxStateRows,""" +
+      s""""spool_retention":"$spoolRetention","staging_threads":$stagingThreads,""" +
+      s""""spool_files_max":$spoolFilesMax,""" +
+      s""""spool_files_final":${Option(new java.io.File(messagesDir).list())
+        .map(_.count(!_.startsWith("."))).getOrElse(0)},""" +
+      s""""spool_samples":[${spoolSamples.map { case (t, n, ms) => s"[$t,$n,$ms]" }
+        .mkString(",")}],""" +
       s""""spool_bytes":${dirBytes(messagesDir)},"checkpoint_bytes":${dirBytes(ckptBase)},""" +
       s""""tables_bytes":${dirBytes(tablesBase)},""" +
       s""""wal_retained_txns":${gen.retainedTxns}}"""

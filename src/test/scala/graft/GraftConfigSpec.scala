@@ -198,4 +198,72 @@ class GraftConfigSpec extends AnyFunSuite with Matchers {
     sc3.deltaCompactFiles shouldBe 8
     sc3.targetProperties shouldBe Map.empty
   }
+
+  test("spool retention keys: default delete, archive needs a dir, env override") {
+    // defaulted ON — retention is the long-run scale guard, opting OUT is
+    // the explicit act
+    val fc = GraftConfig.parse(referenceDefaultYaml, env = Map.empty)
+    fc.sync.spoolRetention shouldBe "delete"
+    fc.sync.spoolArchiveDir shouldBe ""
+
+    val filled =
+      """sync:
+        |  tables: [accounts]
+        |  spoolretention: ARCHIVE
+        |  spoolarchivedir: /var/spool/done
+        |postgres:
+        |  connection: "host=db"
+        |snowflake:
+        |  connection: "/tmp/tables"
+        |""".stripMargin
+    val fa = GraftConfig.parse(filled, env = Map.empty)
+    fa.sync.spoolRetention shouldBe "archive" // case-normalized
+    fa.sync.spoolArchiveDir shouldBe "/var/spool/done"
+    fa.validate() // archive + dir is a valid pair
+
+    // archive without a dir refuses at validate, not at stream start
+    an[IllegalArgumentException] should be thrownBy GraftConfig.parse(
+      filled.replace("  spoolarchivedir: /var/spool/done\n", ""),
+      env = Map.empty).validate()
+    // unknown policy refuses too
+    an[IllegalArgumentException] should be thrownBy GraftConfig.parse(
+      filled.replace("ARCHIVE", "compress"), env = Map.empty).validate()
+
+    // viper env-override convention reaches the new keys
+    val fo = GraftConfig.parse(filled,
+      env = Map("SYNC_SPOOLRETENTION" -> "off"))
+    fo.sync.spoolRetention shouldBe "off"
+    fo.validate()
+  }
+
+  test("stagingthreads property reaches SyncConfig and stays out of the " +
+      "JDBC pass-through") {
+    val rel = graft.cdc.Relation("public", "accounts", Seq(
+      graft.cdc.RelColumn("id", graft.cdc.PgTypes.Int8Oid, isIdentity = true)))
+    val fc = GraftConfig.parse(
+      """sync:
+        |  tables: [accounts]
+        |postgres:
+        |  connection: "host=db"
+        |snowflake:
+        |  connection: "/tmp/tables"
+        |  properties: [stagingThreads=1, ssl=true]
+        |""".stripMargin, env = Map.empty)
+    val sc = fc.validate().toSyncConfig(Seq(rel))
+    sc.stagingThreads shouldBe 1 // case-insensitive read, like deltastore
+    sc.targetProperties shouldBe Map("ssl" -> "true")
+    // absent → the concurrent default
+    val fc2 = GraftConfig.parse(
+      """sync:
+        |  tables: [accounts]
+        |postgres:
+        |  connection: "host=db"
+        |snowflake:
+        |  connection: "/tmp/tables"
+        |""".stripMargin, env = Map.empty)
+    fc2.validate().toSyncConfig(Seq(rel)).stagingThreads shouldBe 8
+    // zero/negative staging threads refuse loudly
+    an[IllegalArgumentException] should be thrownBy
+      graft.SyncConfig(Seq(rel), "/tmp/t", "/tmp/c", stagingThreads = 0).validate()
+  }
 }

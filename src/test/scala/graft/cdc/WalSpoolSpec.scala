@@ -80,6 +80,22 @@ final class WalSpoolSpec extends AnyFunSuite with Matchers {
     readBack(dir) shouldBe Seq(m)
   }
 
+  test("same-millisecond flushes get strictly increasing mtimes (read order " +
+      "≡ append order ≡ LSN order)") {
+    val dir = java.nio.file.Files.createTempDirectory("walspool_order").toString
+    val m = WalMessage(1, 0, "COMMIT", 5, "", Map(), Map(), Nil, Nil, false)
+    // burst far faster than the clock ticks — the hazard window
+    (1 to 50).foreach(_ => WalSpool.append(dir, Seq(m)))
+    val mtimes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("spool-"))
+      .sortBy(_.getName.split('-').last.stripSuffix(".json").toLong) // append order
+      .map(_.lastModified())
+    mtimes.length shouldBe 50
+    // STRICT: the file source breaks mtime ties arbitrarily, so any tie
+    // is a potential silent drop under the merge's LSN watermark
+    mtimes.sliding(2).foreach { case Array(a, b) => a should be < b }
+  }
+
   test("empty flush writes nothing; files appear atomically (no tmp leftovers)") {
     val dir = java.nio.file.Files.createTempDirectory("walspool_empty").toString
     WalSpool.append(dir, Nil)

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.cdc._
+
+/** Failure discipline of the per-batch concurrent staging
+  * ([[StreamingMerge.eachTableConcurrently]]): the first failing table
+  * must (a) cancel sibling SPARK jobs through the batch's job group — an
+  * interrupted pool thread alone does NOT cancel a submitted job, and an
+  * orphaned stage still writing `__scratch` while the replayed batch
+  * rewrites the same path can publish a mixed-parts snapshot — and
+  * (b) AWAIT every sibling before rethrowing, so no writer of any kind
+  * outlives the call, and (c) rethrow the chronologically-first root
+  * cause, not a sibling's cancellation artifact. */
+final class ConcurrentStagingSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+
+  private val rel = Relation("public", "t", Seq(
+    RelColumn("id", PgTypes.Int8Oid, isIdentity = true)))
+
+  private def merge(): StreamingMerge = {
+    val base = java.nio.file.Files.createTempDirectory("graft-stg").toString
+    new StreamingMerge(spark, base, Seq(rel), s"$base/_log")
+  }
+
+  test("rethrows the root cause only after EVERY sibling completed") {
+    val sm = merge()
+    val siblingDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val boom = new RuntimeException("table a failed")
+    val thrown = intercept[RuntimeException] {
+      sm.eachTableConcurrently(Seq("a", "b")) {
+        case "a" => Thread.sleep(50); throw boom
+        case "b" =>
+          // driver-side (non-Spark) work: the group cancel must not
+          // interrupt it, and the call must still wait it out — the
+          // no-writer-outlives-the-batch contract
+          Thread.sleep(600); siblingDone.set(true); "ok"
+      }
+    }
+    (thrown eq boom) shouldBe true
+    siblingDone.get() shouldBe true
+  }
+
+  test("first failure cancels a sibling's in-flight Spark job") {
+    val sm = merge()
+    val sc = spark.sparkContext
+    val siblingFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val boom = new RuntimeException("fail fast")
+    val t0 = System.nanoTime()
+    val thrown = intercept[RuntimeException] {
+      sm.eachTableConcurrently(Seq("a", "b")) {
+        case "a" => Thread.sleep(200); throw boom
+        case "b" =>
+          try {
+            // ~16 s if left to run (8 waves of 2 s on local[4]); the
+            // group cancel's interruptOnCancel reaches the sleeping tasks
+            sc.parallelize(1 to 32, 32)
+              .mapPartitions { it => Thread.sleep(2000); it }
+              .count()
+          } catch { case e: Throwable => siblingFailed.set(true); throw e }
+      }
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    (thrown eq boom) shouldBe true // root cause, not the cancellation
+    siblingFailed.get() shouldBe true // the job did NOT run to completion
+    secs should be < 10.0 // cancelled, not awaited through all 8 waves
+  }
+
+  test("stagingThreads=1 degrades to serial in-order staging") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stg1").toString
+    val sm = new StreamingMerge(spark, base, Seq(rel), s"$base/_log",
+      stagingThreads = 1)
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    sm.eachTableConcurrently(Seq("x", "y", "z")) { t =>
+      order += t; t
+    } shouldBe Seq("x", "y", "z")
+    order.toSeq shouldBe Seq("x", "y", "z")
+  }
+}
