@@ -95,4 +95,47 @@ final class SpoolRetentionSpec extends AnyFunSuite with Matchers {
     // and retirement lost nothing (table unchanged after the extra run)
     sync.table("items").count() shouldBe nextId
   }
+
+  test("archive mode moves committed files aside instead of deleting") {
+    val base = java.nio.file.Files.createTempDirectory("graft-spoolarc").toString
+    val spool = s"$base/messages"
+    val archive = s"$base/archive" // outside the source dir, as Spark requires
+    new java.io.File(spool).mkdirs()
+
+    (0 until 12).foreach { i =>
+      WalSpool.append(spool, insertTxn(xid = i + 1, commitLsn = (i + 1) * 10L,
+        ids = Seq(i * 2L, i * 2L + 1)))
+    }
+    val cfg = graft.SyncConfig(Seq(rel), s"$base/tables", s"$base/ckpt",
+      batchTimeout = "1 second")
+    val sync = new graft.GraftSync(spark, cfg)
+    def stream() = spark.readStream
+      .schema(Encoders.product[WalMessage].schema)
+      .option("maxFilesPerTrigger", 3)
+      .option("cleanSource", "archive") // Main.run's archive shape
+      .option("sourceArchiveDir", archive)
+      .json(spool)
+      .as(Encoders.product[WalMessage])
+    val q = sync.startFromMessages(stream(), streamName = "arc")
+    try q.processAllAvailable() finally q.stop()
+    val q2 = sync.startFromMessages(stream(), streamName = "arc")
+    try q2.processAllAvailable() finally q2.stop()
+
+    // every row arrived …
+    sync.table("items").select("id").collect().map(_.getLong(0)).toSet shouldBe
+      (0L until 24L).toSet
+    // … and committed files were MOVED (archive preserves the source-path
+    // layout under the archive root), not deleted
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    def archived(): Int = {
+      val root = new java.io.File(archive)
+      if (!root.exists()) 0
+      else java.nio.file.Files.walk(root.toPath)
+        .filter(p => p.getFileName.toString.startsWith("spool-")).count().toInt
+    }
+    var n = archived()
+    while (n < 9 && System.nanoTime() < deadline) { Thread.sleep(250); n = archived() }
+    n should be >= 9 // all but (at most) the final batch
+    spoolFiles(spool).size should be <= 3
+  }
 }
