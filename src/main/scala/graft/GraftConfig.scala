@@ -42,7 +42,23 @@ object GraftConfig {
       // spoolArchiveDir instead; `off` disables retention (the pre-r16
       // behavior).
       spoolRetention: String = "delete",
-      spoolArchiveDir: String = "")
+      spoolArchiveDir: String = "",
+      // periodic streaming-checkpoint rotation for LIVE mode (Go duration
+      // like `24h`; "off" disables). Spark's file-source metadata
+      // log retains EVERY file entry ever seen (FileStreamSourceLog never
+      // overrides shouldRetain), so each 10-batch compaction rewrites a
+      // list that grows forever — the checkpoint-side twin of the
+      // spool-listing flaw, ~432k new entries/day at the measured knee.
+      // All durable sync state lives in the source and target (commit
+      // log, applied markers, replication slot/LSN floor — the
+      // reference's "all state is in the source and target"), so the
+      // checkpoint is disposable: rotation stops the stream, deletes the
+      // checkpoint, and restarts the body; the fresh stream re-reads the
+      // retention-bounded spool tail and the LSN watermark dedups it.
+      // Live-mode only: the internal pump flushes only WHOLE committed
+      // transactions per spool file, so no open transaction can be
+      // stranded in discarded assembler state.
+      checkpointRotation: String = "24h")
 
   final case class PostgresSection(
       connection: String = "",
@@ -83,6 +99,12 @@ object GraftConfig {
         s"sync.spoolretention must be delete|archive|off (got '${sync.spoolRetention}')")
       require(sync.spoolRetention != "archive" || sync.spoolArchiveDir.nonEmpty,
         "sync.spoolretention=archive requires sync.spoolarchivedir")
+      // Go-duration form only (the Spark-interval spelling parses to a
+      // validation sentinel, not millis) and strictly positive
+      require(sync.checkpointRotation == "off" ||
+        parseDuration(sync.checkpointRotation).exists(_ > 0),
+        s"sync.checkpointrotation must be a positive Go duration (e.g. 24h) " +
+          s"or 'off' (got '${sync.checkpointRotation}')")
       require(postgres.connection.nonEmpty, "postgres.connection is required")
       require(postgres.slotName.nonEmpty, "postgres.slotname is required")
       require(parseDuration(postgres.standbyMessageInterval).isDefined,
@@ -180,7 +202,9 @@ object GraftConfig {
         spoolRetention = get("sync", "spoolretention").map(_.trim.toLowerCase)
           .getOrElse(d.sync.spoolRetention),
         spoolArchiveDir = get("sync", "spoolarchivedir").map(_.trim)
-          .getOrElse(d.sync.spoolArchiveDir)),
+          .getOrElse(d.sync.spoolArchiveDir),
+        checkpointRotation = get("sync", "checkpointrotation")
+          .map(_.trim.toLowerCase).getOrElse(d.sync.checkpointRotation)),
       postgres = PostgresSection(
         connection = get("postgres", "connection").getOrElse(""),
         slotName = get("postgres", "slotname").getOrElse(d.postgres.slotName),

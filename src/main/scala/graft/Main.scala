@@ -479,8 +479,51 @@ object Main {
     var sync = sync0
     var relations = relations0
     val dsn = fc.postgres.connection
-    sync.runSupervised(
-      body = () => {
+    // Checkpoint rotation period (sync.checkpointrotation, default 24h;
+    // LIVE mode only — the internal pump flushes only WHOLE committed
+    // transactions per spool file, so between batches the assembler's
+    // keyed state is provably empty and a discarded checkpoint strands
+    // nothing; an external jdbc:-mode spooler has no such contract, so
+    // rotation never applies there). Why rotate at all: Spark's
+    // FileStreamSourceLog retains EVERY file entry ever seen (shouldRetain
+    // is unconditionally true), so the source metadata log's 10-batch
+    // compactions rewrite an ever-growing list — the checkpoint-side twin
+    // of the spool-listing flaw retention fixed. The checkpoint is
+    // disposable by design (commit log + applied markers + LSN floor
+    // carry ALL durable state; the chaos soaks prove the
+    // destroyed-checkpoint path at every ordering), so bounding the log
+    // is one planned delete per period.
+    val rotationMs: Long =
+      if (!isLive || fc.sync.checkpointRotation == "off") Long.MaxValue
+      else GraftConfig.parseDuration(fc.sync.checkpointRotation).get
+    val ckptBase = new org.apache.hadoop.fs.Path(s"${fc.target.connection}/_checkpoints")
+    // delete-with-retry shared by resnapshot and rotation: cancelled
+    // tasks of the dying stream can still be flushing state files when
+    // the delete runs, and a half-recreated state/ dir makes the fresh
+    // stream refuse batch 0 (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY)
+    def deleteCheckpoints(): Unit = {
+      val fs = ckptBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var attempts = 0
+      while (fs.exists(ckptBase) && attempts < 20) {
+        try fs.delete(ckptBase, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        attempts += 1
+        if (fs.exists(ckptBase)) Thread.sleep(500)
+      }
+      // proceeding with a live checkpoint would fail batch 0 of the
+      // fresh stream one restart later with a less obvious cause — fail
+      // HERE so the supervisor counts a clear restart
+      if (fs.exists(ckptBase)) throw new IllegalStateException(
+        s"checkpoint $ckptBase still exists after $attempts delete attempts")
+    }
+    // One stream lifetime; returns true when it ended for a PLANNED
+    // checkpoint rotation (caller deletes nothing — the rotation branch
+    // below already did — and simply goes again on a fresh checkpoint).
+    def bodyOnce(): Boolean = {
+      val iterStart = System.nanoTime()
+      def rotationDue: Boolean =
+        (System.nanoTime() - iterStart) / 1000000L >= rotationMs
+      locally {
         // Spool retention (sync.spoolretention, default delete): without
         // it the file source re-lists a forever-growing spool every
         // trigger — O(all-files-ever) listing and unbounded disk on a
@@ -549,8 +592,14 @@ object Main {
         def schemaCause(t: Throwable): Option[graft.streaming.SchemaChangedException] =
           Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
             .collectFirst { case e: graft.streaming.SchemaChangedException => e }
+        var rotateNow = false
         try {
-          while (q.isActive && schemaChange.get() == null) q.awaitTermination(500)
+          while (q.isActive && schemaChange.get() == null && !rotationDue)
+            q.awaitTermination(500)
+          // planned rotation only when the stream is HEALTHY: a failure
+          // or schema change racing the timer keeps its own path
+          rotateNow = rotationDue && q.isActive &&
+            schemaChange.get() == null && q.exception.isEmpty
           // the loop can exit WITHOUT awaitTermination ever observing a
           // failure: the query can die between a timed awaitTermination
           // returning and the isActive check (or before the first
@@ -559,10 +608,13 @@ object Main {
           // normally here would make the supervisor treat a dead stream
           // as clean completion and exit successfully with the error
           // swallowed, so rethrow any terminal error explicitly first.
-          q.exception.foreach(e => throw e)
-          Option(schemaChange.get()).foreach(e => throw e)
+          if (!rotateNow) {
+            q.exception.foreach(e => throw e)
+            Option(schemaChange.get()).foreach(e => throw e)
+          }
           // stream ended on its own (clean stop or failure already thrown
-          // above): supervision decides what's next
+          // above) or the rotation timer fired: supervision (or the
+          // rotation branch below) decides what's next
         } catch {
           case e if scala.util.control.NonFatal(e) =>
             // the pump's signal wins over a concurrent stream failure: a
@@ -581,31 +633,25 @@ object Main {
           stopPump.set(true)
           try if (q.isActive) q.stop() catch { case scala.util.control.NonFatal(_) => () }
         }
-      },
+        // rotation: the stream is stopped and the pump signalled; drop
+        // the checkpoint and tell the body loop to go again — the fresh
+        // stream re-reads the retention-bounded spool tail and the LSN
+        // watermark dedups it, while the restarted pump re-spools the
+        // applied..spooled window (the same redelivery the crash path
+        // already absorbs)
+        if (rotateNow) deleteCheckpoints()
+        rotateNow
+      }
+    }
+    sync.runSupervised(
+      body = () => { while (bodyOnce()) () },
       resnapshot = () => {
         // schema changed: drop the streaming checkpoint (its state no
         // longer matches), drop the slot for a live source (the next
         // bootstrap recreates it and re-snapshots — the reference drops
         // slot + re-backfills, sync_service.go:95-110), and rebuild from
         // a fresh introspection + snapshot
-        val ckpt = new org.apache.hadoop.fs.Path(s"${fc.target.connection}/_checkpoints")
-        val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // retry until actually gone: cancelled tasks of the dying stream
-        // can still be flushing state files when the delete runs, and a
-        // half-recreated state/ dir makes the fresh stream refuse batch 0
-        // (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY)
-        var attempts = 0
-        while (fs.exists(ckpt) && attempts < 20) {
-          try fs.delete(ckpt, true)
-          catch { case scala.util.control.NonFatal(_) => () }
-          attempts += 1
-          if (fs.exists(ckpt)) Thread.sleep(500)
-        }
-        // proceeding with a live checkpoint would fail batch 0 of the
-        // fresh stream one supervisor restart later with a less obvious
-        // cause — fail HERE so the supervisor counts a clear restart
-        if (fs.exists(ckpt)) throw new IllegalStateException(
-          s"resnapshot: checkpoint $ckpt still exists after $attempts delete attempts")
+        deleteCheckpoints()
         if (isLive) {
           val catalog = new graft.cdc.PgCatalog(graft.cdc.PgConnect.parseUri(dsn0))
           try sync.resyncReplication(catalog) finally catalog.close()

@@ -236,6 +236,36 @@ class GraftConfigSpec extends AnyFunSuite with Matchers {
     fo.validate()
   }
 
+  test("checkpointrotation: defaults on at 24h, Go-duration only, off opts out") {
+    val fc = GraftConfig.parse(referenceDefaultYaml, env = Map.empty)
+    fc.sync.checkpointRotation shouldBe "24h"
+    GraftConfig.parseDuration(fc.sync.checkpointRotation) shouldBe Some(86400000L)
+
+    val filled =
+      """sync:
+        |  tables: [accounts]
+        |  checkpointrotation: 6h
+        |postgres:
+        |  connection: "host=db"
+        |snowflake:
+        |  connection: "/tmp/tables"
+        |""".stripMargin
+    GraftConfig.parse(filled, env = Map.empty).validate()
+      .sync.checkpointRotation shouldBe "6h"
+    // off disables; env override reaches the key
+    GraftConfig.parse(filled, env = Map("SYNC_CHECKPOINTROTATION" -> "OFF"))
+      .validate().sync.checkpointRotation shouldBe "off"
+    // the Spark-interval spelling parses only as a validation sentinel,
+    // not millis — refuse it rather than rotating constantly
+    an[IllegalArgumentException] should be thrownBy GraftConfig.parse(
+      filled.replace("6h", "\"24 hours\""), env = Map.empty).validate()
+    // zero and garbage refuse too
+    an[IllegalArgumentException] should be thrownBy GraftConfig.parse(
+      filled.replace("6h", "0s"), env = Map.empty).validate()
+    an[IllegalArgumentException] should be thrownBy GraftConfig.parse(
+      filled.replace("6h", "sometimes"), env = Map.empty).validate()
+  }
+
   test("stagingthreads property reaches SyncConfig and stays out of the " +
       "JDBC pass-through") {
     val rel = graft.cdc.Relation("public", "accounts", Seq(

@@ -96,6 +96,55 @@ final class SpoolRetentionSpec extends AnyFunSuite with Matchers {
     sync.table("items").count() shouldBe nextId
   }
 
+  test("checkpoint rotation over a retention-managed spool loses nothing") {
+    // the rotation invariant Main.run relies on (sync.checkpointrotation,
+    // the bound on Spark's ever-growing file-source metadata log): the
+    // streaming checkpoint is DISPOSABLE — a fresh checkpoint re-reads
+    // whatever the retention-bounded spool still holds, and the commit
+    // log's LSN watermark (which lives with the TABLES, not the
+    // checkpoint) dedups every re-read action. Simulated here exactly as
+    // the body does it: stop, delete the checkpoint dir, rebuild the
+    // stream on the same spool.
+    val base = java.nio.file.Files.createTempDirectory("graft-spoolrot").toString
+    val spool = s"$base/messages"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(spool).mkdirs()
+
+    var nextId = 0L
+    def appendFiles(n: Int, startXid: Long): Unit =
+      (0 until n).foreach { i =>
+        val ids = Seq(nextId, nextId + 1); nextId += 2
+        WalSpool.append(spool,
+          insertTxn(startXid + i, commitLsn = (startXid + i) * 10, ids))
+      }
+    val cfg = graft.SyncConfig(Seq(rel), s"$base/tables", ckpt,
+      batchTimeout = "1 second")
+    val sync = new graft.GraftSync(spark, cfg)
+    def stream() = spark.readStream
+      .schema(Encoders.product[WalMessage].schema)
+      .option("maxFilesPerTrigger", 3)
+      .option("cleanSource", "delete")
+      .json(spool)
+      .as(Encoders.product[WalMessage])
+
+    appendFiles(12, startXid = 1)
+    val q = sync.startFromMessages(stream(), streamName = "rot")
+    try q.processAllAvailable() finally q.stop()
+
+    // ROTATE: checkpoint gone; retained spool tail (the not-yet-cleaned
+    // final batch) will be RE-READ by the fresh stream as batch 0
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    appendFiles(8, startXid = 100)
+    val q2 = sync.startFromMessages(stream(), streamName = "rot")
+    try q2.processAllAvailable() finally q2.stop()
+
+    // every row exactly once: re-read files deduped by the watermark,
+    // new files applied, nothing lost to the deleted checkpoint
+    val got = sync.table("items").select("id").collect().map(_.getLong(0)).toSeq
+    got.sorted shouldBe (0L until nextId)
+    got.size shouldBe got.distinct.size
+  }
+
   test("archive mode moves committed files aside instead of deleting") {
     val base = java.nio.file.Files.createTempDirectory("graft-spoolarc").toString
     val spool = s"$base/messages"
