@@ -105,6 +105,26 @@ object GraftConfig {
         parseDuration(sync.checkpointRotation).exists(_ > 0),
         s"sync.checkpointrotation must be a positive Go duration (e.g. 24h) " +
           s"or 'off' (got '${sync.checkpointRotation}')")
+      // rotation's safety-and-cost argument assumes a retention-BOUNDED
+      // spool: with retention off, every rotation would re-read the
+      // entire unbounded spool history from batch 0 — refuse the
+      // combination instead of silently grinding
+      require(sync.spoolRetention != "off" || sync.checkpointRotation == "off",
+        "sync.spoolretention=off requires sync.checkpointrotation=off " +
+          "(a rotation over an unbounded spool re-reads its whole history)")
+      // Spark's archive cleaner moves files; an archive dir INSIDE the
+      // spool dir would be re-listed as new input forever (read → archive
+      // → re-read), defeating retention with no error anywhere. The spool
+      // lives at <target>/_messages (Main.run's convention).
+      locally {
+        def norm(p: String) =
+          p.replace('\\', '/').stripSuffix("/") + "/"
+        val spoolDir = norm(s"${target.connection}/_messages")
+        require(sync.spoolRetention != "archive" ||
+          !norm(sync.spoolArchiveDir).startsWith(spoolDir),
+          s"sync.spoolarchivedir must lie OUTSIDE the message spool " +
+            s"($spoolDir): archived files inside it are re-ingested forever")
+      }
       require(postgres.connection.nonEmpty, "postgres.connection is required")
       require(postgres.slotName.nonEmpty, "postgres.slotname is required")
       require(parseDuration(postgres.standbyMessageInterval).isDefined,

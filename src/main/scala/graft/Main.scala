@@ -558,6 +558,7 @@ object Main {
         val stopPump = new java.util.concurrent.atomic.AtomicBoolean(false)
         val schemaChange = new java.util.concurrent.atomic.AtomicReference[
           graft.streaming.SchemaChangedException](null)
+        var pumpThread: Thread = null
         if (isLive) {
           val pump = new Thread(() => {
             try {
@@ -584,6 +585,7 @@ object Main {
           }, "graft-live-pump")
           pump.setDaemon(true)
           pump.start()
+          pumpThread = pump
         }
         // a schema change detected INSIDE foreachBatch (e.g. the merge's
         // relation-drift guard) surfaces from awaitTermination wrapped in
@@ -633,13 +635,33 @@ object Main {
           stopPump.set(true)
           try if (q.isActive) q.stop() catch { case scala.util.control.NonFatal(_) => () }
         }
+        // A failure or the pump's schema-change signal can land BETWEEN
+        // the rotateNow snapshot and the stop above — discarding it here
+        // would waste a rotation cycle on stale relations and hide the
+        // error from supervision accounting. Re-check after the stop:
+        // a voluntary q.stop() leaves q.exception empty, so anything
+        // present now is a real terminal failure. The pump's signal wins
+        // (same precedence as the catch above).
+        if (rotateNow) {
+          Option(schemaChange.get()).foreach { s => rotateNow = false; throw s }
+          q.exception.foreach { e =>
+            rotateNow = false; throw schemaCause(e).getOrElse(e)
+          }
+        }
         // rotation: the stream is stopped and the pump signalled; drop
         // the checkpoint and tell the body loop to go again — the fresh
         // stream re-reads the retention-bounded spool tail and the LSN
         // watermark dedups it, while the restarted pump re-spools the
         // applied..spooled window (the same redelivery the crash path
-        // already absorbs)
-        if (rotateNow) deleteCheckpoints()
+        // already absorbs). JOIN the outgoing pump (bounded) so the next
+        // generation doesn't race it for the replication slot — an
+        // unjoined pump can hold the COPY BOTH connection until its next
+        // read returns, and the fresh pump would churn on "slot is
+        // already active" retries in the meantime.
+        if (rotateNow) {
+          if (pumpThread != null) pumpThread.join(10000)
+          deleteCheckpoints()
+        }
         rotateNow
       }
     }

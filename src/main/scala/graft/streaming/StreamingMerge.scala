@@ -135,11 +135,17 @@ final class StreamingMerge(
     * an orphaned writer still committing task files into
     * `$table/__scratch` while the supervisor's replay deletes and
     * rewrites that same path, a mixed-parts scratch that could gain
-    * _SUCCESS and be published. No thread here outlives the method, so
-    * no scratch writer outlives the batch. The rethrow is the
-    * chronologically FIRST failure (the root cause), not a sibling's
-    * cancellation artifact. Serial-order pool size is a config knob via
-    * `stagingThreads` (1 ⇒ serial staging, the pre-r15 behavior). */
+    * _SUCCESS and be published. On the table-failure path no thread
+    * outlives the method, so no scratch writer outlives the batch; when
+    * the BARRIER itself is aborted from outside (query stop, supervisor
+    * restart, checkpoint rotation — the await thread is interrupted and
+    * cannot keep waiting), the whole job group is cancelled before
+    * propagating, so staging jobs die even though q.stop()'s own
+    * runId-group cancel cannot reach them (the workers re-grouped). The
+    * rethrow is the chronologically FIRST failure (the root cause), not
+    * a sibling's cancellation artifact. Serial-order pool size is a
+    * config knob via `stagingThreads` (1 ⇒ serial staging, the pre-r15
+    * behavior). */
   private[streaming] def eachTableConcurrently[A](tables: Seq[String])(f: String => A): Seq[A] =
     if (tables.size <= 1 || stagingThreads <= 1) tables.map(f)
     else {
@@ -149,25 +155,48 @@ final class StreamingMerge(
       val groupId = s"graft-batch-${java.util.UUID.randomUUID()}"
       try {
         import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.util.{Failure, Success}
+        import scala.util.{Failure, Success, Try}
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         val firstFailure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+        // Each future's value is a Try computed by catching ALL
+        // throwables in the worker itself: a plain Future(f(t)) completes
+        // its promise only for NonFatal, so a fatal error (OOM,
+        // StackOverflow) in one table would leave its promise forever
+        // incomplete and hang the barrier below with an error already in
+        // hand. The first-failure CAS also runs in the failing worker —
+        // at failure time, not on a later callback — so the rethrown
+        // error is the chronologically first one the pool observed.
         val futures = tables.map { t =>
-          val fut = Future {
+          Future {
             sc.setJobGroup(groupId, s"graft batch: stage $t", interruptOnCancel = true)
-            try f(t) finally sc.clearJobGroup()
+            val r = try Success(f(t))
+              catch { case e: Throwable => Failure(e) }
+              finally sc.clearJobGroup()
+            r.failed.foreach { e =>
+              if (firstFailure.compareAndSet(null, e))
+                sc.cancelJobGroupAndFutureJobs(groupId)
+            }
+            r
           }
-          fut.failed.foreach { e =>
-            if (firstFailure.compareAndSet(null, e))
-              sc.cancelJobGroupAndFutureJobs(groupId)
-          }
-          fut
         }
-        // barrier over Try-lifted futures: completes only when EVERY
-        // sibling has finished (successfully, failed, or cancelled)
-        val results = Await.result(
-          Future.sequence(futures.map(_.transform(Success(_)))),
-          scala.concurrent.duration.Duration.Inf)
+        // barrier: completes only when EVERY sibling has finished
+        // (successfully, failed, or cancelled)
+        val results: Seq[Try[A]] =
+          try Await.result(Future.sequence(futures),
+            scala.concurrent.duration.Duration.Inf)
+          catch {
+            case e: Throwable =>
+              // the BARRIER itself was aborted — an external interrupt
+              // (query stop, supervisor restart, checkpoint rotation
+              // stopping the stream mid-batch), not a table failure.
+              // Workers run in the batch's own job group, DETACHED from
+              // the stream's runId group, so q.stop()'s cancel does not
+              // reach them and we cannot await them here (the interrupt
+              // demands prompt return): cancel the whole group so no
+              // staging job outlives the batch, then propagate.
+              sc.cancelJobGroupAndFutureJobs(groupId)
+              throw e
+          }
         Option(firstFailure.get()).foreach(e => throw e)
         results.map { case Success(a) => a; case Failure(e) => throw e }
       } finally { pool.shutdown(); () }

@@ -229,9 +229,11 @@ class GraftConfigSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy GraftConfig.parse(
       filled.replace("ARCHIVE", "compress"), env = Map.empty).validate()
 
-    // viper env-override convention reaches the new keys
+    // viper env-override convention reaches the new keys (rotation must
+    // be disabled alongside — see the rotation-needs-retention guard)
     val fo = GraftConfig.parse(filled,
-      env = Map("SYNC_SPOOLRETENTION" -> "off"))
+      env = Map("SYNC_SPOOLRETENTION" -> "off",
+        "SYNC_CHECKPOINTROTATION" -> "off"))
     fo.sync.spoolRetention shouldBe "off"
     fo.validate()
   }
@@ -264,6 +266,33 @@ class GraftConfigSpec extends AnyFunSuite with Matchers {
       filled.replace("6h", "0s"), env = Map.empty).validate()
     an[IllegalArgumentException] should be thrownBy GraftConfig.parse(
       filled.replace("6h", "sometimes"), env = Map.empty).validate()
+    // rotation over an UNBOUNDED spool re-reads its whole history every
+    // period — the combination must be an explicit refusal, not a grind
+    an[IllegalArgumentException] should be thrownBy GraftConfig.parse(
+      filled, env = Map("SYNC_SPOOLRETENTION" -> "off")).validate()
+    GraftConfig.parse(filled, env = Map("SYNC_SPOOLRETENTION" -> "off",
+      "SYNC_CHECKPOINTROTATION" -> "off")).validate() // explicit pair is fine
+  }
+
+  test("an archive dir inside the message spool is refused") {
+    // Spark's archive cleaner MOVES committed files; a destination under
+    // <target>/_messages would be re-listed as new input forever
+    def cfg(arc: String) = GraftConfig.parse(
+      s"""sync:
+         |  tables: [accounts]
+         |  spoolretention: archive
+         |  spoolarchivedir: $arc
+         |postgres:
+         |  connection: "host=db"
+         |snowflake:
+         |  connection: "/data/tables"
+         |""".stripMargin, env = Map.empty)
+    an[IllegalArgumentException] should be thrownBy
+      cfg("/data/tables/_messages/archive").validate()
+    an[IllegalArgumentException] should be thrownBy
+      cfg("/data/tables/_messages").validate()
+    cfg("/data/tables/_archive").validate() // sibling of the spool is fine
+    cfg("/elsewhere/archive").validate()
   }
 
   test("stagingthreads property reaches SyncConfig and stays out of the " +

@@ -69,6 +69,48 @@ final class ConcurrentStagingSpec extends AnyFunSuite with Matchers {
     secs should be < 10.0 // cancelled, not awaited through all 8 waves
   }
 
+  test("an external interrupt (query stop / rotation) cancels the batch's " +
+      "staging jobs") {
+    // q.stop() interrupts the micro-batch thread, which aborts the
+    // barrier inside eachTableConcurrently — but the workers run in the
+    // batch's OWN job group, detached from the stream's runId group, so
+    // the stop's cancel never reaches them. The abort path must cancel
+    // the batch group itself or a staging job outlives the batch (the
+    // orphaned-scratch-writer corruption, made routine by checkpoint
+    // rotation).
+    val sm = merge()
+    val sc = spark.sparkContext
+    val jobDied = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val jobFinished = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val caller = new Thread(() => {
+      try {
+        sm.eachTableConcurrently(Seq("a", "b")) {
+          case "a" => Thread.sleep(8000); "a" // keeps the barrier waiting
+          case "b" =>
+            try {
+              // ~16 s if left alone (8 waves of 2 s on local[4])
+              sc.parallelize(1 to 32, 32)
+                .mapPartitions { it => Thread.sleep(2000); it }
+                .count()
+              jobFinished.set(true); "b"
+            } catch { case e: Throwable => jobDied.set(true); throw e }
+        }
+        ()
+      } catch { case _: Throwable => () } // InterruptedException expected
+    }, "staging-caller")
+    caller.start()
+    Thread.sleep(1500) // let b's job get airborne
+    caller.interrupt() // the q.stop() shape: abort the awaiting thread
+    caller.join(15000)
+    caller.isAlive shouldBe false
+    // the sibling's Spark job must die promptly — not run to completion
+    val deadline = System.nanoTime() + 10L * 1000000000L
+    while (!jobDied.get() && !jobFinished.get() && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    jobDied.get() shouldBe true
+    jobFinished.get() shouldBe false
+  }
+
   test("stagingThreads=1 degrades to serial in-order staging") {
     val base = java.nio.file.Files.createTempDirectory("graft-stg1").toString
     val sm = new StreamingMerge(spark, base, Seq(rel), s"$base/_log",
