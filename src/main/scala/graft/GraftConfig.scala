@@ -117,8 +117,17 @@ object GraftConfig {
       // → re-read), defeating retention with no error anywhere. The spool
       // lives at <target>/_messages (Main.run's convention).
       locally {
-        def norm(p: String) =
-          p.replace('\\', '/').stripSuffix("/") + "/"
+        // Resolve BOTH sides to normalized absolute paths before the
+        // prefix test: a naive string compare is evaded by doubled
+        // separators (`/t//_messages/` from a trailing-slash connection),
+        // `.`/`..` segments, or a relative archive path that resolves
+        // inside the spool — each re-enabling the read→archive→re-read
+        // loop this guard exists to refuse. (Symlinks can still evade a
+        // lexical normalize; toRealPath needs the dirs to exist, which
+        // they don't at validate time — documented residual risk.)
+        def norm(p: String) = java.nio.file.Paths.get(
+          p.replace('\\', '/')).toAbsolutePath.normalize.toString
+            .stripSuffix("/") + "/"
         val spoolDir = norm(s"${target.connection}/_messages")
         require(sync.spoolRetention != "archive" ||
           !norm(sync.spoolArchiveDir).startsWith(spoolDir),

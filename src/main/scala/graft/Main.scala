@@ -287,13 +287,25 @@ object Main {
       retryBackoffMs: Long = 5000L,
       notNullIdentity: Map[String, Set[String]] = Map.empty,
       expectedColumns: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]] = Map.empty,
-      typeIsArray: Map[Int, Boolean] = Map.empty): Long = {
+      typeIsArray: Map[Int, Boolean] = Map.empty,
+      // the CURRENT socket, published so a stopper can close it from
+      // outside: the stop flag is only polled between reads, and a pump
+      // parked in a COPY-BOTH read would otherwise hold the replication
+      // slot (and keep appending spool files) for an unbounded window
+      // after rotation decided to move on
+      liveSocket: java.util.concurrent.atomic.AtomicReference[java.net.Socket] = null): Long = {
     val ep = graft.cdc.PgConnect.parseUri(dsn)
     var total = 0L
     val floor = new java.util.concurrent.atomic.AtomicLong(appliedLsn())
     while (!stop.get()) {
       try {
         val socket = new java.net.Socket(ep.host, ep.port)
+        if (liveSocket != null) {
+          liveSocket.set(socket)
+          // closed-from-outside AFTER we published but BEFORE the read
+          // loop noticed: don't start a doomed session on a dead socket
+          if (stop.get()) throw new java.net.SocketException("pump stopped")
+        }
         try {
           val resume = appliedLsn()
           floor.set(math.max(floor.get(), resume))
@@ -304,7 +316,10 @@ object Main {
             expectedColumns = expectedColumns)
           total += spoolFromSocket(socket, messagesDir, session,
             appliedLsn, stop = stop, spooledFloor = floor)
-        } finally socket.close()
+        } finally {
+          if (liveSocket != null) liveSocket.compareAndSet(socket, null)
+          socket.close()
+        }
       } catch {
         // a schema change is NOT retryable here: reconnecting hands the
         // re-announced relation to a FRESH decoder, which caches the new
@@ -317,7 +332,13 @@ object Main {
         case e: Exception =>
           System.err.println(s"[livePump] stream attempt failed: ${e.getMessage}")
       }
-      if (!stop.get()) Thread.sleep(retryBackoffMs)
+      // an interrupt here is the stopper hurrying the backoff along
+      // (rotation closes the socket then interrupts) — treat it as a
+      // stop-now, not an error escaping to the uncaught handler
+      if (!stop.get()) {
+        try Thread.sleep(retryBackoffMs)
+        catch { case _: InterruptedException => return total }
+      }
     }
     total
   }
@@ -556,6 +577,8 @@ object Main {
         // jdbc: source (tests, captures, external spoolers) keeps the
         // spool-fed behavior, no pump.
         val stopPump = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val pumpSocket =
+          new java.util.concurrent.atomic.AtomicReference[java.net.Socket](null)
         val schemaChange = new java.util.concurrent.atomic.AtomicReference[
           graft.streaming.SchemaChangedException](null)
         var pumpThread: Thread = null
@@ -564,6 +587,7 @@ object Main {
             try {
               livePump(dsn, fc.postgres.slotName, messagesDir,
                 appliedLsn = () => sync.appliedLsn(), stop = stopPump,
+                liveSocket = pumpSocket,
                 // the maps are rebuilt per body from the CURRENT relations
                 // (resnapshot refreshes them); the decoder's conservative
                 // fallback (FULL → nullable) stays safe regardless. The
@@ -659,7 +683,24 @@ object Main {
         // read returns, and the fresh pump would churn on "slot is
         // already active" retries in the meantime.
         if (rotateNow) {
-          if (pumpThread != null) pumpThread.join(10000)
+          if (pumpThread != null) {
+            // the stop flag is only polled between reads — a pump parked
+            // in a COPY-BOTH read would outlive the bounded join, holding
+            // the slot against the next generation (it churns on "slot is
+            // already active") and appending spool files concurrently
+            // with the new pump. Close its socket (unblocks the read —
+            // plain-IO sockets ignore Thread.interrupt) and interrupt
+            // (unblocks the retry-backoff sleep), THEN join bounded.
+            Option(pumpSocket.get()).foreach { s =>
+              try s.close() catch { case scala.util.control.NonFatal(_) => () }
+            }
+            pumpThread.interrupt()
+            pumpThread.join(10000)
+            if (pumpThread.isAlive)
+              System.err.println("[rotate] WARN: outgoing pump still alive " +
+                "after close+interrupt+10s join; the new generation may " +
+                "churn on 'slot already active' until it exits")
+          }
           deleteCheckpoints()
         }
         rotateNow

@@ -41,7 +41,14 @@ import java.nio.charset.StandardCharsets.UTF_8
 object WalSpool {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val lastSweepMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  // sweep throttle is PER SPOOL DIRECTORY: a single JVM can drive several
+  // spool dirs at once (multi-stream soaks, tools), and a JVM-global
+  // throttle would let a busy dir's appends consume the once-a-minute
+  // budget while a quiet dir's orphaned tmps linger unbounded. Entries
+  // are one Long per distinct dir ever written this JVM — bounded by
+  // configuration, not by traffic.
+  private val lastSweepMs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val SweepEveryMs = 60000L
   // last mtime stamped onto a spool file — strictly increasing per JVM
   // (see the ordering note in append)
@@ -135,8 +142,15 @@ object WalSpool {
     // RuntimeExceptions (UncheckedIOException, DirectoryIteratorException),
     // so best-effort means NonFatal, not just IOException.
     val nowMs = System.currentTimeMillis()
-    val last = lastSweepMs.get()
-    if (nowMs - last >= SweepEveryMs && lastSweepMs.compareAndSet(last, nowMs)) {
+    val dirKey = d.toAbsolutePath.normalize.toString
+    val prev = lastSweepMs.get(dirKey)
+    val sweepDue = (prev == null || nowMs - prev >= SweepEveryMs) && {
+      // CAS-style claim so concurrent appenders to the SAME dir elect one
+      // sweeper; distinct dirs never contend for each other's budget
+      if (prev == null) lastSweepMs.putIfAbsent(dirKey, nowMs) == null
+      else lastSweepMs.replace(dirKey, prev, nowMs)
+    }
+    if (sweepDue) {
       try {
         val cutoff = nowMs - 60000L
         val stale = java.nio.file.Files.list(d)

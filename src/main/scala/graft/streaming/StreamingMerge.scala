@@ -193,8 +193,16 @@ final class StreamingMerge(
               // the stream's runId group, so q.stop()'s cancel does not
               // reach them and we cannot await them here (the interrupt
               // demands prompt return): cancel the whole group so no
-              // staging job outlives the batch, then propagate.
+              // staging job outlives the batch, then propagate. The
+              // group cancel kills Spark JOBS but not the pool threads
+              // driving them — driver-side IO in a worker (applied-marker
+              // write, delta tmp rename) could otherwise outlive the
+              // batch and race the replay over the same paths, so
+              // interrupt the workers too (shutdownNow); the awaited
+              // paths below keep plain shutdown() since their workers
+              // are already done.
               sc.cancelJobGroupAndFutureJobs(groupId)
+              pool.shutdownNow()
               throw e
           }
         Option(firstFailure.get()).foreach(e => throw e)

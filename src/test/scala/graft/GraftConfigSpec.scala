@@ -295,6 +295,34 @@ class GraftConfigSpec extends AnyFunSuite with Matchers {
     cfg("/elsewhere/archive").validate()
   }
 
+  test("the archive-dir guard survives path-spelling evasions") {
+    // the guard compares NORMALIZED absolute paths, so a doubled
+    // separator from a trailing-slash connection, a `..` segment, or a
+    // dot segment cannot smuggle the archive inside the spool
+    def cfg(conn: String, arc: String) = GraftConfig.parse(
+      s"""sync:
+         |  tables: [accounts]
+         |  spoolretention: archive
+         |  spoolarchivedir: $arc
+         |postgres:
+         |  connection: "host=db"
+         |snowflake:
+         |  connection: "$conn"
+         |""".stripMargin, env = Map.empty)
+    // trailing slash on the connection → spool '/t//_messages/' under a
+    // naive prefix test; the real inside path must still be refused
+    an[IllegalArgumentException] should be thrownBy
+      cfg("/data/tables/", "/data/tables/_messages/archive").validate()
+    // `..` routing back into the spool
+    an[IllegalArgumentException] should be thrownBy
+      cfg("/data/tables", "/data/tables/_archive/../_messages/arc").validate()
+    // `.` segments
+    an[IllegalArgumentException] should be thrownBy
+      cfg("/data/tables", "/data/tables/./_messages/./arc").validate()
+    // `..` that lands OUTSIDE stays allowed
+    cfg("/data/tables", "/data/tables/_messages/../_archive").validate()
+  }
+
   test("stagingthreads property reaches SyncConfig and stays out of the " +
       "JDBC pass-through") {
     val rel = graft.cdc.Relation("public", "accounts", Seq(

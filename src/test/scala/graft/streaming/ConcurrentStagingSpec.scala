@@ -14,7 +14,18 @@ import graft.cdc._
   * rewrites the same path can publish a mixed-parts snapshot — and
   * (b) AWAIT every sibling before rethrowing, so no writer of any kind
   * outlives the call, and (c) rethrow the chronologically-first root
-  * cause, not a sibling's cancellation artifact. */
+  * cause, not a sibling's cancellation artifact.
+  *
+  * The cancellation tests gate on EVENTS, not elapsed time: the failure
+  * (or external interrupt) is released only after a latch — counted down
+  * from inside the sibling job's own tasks — confirms the job is
+  * airborne. A fixed sleep racing job startup flakes both ways on a
+  * loaded host (failure fires before the job exists, or the job finishes
+  * its waves before the failure lands); the latch makes the interleaving
+  * the test is about deterministic. The one remaining time bound (the
+  * cancel must beat running all waves to completion) is measured from
+  * the moment the failure was actually released, not from call start.
+  */
 final class ConcurrentStagingSpec extends AnyFunSuite with Matchers {
   private val spark = TestSpark.spark
 
@@ -49,24 +60,38 @@ final class ConcurrentStagingSpec extends AnyFunSuite with Matchers {
     val sc = spark.sparkContext
     val siblingFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val boom = new RuntimeException("fail fast")
-    val t0 = System.nanoTime()
+    ConcurrentStagingSpec.jobStarted =
+      new java.util.concurrent.CountDownLatch(1)
+    val failReleasedAt = new java.util.concurrent.atomic.AtomicLong(0L)
     val thrown = intercept[RuntimeException] {
       sm.eachTableConcurrently(Seq("a", "b")) {
-        case "a" => Thread.sleep(200); throw boom
+        case "a" =>
+          // release the failure only once the sibling's job is AIRBORNE —
+          // the scenario under test is cancel-in-flight, not
+          // cancel-before-submit
+          ConcurrentStagingSpec.jobStarted.await(
+            60, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+          failReleasedAt.set(System.nanoTime())
+          throw boom
         case "b" =>
           try {
             // ~16 s if left to run (8 waves of 2 s on local[4]); the
             // group cancel's interruptOnCancel reaches the sleeping tasks
             sc.parallelize(1 to 32, 32)
-              .mapPartitions { it => Thread.sleep(2000); it }
+              .mapPartitions { it =>
+                ConcurrentStagingSpec.jobStarted.countDown()
+                Thread.sleep(2000); it
+              }
               .count()
           } catch { case e: Throwable => siblingFailed.set(true); throw e }
       }
     }
-    val secs = (System.nanoTime() - t0) / 1e9
+    val cancelSecs = (System.nanoTime() - failReleasedAt.get()) / 1e9
     (thrown eq boom) shouldBe true // root cause, not the cancellation
     siblingFailed.get() shouldBe true // the job did NOT run to completion
-    secs should be < 10.0 // cancelled, not awaited through all 8 waves
+    // the failure landed with ≥7 of 8 waves ahead (~14 s of work);
+    // a prompt cancel returns in a couple of waves' worth at worst
+    cancelSecs should be < 12.0
   }
 
   test("an external interrupt (query stop / rotation) cancels the batch's " +
@@ -82,15 +107,20 @@ final class ConcurrentStagingSpec extends AnyFunSuite with Matchers {
     val sc = spark.sparkContext
     val jobDied = new java.util.concurrent.atomic.AtomicBoolean(false)
     val jobFinished = new java.util.concurrent.atomic.AtomicBoolean(false)
+    ConcurrentStagingSpec.jobStarted =
+      new java.util.concurrent.CountDownLatch(1)
     val caller = new Thread(() => {
       try {
         sm.eachTableConcurrently(Seq("a", "b")) {
-          case "a" => Thread.sleep(8000); "a" // keeps the barrier waiting
+          case "a" => Thread.sleep(60000); "a" // keeps the barrier waiting
           case "b" =>
             try {
               // ~16 s if left alone (8 waves of 2 s on local[4])
               sc.parallelize(1 to 32, 32)
-                .mapPartitions { it => Thread.sleep(2000); it }
+                .mapPartitions { it =>
+                  ConcurrentStagingSpec.jobStarted.countDown()
+                  Thread.sleep(2000); it
+                }
                 .count()
               jobFinished.set(true); "b"
             } catch { case e: Throwable => jobDied.set(true); throw e }
@@ -99,12 +129,14 @@ final class ConcurrentStagingSpec extends AnyFunSuite with Matchers {
       } catch { case _: Throwable => () } // InterruptedException expected
     }, "staging-caller")
     caller.start()
-    Thread.sleep(1500) // let b's job get airborne
+    // interrupt only once b's job is airborne — the orphan scenario
+    ConcurrentStagingSpec.jobStarted.await(
+      60, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
     caller.interrupt() // the q.stop() shape: abort the awaiting thread
-    caller.join(15000)
+    caller.join(30000)
     caller.isAlive shouldBe false
     // the sibling's Spark job must die promptly — not run to completion
-    val deadline = System.nanoTime() + 10L * 1000000000L
+    val deadline = System.nanoTime() + 20L * 1000000000L
     while (!jobDied.get() && !jobFinished.get() && System.nanoTime() < deadline)
       Thread.sleep(100)
     jobDied.get() shouldBe true
@@ -121,4 +153,11 @@ final class ConcurrentStagingSpec extends AnyFunSuite with Matchers {
     } shouldBe Seq("x", "y", "z")
     order.toSeq shouldBe Seq("x", "y", "z")
   }
+}
+
+/** Task-side rendezvous for the cancellation tests: local-mode tasks run
+  * in this JVM, so a static latch reaches them without capture — the
+  * closure references the object, not a serialized latch instance. */
+object ConcurrentStagingSpec {
+  @volatile var jobStarted: java.util.concurrent.CountDownLatch = _
 }
