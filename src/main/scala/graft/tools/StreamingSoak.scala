@@ -295,6 +295,7 @@ object StreamingSoak {
     val numTables = args.drop(9).headOption.map(_.toInt).getOrElse(1)
     val spoolRetention = args.drop(10).headOption.getOrElse("delete")
     val stagingThreads = args.drop(11).headOption.map(_.toInt).getOrElse(8)
+    val rotationSec = args.drop(12).headOption.map(_.toDouble).getOrElse(0.0)
     val txnSize = 10
     // GRAFT_SOAK_CPUS caps this process's task slots — the multi-process
     // scale-out probe (ShardedSoak procs mode) splits the host's cores
@@ -310,7 +311,8 @@ object StreamingSoak {
       maxFilesPerTrigger = maxFiles, batchTimeout = trigger,
       deltaStore = delta, deltaCompactRows = compactRows,
       quiesceDeadlineSec = quiesceSec, numTables = numTables,
-      spoolRetention = spoolRetention, stagingThreads = stagingThreads)
+      spoolRetention = spoolRetention, stagingThreads = stagingThreads,
+      rotationSec = rotationSec)
     println(receipt)
     spark.stop()
   }
@@ -359,7 +361,18 @@ object StreamingSoak {
       // 1 ⇒ serial per-table staging — the A/B contrast leg for the
       // concurrent-staging receipt (run serial vs 8 back-to-back in ONE
       // host window, the two-run dispersion discipline)
-      stagingThreads: Int = 8): String = {
+      stagingThreads: Int = 8,
+      // >0 ⇒ PLANNED checkpoint rotation every this many seconds, the
+      // production loop Main.run drives from sync.checkpointrotation:
+      // stop the healthy stream, retire the outgoing pump (socket close +
+      // interrupt + bounded join — the graceful path, not the kill leg's
+      // severed-connection crash), destroy the checkpoint, bring a fresh
+      // pump + stream up on the retention-bounded spool tail. The
+      // checkpoint telemetry must show the file-source metadata log
+      // SAWTOOTH-bounded (grows within a generation, resets at each
+      // rotation) while the soak still converges 0/0/0 through kill and
+      // DDL legs interleaved with the rotations
+      rotationSec: Double = 0.0): String = {
     require(numTables == 1 || !(schemaChangeAtFraction > 0 && schemaChangeAtFraction < 1),
       "the schema-change leg is single-table")
     val base = java.nio.file.Files.createTempDirectory("graft_soak").toString
@@ -420,8 +433,12 @@ object StreamingSoak {
     // signal (livePump rethrows it rather than reconnecting — a fresh
     // decoder would swallow the change); the soak loop consumes it
     val schemaSignal = new AtomicReference[Throwable](null)
-    def newPump(rels: Seq[Relation]): (Thread, AtomicBoolean) = {
+    def newPump(rels: Seq[Relation])
+        : (Thread, AtomicBoolean, AtomicReference[Socket]) = {
       val stop = new AtomicBoolean(false)
+      // the pump's CURRENT client socket, published exactly as Main.run
+      // wires it: the rotation leg closes it to unpark a COPY-BOTH read
+      val sockRef = new AtomicReference[Socket](null)
       val t = new Thread(() => {
         try pumped.addAndGet(graft.Main.livePump(
           s"postgres://graft@127.0.0.1:${server.getLocalPort}/soak",
@@ -432,7 +449,8 @@ object StreamingSoak {
           // a FRESH decoder checks its first announcement against the
           // CURRENT relation — the at-boundary column-drop window — and
           // the healthy stream must never trip it (false-positive proof)
-          expectedColumns = Relation.expectedColumnsMap(rels)))
+          expectedColumns = Relation.expectedColumnsMap(rels),
+          liveSocket = sockRef))
         catch {
           case e: graft.streaming.SchemaChangedException => schemaSignal.set(e)
         }
@@ -440,10 +458,10 @@ object StreamingSoak {
       }, "soak-pump")
       t.setDaemon(true)
       t.start()
-      (t, stop)
+      (t, stop, sockRef)
     }
     val rels = (0 until numTables).map(relFor(_, numTables))
-    var (pumpThread, stopPump) = newPump(rels)
+    var (pumpThread, stopPump, pumpSocket) = newPump(rels)
 
     // ---- supervised merge loop ----
     val cfg = graft.SyncConfig(rels, tablesBase, ckptBase,
@@ -480,6 +498,29 @@ object StreamingSoak {
     val spoolSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
     var spoolFilesMax = 0
     var lastSpoolSampleSec = -5.0
+    def dirBytesAndFiles(p: String): (Long, Int) =
+      try {
+        val f = new java.io.File(p)
+        if (!f.exists()) (0L, 0)
+        else {
+          val w = java.nio.file.Files.walk(f.toPath)
+          try {
+            var bytes = 0L; var files = 0
+            w.filter(java.nio.file.Files.isRegularFile(_)).forEach { q =>
+              files += 1
+              bytes += (try java.nio.file.Files.size(q) catch { case _: Throwable => 0L })
+            }
+            (bytes, files)
+          } finally w.close()
+        }
+      } catch { case _: Throwable => (-1L, -1) } // racing a rotation's delete
+    // checkpoint telemetry: (sec, ckpt bytes, ckpt files). The file-source
+    // metadata log (sources/, offsets/, commits/) grows with every batch
+    // and Spark's periodic compaction carries EVERY entry forward forever;
+    // under rotation the curve must be a bounded SAWTOOTH (grow within a
+    // generation, reset to ~zero at each rotation), the receipt VERDICT
+    // r16 asked for.
+    val ckptSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int)]
     def sampleSpool(): Unit = if (elapsed - lastSpoolSampleSec >= 5.0) {
       lastSpoolSampleSec = elapsed
       val ls0 = System.nanoTime()
@@ -488,10 +529,15 @@ object StreamingSoak {
       val listMs = (System.nanoTime() - ls0) / 1000000L
       spoolFilesMax = math.max(spoolFilesMax, n)
       spoolSamples += ((elapsed.toInt, n, listMs))
+      val (cb, cf) = dirBytesAndFiles(ckptBase)
+      ckptSamples += ((elapsed.toInt, cb, cf))
     }
     var killed = false
     var schemaSwitched = false
     var schemaResyncs = 0L
+    var rotations = 0L
+    var rotationPumpStuck = 0L
+    var lastRotationSec = 0.0
     var reconnectsBeforeKill = 0L
     var streamRestarts = 0L
     var lastStreamError = ""
@@ -561,6 +607,7 @@ object StreamingSoak {
       sync = sync2
       val restarted = newPump(Seq(Rel2))
       pumpThread = restarted._1; stopPump = restarted._2
+      pumpSocket = restarted._3
       q = startStream(sync)
     }
     while (elapsed < durationSec) {
@@ -581,6 +628,30 @@ object StreamingSoak {
       Option(q.lastProgress).foreach { p =>
         p.stateOperators.foreach(so => maxStateRows = math.max(maxStateRows, so.numRowsTotal))
       }
+      // ---- planned checkpoint rotation (the Main.run production loop):
+      // only when the stream is HEALTHY and no schema change is pending,
+      // exactly as bodyOnce gates rotateNow. Graceful pump retirement —
+      // stop flag, CLIENT socket close (unparks a COPY-BOTH read),
+      // interrupt, bounded join — then checkpoint destruction and a fresh
+      // generation on the retention-bounded spool tail; the applied-LSN
+      // watermark dedups the re-read.
+      if (rotationSec > 0 && elapsed - lastRotationSec >= rotationSec &&
+          q.isActive && schemaSignal.get() == null && q.exception.isEmpty) {
+        lastRotationSec = elapsed
+        rotations += 1
+        try q.stop() catch { case _: Throwable => () }
+        stopPump.set(true)
+        Option(pumpSocket.get()).foreach(s =>
+          try s.close() catch { case _: Throwable => () })
+        pumpThread.interrupt()
+        pumpThread.join(10000)
+        if (pumpThread.isAlive) rotationPumpStuck += 1
+        destroyCheckpoint()
+        val restarted = newPump(curCfg.relations)
+        pumpThread = restarted._1; stopPump = restarted._2
+        pumpSocket = restarted._3
+        q = startStream(sync)
+      }
       if (!killed && elapsed >= killAt) {
         killed = true
         reconnectsBeforeKill = acceptCount.get()
@@ -600,6 +671,7 @@ object StreamingSoak {
         pumpThread.join(5000)
         val restarted = newPump(curCfg.relations)
         pumpThread = restarted._1; stopPump = restarted._2
+        pumpSocket = restarted._3
         sync = new graft.GraftSync(spark, curCfg)
         q = startStream(sync)
       }
@@ -710,6 +782,10 @@ object StreamingSoak {
       s""""spool_files_final":${Option(new java.io.File(messagesDir).list())
         .map(_.count(!_.startsWith("."))).getOrElse(0)},""" +
       s""""spool_samples":[${spoolSamples.map { case (t, n, ms) => s"[$t,$n,$ms]" }
+        .mkString(",")}],""" +
+      s""""rotations":$rotations,"rotation_every_sec":$rotationSec,""" +
+      s""""rotation_pump_stuck":$rotationPumpStuck,""" +
+      s""""ckpt_samples":[${ckptSamples.map { case (t, b, f) => s"[$t,$b,$f]" }
         .mkString(",")}],""" +
       s""""spool_bytes":${dirBytes(messagesDir)},"checkpoint_bytes":${dirBytes(ckptBase)},""" +
       s""""tables_bytes":${dirBytes(tablesBase)},""" +
