@@ -467,8 +467,23 @@ object Main {
         graft.cdc.SnapshotCopy.introspectRelation(catalog.poolConn, schema, table)
       }
       val sync = new GraftSync(spark, fc.toSyncConfig(relations))
-      liveBootstrap(spark, sync, catalog, relations,
-        java.nio.file.Files.createTempDirectory("graft_backfill"))
+      // the backfill spool holds a FULL CSV copy of every table in the
+      // exported snapshot; backfill() publishes it into the table store
+      // eagerly (parquet write + atomic swap), so after the bootstrap
+      // returns the spool is dead weight — and every schema-change resync
+      // runs this again, so leaving it would accumulate one table-sized
+      // dir per resync for the life of the process
+      val spool = java.nio.file.Files.createTempDirectory("graft_backfill")
+      try liveBootstrap(spark, sync, catalog, relations, spool)
+      finally {
+        import scala.jdk.CollectionConverters._
+        val paths = java.nio.file.Files.walk(spool)
+        try paths.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator.asScala.foreach(p =>
+            try { java.nio.file.Files.deleteIfExists(p); () }
+            catch { case scala.util.control.NonFatal(_) => () })
+        finally paths.close()
+      }
       (sync, relations)
     } finally catalog.close()
   }

@@ -93,6 +93,12 @@ object ShardedSoak {
     summarize(receipts.toSeq)
   }
 
+  // Per-shard JVM heap (procs mode). The 8-shard curve point regressed
+  // vs 4 shards with the historical 6g heap; this knob exists to separate
+  // heap/GC pressure from a genuine CPU knee — rerun the same point with
+  // a right-sized heap and compare (the receipt records the heap used).
+  private val shardXmx: String = sys.env.getOrElse("GRAFT_SHARD_XMX", "6g")
+
   // ---- procs mode: one JVM per shard, cores split across shards ----
   private def procPoint(n: Int, durationSec: Int, rate: Int,
       hostCores: Int): Point = {
@@ -114,7 +120,7 @@ object ShardedSoak {
     val procs = (0 until n).map { i =>
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_shardproc_${n}_$i").toFile
-      val cmd = (Seq(jvm) ++ inherited ++ Seq("-Xmx6g", "-cp", cp,
+      val cmd = (Seq(jvm) ++ inherited ++ Seq(s"-Xmx$shardXmx", "-cp", cp,
         "graft.tools.StreamingSoak",
         durationSec.toString, rate.toString,
         "2.0", // no kill leg: pure-throughput point
@@ -194,6 +200,7 @@ object ShardedSoak {
       else s"one JVM per shard, local[${math.max(4, hostCores / shardCounts.max)}..$hostCores] cores-constant split"
     val receipt =
       s"""{"metric":"graft_sharded_soak","mode":"$mode","duration_sec":$durationSec,""" +
+      s""""shard_xmx":"$shardXmx",""" +
       s""""offered_rate_per_shard":$ratePerShard,"all_converged":$converged,""" +
       s""""scheduler":"$modeDesc","points":$pts}"""
     println(receipt)
