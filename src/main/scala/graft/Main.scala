@@ -476,13 +476,17 @@ object Main {
       val spool = java.nio.file.Files.createTempDirectory("graft_backfill")
       try liveBootstrap(spark, sync, catalog, relations, spool)
       finally {
-        import scala.jdk.CollectionConverters._
-        val paths = java.nio.file.Files.walk(spool)
-        try paths.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator.asScala.foreach(p =>
-            try { java.nio.file.Files.deleteIfExists(p); () }
-            catch { case scala.util.control.NonFatal(_) => () })
-        finally paths.close()
+        // best-effort whole: a cleanup failure here must never mask the
+        // bootstrap's own exception (walk itself can throw on IO errors)
+        try {
+          import scala.jdk.CollectionConverters._
+          val paths = java.nio.file.Files.walk(spool)
+          try paths.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator.asScala.foreach(p =>
+              try { java.nio.file.Files.deleteIfExists(p); () }
+              catch { case scala.util.control.NonFatal(_) => () })
+          finally paths.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
       (sync, relations)
     } finally catalog.close()
