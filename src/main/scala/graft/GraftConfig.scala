@@ -122,9 +122,11 @@ object GraftConfig {
         // separators (`/t//_messages/` from a trailing-slash connection),
         // `.`/`..` segments, or a relative archive path that resolves
         // inside the spool — each re-enabling the read→archive→re-read
-        // loop this guard exists to refuse. (Symlinks can still evade a
-        // lexical normalize; toRealPath needs the dirs to exist, which
-        // they don't at validate time — documented residual risk.)
+        // loop this guard exists to refuse. Symlinks can still evade a
+        // lexical normalize (toRealPath needs the dirs to exist, which
+        // they don't at validate time); the runtime twin
+        // verifyArchiveOutsideSpoolAtRuntime closes that once Main.run
+        // has created both directories.
         def norm(p: String) = java.nio.file.Paths.get(
           p.replace('\\', '/')).toAbsolutePath.normalize.toString
             .stripSuffix("/") + "/"
@@ -141,6 +143,32 @@ object GraftConfig {
       require(target.connection.nonEmpty, "snowflake.connection is required")
       this
     }
+
+    /** Runtime twin of the validate-time archive guard above. Validate
+      * runs before any directory exists, so its check is lexical and a
+      * SYMLINK that points the archive dir into the spool evades it (the
+      * documented residual). By the time the service loop starts, both
+      * directories exist (Main.run creates them), so the real —
+      * symlink-resolved — paths are available: refuse an archive dir
+      * whose real path sits inside the spool's real path before the
+      * first trigger can enter the read→archive→re-read loop. No-op in
+      * non-archive modes. */
+    def verifyArchiveOutsideSpoolAtRuntime(): Unit =
+      if (sync.spoolRetention == "archive") {
+        import java.nio.file.{Files, Paths}
+        val spool = Paths.get(s"${target.connection}/_messages")
+        val arch = Paths.get(sync.spoolArchiveDir)
+        Files.createDirectories(spool)
+        Files.createDirectories(arch)
+        val spoolReal = spool.toRealPath()
+        val archReal = arch.toRealPath()
+        // Path.startsWith is element-wise (no /a/bc vs /a/b false match)
+        // and true on equality, which is equally self-harming
+        require(!archReal.startsWith(spoolReal),
+          s"sync.spoolarchivedir resolves INSIDE the message spool " +
+            s"($archReal is under $spoolReal after resolving symlinks): " +
+            s"archived files inside the spool are re-ingested forever")
+      }
 
     /** Bind to introspected relations → a validated [[SyncConfig]]. The
       * file lists table NAMES only; column schemas come from source

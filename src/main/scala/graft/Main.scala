@@ -497,6 +497,9 @@ object Main {
   def run(spark: SparkSession, fc: GraftConfig.FileConfig): Unit = {
     val messagesDir = s"${fc.target.connection}/_messages"
     new java.io.File(messagesDir).mkdirs()
+    // both dirs exist from here on, so the symlink-resolving twin of the
+    // validate-time archive guard can run (see GraftConfig)
+    fc.verifyArchiveOutsideSpoolAtRuntime()
     val dsn0 = fc.postgres.connection
     val isLive = dsn0.startsWith("postgres://") || dsn0.startsWith("postgresql://")
     // live sources go through the slot-lifecycle bootstrap (exported-

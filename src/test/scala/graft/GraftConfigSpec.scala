@@ -323,6 +323,62 @@ class GraftConfigSpec extends AnyFunSuite with Matchers {
     cfg("/data/tables", "/data/tables/_messages/../_archive").validate()
   }
 
+  test("the runtime archive guard resolves symlinks the lexical guard " +
+      "cannot see") {
+    // validate() runs before any directory exists, so its check is
+    // lexical; a symlink pointing the archive dir into the spool evades
+    // it. The runtime twin runs from Main.run once both dirs exist and
+    // compares REAL paths.
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_cfg_symlink")
+    try {
+      val target = root.resolve("tables")
+      Files.createDirectories(target.resolve("_messages"))
+      // looks like a sibling, is really <spool>/arc
+      val link = root.resolve("looks_outside")
+      Files.createSymbolicLink(link, target.resolve("_messages"))
+      def cfg(arc: String) = GraftConfig.parse(
+        s"""sync:
+           |  tables: [accounts]
+           |  spoolretention: archive
+           |  spoolarchivedir: $arc
+           |postgres:
+           |  connection: "host=db"
+           |snowflake:
+           |  connection: "$target"
+           |""".stripMargin, env = Map.empty)
+      val evading = cfg(s"$link/arc")
+      evading.validate() // the lexical guard cannot see through the link
+      an[IllegalArgumentException] should be thrownBy
+        evading.verifyArchiveOutsideSpoolAtRuntime()
+      // a genuinely-outside dir passes the runtime guard and both dirs
+      // exist afterwards (it creates them, as Main.run relies on)
+      val fine = cfg(s"$root/real_archive")
+      fine.validate()
+      fine.verifyArchiveOutsideSpoolAtRuntime()
+      Files.isDirectory(Paths.get(s"$root/real_archive")) shouldBe true
+      // non-archive modes are a no-op even with a bogus archive dir
+      GraftConfig.parse(
+        s"""sync:
+           |  tables: [accounts]
+           |postgres:
+           |  connection: "host=db"
+           |snowflake:
+           |  connection: "$target"
+           |""".stripMargin, env = Map.empty)
+        .validate().verifyArchiveOutsideSpoolAtRuntime()
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val s = Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      rm(root)
+    }
+  }
+
   test("stagingthreads property reaches SyncConfig and stays out of the " +
       "JDBC pass-through") {
     val rel = graft.cdc.Relation("public", "accounts", Seq(
