@@ -53,7 +53,7 @@ object Graph {
     // PERSIST them (not localCheckpoint: under AQE a checkpoint's
     // LogicalRDD reports UnknownPartitioning, while a cached
     // InMemoryRelation keeps its output partitioning — plan-audited in
-    // PlanAuditSpec). Every iteration's edge⋈deg⋈ranks join and the
+    // PlanAuditSpec). Every iteration's edeg⋈ranks join and the
     // nodes⋈contrib rebuild then reuse the partitioning instead of
     // re-exchanging the corpus-sized edge list: the only per-iteration
     // shuffles are rank-vector-sized plus the inherent dst contribution
@@ -65,13 +65,22 @@ object Graph {
       .repartition(col("src"))
       .persist(disk)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-      .persist(disk)
     val nodes = e.select(col("src").as("node")).distinct()
       .unionByName(e.select(col("dst").as("node")).distinct())
       .distinct()
       .repartition(col("node"))
       .persist(disk)
-    val n = nodes.count()
+    val n = nodes.count() // materializes nodes (and e under it)
+    // The edge⋈out-degree join is LOOP-INVARIANT: join it once and cache
+    // the result instead of rebuilding the degree hash relation against
+    // the corpus-sized edge list every iteration. Both sides are hashed
+    // on src (repartition above; groupBy(src) below), so the cached
+    // (src, dst, __deg) keeps src partitioning and each iteration's only
+    // corpus-sized input is one cache read. e's cache is released here —
+    // edeg supersedes it (same rows + one long).
+    val edeg = e.join(deg, "src").persist(disk)
+    edeg.count() // materialize before e is released (lazy persist)
+    e.unpersist(false)
     var ranks = nodes.withColumn("rank", round(lit(1.0) / n, scale))
       .localCheckpoint(true)
     // 10^scale as an exact double (scale <= 15 keeps it, and every scaled
@@ -80,8 +89,7 @@ object Graph {
     val factor = math.pow(10, scale)
     var i = 0
     while (i < iters) {
-      val contrib = e
-        .join(deg, "src")
+      val contrib = edeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           // rank is scale-rounded, so round(rank·10^scale) is its exact
@@ -100,7 +108,7 @@ object Graph {
         .localCheckpoint(true)
       i += 1
     }
-    e.unpersist(false); deg.unpersist(false); nodes.unpersist(false)
+    edeg.unpersist(false); nodes.unpersist(false)
     ranks
   }
 }

@@ -380,6 +380,11 @@ object StreamingSoak {
     val messagesDir = s"$base/messages"
     val tablesBase = s"$base/tables"
     val ckptBase = s"$base/ckpt"
+    // archive mode's destination, Main.run's sourceArchiveDir shape: a
+    // SIBLING of the spool (the config guard refuses an inside dir).
+    // Grows without bound BY DESIGN — the receipt telemetry must show the
+    // spool flat while this dir absorbs every committed file.
+    val archiveDir = s"$base/archive"
     val gen = new Generator(seed = 20260814L, txnSize = txnSize, numTables = numTables)
     val ackedApply = new AtomicLong(0L)
     val acceptCount = new AtomicLong(0L)
@@ -471,14 +476,17 @@ object StreamingSoak {
       batchTimeout = batchTimeout, slotName = "soak", deltaStore = deltaStore,
       deltaCompactRows = deltaCompactRows, stagingThreads = stagingThreads)
     var curCfg = cfg
-    def startStream(sync: graft.GraftSync) = sync.startFromMessages(
-      spark.readStream
+    def startStream(sync: graft.GraftSync) = {
+      val reader = spark.readStream
         .schema(Encoders.product[WalMessage].schema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .option("cleanSource", spoolRetention) // Main.run's production shape
-        .json(messagesDir)
-        .as(Encoders.product[WalMessage]),
-      streamName = streamName)
+      if (spoolRetention == "archive")
+        reader.option("sourceArchiveDir", archiveDir)
+      sync.startFromMessages(
+        reader.json(messagesDir).as(Encoders.product[WalMessage]),
+        streamName = streamName)
+    }
     // the file source needs ≥1 file at start
     new java.io.File(messagesDir).mkdirs()
     var sync = new graft.GraftSync(spark, cfg)
@@ -521,6 +529,12 @@ object StreamingSoak {
     // generation, reset to ~zero at each rotation), the receipt VERDICT
     // r16 asked for.
     val ckptSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int)]
+    // archive telemetry (archive mode only): committed spool files are
+    // MOVED here, so the count must grow monotonically toward the total
+    // retired while the spool itself stays flat — the receipt contrast
+    // that proves archiving (not deletion, not re-listing) is what keeps
+    // the spool bounded
+    val archSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     def sampleSpool(): Unit = if (elapsed - lastSpoolSampleSec >= 5.0) {
       lastSpoolSampleSec = elapsed
       val ls0 = System.nanoTime()
@@ -531,6 +545,8 @@ object StreamingSoak {
       spoolSamples += ((elapsed.toInt, n, listMs))
       val (cb, cf) = dirBytesAndFiles(ckptBase)
       ckptSamples += ((elapsed.toInt, cb, cf))
+      if (spoolRetention == "archive")
+        archSamples += ((elapsed.toInt, dirBytesAndFiles(archiveDir)._2))
     }
     var killed = false
     var schemaSwitched = false
@@ -785,6 +801,12 @@ object StreamingSoak {
         .mkString(",")}],""" +
       s""""rotations":$rotations,"rotation_every_sec":$rotationSec,""" +
       s""""rotation_pump_stuck":$rotationPumpStuck,""" +
+      (if (spoolRetention == "archive")
+        s""""archive_samples":[${archSamples.map { case (t, n) => s"[$t,$n]" }
+          .mkString(",")}],""" +
+        s""""archive_files":${dirBytesAndFiles(archiveDir)._2},""" +
+        s""""archive_bytes":${dirBytes(archiveDir)},"""
+      else "") +
       s""""ckpt_samples":[${ckptSamples.map { case (t, b, f) => s"[$t,$b,$f]" }
         .mkString(",")}],""" +
       s""""spool_bytes":${dirBytes(messagesDir)},"checkpoint_bytes":${dirBytes(ckptBase)},""" +
