@@ -155,19 +155,35 @@ object GraftConfig {
       * non-archive modes. */
     def verifyArchiveOutsideSpoolAtRuntime(): Unit =
       if (sync.spoolRetention == "archive") {
-        import java.nio.file.{Files, Paths}
+        import java.nio.file.{Files, Path, Paths}
         val spool = Paths.get(s"${target.connection}/_messages")
-        val arch = Paths.get(sync.spoolArchiveDir)
         Files.createDirectories(spool)
-        Files.createDirectories(arch)
+        // Resolve the archive path WITHOUT creating it first: creating
+        // then checking would follow an evading symlink and deposit a
+        // directory chain inside the live spool on the very refusal
+        // path this guard exists for. Resolve the nearest EXISTING
+        // ancestor's real path (that's where any symlink redirection
+        // lives) and re-append the not-yet-created tail lexically.
+        def realView(p: Path): Path = {
+          var cur = p.toAbsolutePath.normalize
+          var tail = List.empty[Path]
+          while (cur != null && !Files.exists(cur)) {
+            tail = cur.getFileName :: tail
+            cur = cur.getParent
+          }
+          val base = if (cur == null) p.toAbsolutePath.normalize.getRoot
+            else cur.toRealPath()
+          tail.foldLeft(base)(_.resolve(_))
+        }
         val spoolReal = spool.toRealPath()
-        val archReal = arch.toRealPath()
+        val archReal = realView(Paths.get(sync.spoolArchiveDir))
         // Path.startsWith is element-wise (no /a/bc vs /a/b false match)
         // and true on equality, which is equally self-harming
         require(!archReal.startsWith(spoolReal),
           s"sync.spoolarchivedir resolves INSIDE the message spool " +
             s"($archReal is under $spoolReal after resolving symlinks): " +
             s"archived files inside the spool are re-ingested forever")
+        Files.createDirectories(Paths.get(sync.spoolArchiveDir))
       }
 
     /** Bind to introspected relations → a validated [[SyncConfig]]. The

@@ -300,13 +300,17 @@ object Main {
     while (!stop.get()) {
       try {
         val socket = new java.net.Socket(ep.host, ep.port)
-        if (liveSocket != null) {
-          liveSocket.set(socket)
-          // closed-from-outside AFTER we published but BEFORE the read
-          // loop noticed: don't start a doomed session on a dead socket
-          if (stop.get()) throw new java.net.SocketException("pump stopped")
-        }
+        // the stop-race guard lives INSIDE the try so its throw still
+        // reaches the finally: thrown before it, the just-created socket
+        // (and the liveSocket reference to it) would leak a half-open
+        // backend connection on every rotation that hits the window
         try {
+          if (liveSocket != null) {
+            liveSocket.set(socket)
+            // closed-from-outside AFTER we published but BEFORE the read
+            // loop noticed: don't start a doomed session on a dead socket
+            if (stop.get()) throw new java.net.SocketException("pump stopped")
+          }
           val resume = appliedLsn()
           floor.set(math.max(floor.get(), resume))
           graft.cdc.PgConnect.openReplication(socket, ep.config, slot, resume)
@@ -679,6 +683,19 @@ object Main {
             }
         } finally {
           stopPump.set(true)
+          // retire the pump on EVERY exit, not just planned rotation: a
+          // stream failure leaves the supervisor to restart this body,
+          // and its fresh pump would churn on "slot is already active"
+          // for as long as the old one stays parked in a COPY-BOTH read
+          // (the stop flag is only polled between reads — on an idle
+          // source that wait is unbounded). Close the socket (unparks
+          // the read; plain-IO sockets ignore interrupt) and interrupt
+          // (unparks the retry backoff); the rotation branch below still
+          // joins bounded before reusing the slot.
+          Option(pumpSocket.get()).foreach { s =>
+            try s.close() catch { case scala.util.control.NonFatal(_) => () }
+          }
+          if (pumpThread != null) pumpThread.interrupt()
           try if (q.isActive) q.stop() catch { case scala.util.control.NonFatal(_) => () }
         }
         // A failure or the pump's schema-change signal can land BETWEEN

@@ -801,12 +801,15 @@ object StreamingSoak {
         .mkString(",")}],""" +
       s""""rotations":$rotations,"rotation_every_sec":$rotationSec,""" +
       s""""rotation_pump_stuck":$rotationPumpStuck,""" +
-      (if (spoolRetention == "archive")
+      (if (spoolRetention == "archive") {
+        // one walk for both values: the archive grows without bound by
+        // design, and dirBytesAndFiles degrades to -1 on a racing delete
+        // instead of killing the run after it already converged
+        val (ab, af) = dirBytesAndFiles(archiveDir)
         s""""archive_samples":[${archSamples.map { case (t, n) => s"[$t,$n]" }
           .mkString(",")}],""" +
-        s""""archive_files":${dirBytesAndFiles(archiveDir)._2},""" +
-        s""""archive_bytes":${dirBytes(archiveDir)},"""
-      else "") +
+        s""""archive_files":$af,"archive_bytes":$ab,"""
+      } else "") +
       s""""ckpt_samples":[${ckptSamples.map { case (t, b, f) => s"[$t,$b,$f]" }
         .mkString(",")}],""" +
       s""""spool_bytes":${dirBytes(messagesDir)},"checkpoint_bytes":${dirBytes(ckptBase)},""" +

@@ -351,6 +351,9 @@ class GraftConfigSpec extends AnyFunSuite with Matchers {
       evading.validate() // the lexical guard cannot see through the link
       an[IllegalArgumentException] should be thrownBy
         evading.verifyArchiveOutsideSpoolAtRuntime()
+      // the refusal must not have followed the link and deposited a
+      // directory inside the live spool on its way to the check
+      Files.exists(target.resolve("_messages").resolve("arc")) shouldBe false
       // a genuinely-outside dir passes the runtime guard and both dirs
       // exist afterwards (it creates them, as Main.run relies on)
       val fine = cfg(s"$root/real_archive")

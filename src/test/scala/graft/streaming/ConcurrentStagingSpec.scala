@@ -60,8 +60,9 @@ final class ConcurrentStagingSpec extends AnyFunSuite with Matchers {
     val sc = spark.sparkContext
     val siblingFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val boom = new RuntimeException("fail fast")
-    ConcurrentStagingSpec.jobStarted =
-      new java.util.concurrent.CountDownLatch(1)
+    val latchKey = "cancel-in-flight"
+    ConcurrentStagingSpec.jobStarted.put(latchKey,
+      new java.util.concurrent.CountDownLatch(1))
     val failReleasedAt = new java.util.concurrent.atomic.AtomicLong(0L)
     val thrown = intercept[RuntimeException] {
       sm.eachTableConcurrently(Seq("a", "b")) {
@@ -69,7 +70,7 @@ final class ConcurrentStagingSpec extends AnyFunSuite with Matchers {
           // release the failure only once the sibling's job is AIRBORNE —
           // the scenario under test is cancel-in-flight, not
           // cancel-before-submit
-          ConcurrentStagingSpec.jobStarted.await(
+          ConcurrentStagingSpec.jobStarted.get(latchKey).await(
             60, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
           failReleasedAt.set(System.nanoTime())
           throw boom
@@ -79,7 +80,7 @@ final class ConcurrentStagingSpec extends AnyFunSuite with Matchers {
             // group cancel's interruptOnCancel reaches the sleeping tasks
             sc.parallelize(1 to 32, 32)
               .mapPartitions { it =>
-                ConcurrentStagingSpec.jobStarted.countDown()
+                ConcurrentStagingSpec.jobStarted.get("cancel-in-flight").countDown()
                 Thread.sleep(2000); it
               }
               .count()
@@ -107,8 +108,9 @@ final class ConcurrentStagingSpec extends AnyFunSuite with Matchers {
     val sc = spark.sparkContext
     val jobDied = new java.util.concurrent.atomic.AtomicBoolean(false)
     val jobFinished = new java.util.concurrent.atomic.AtomicBoolean(false)
-    ConcurrentStagingSpec.jobStarted =
-      new java.util.concurrent.CountDownLatch(1)
+    val latchKey = "external-interrupt"
+    ConcurrentStagingSpec.jobStarted.put(latchKey,
+      new java.util.concurrent.CountDownLatch(1))
     val caller = new Thread(() => {
       try {
         sm.eachTableConcurrently(Seq("a", "b")) {
@@ -118,7 +120,7 @@ final class ConcurrentStagingSpec extends AnyFunSuite with Matchers {
               // ~16 s if left alone (8 waves of 2 s on local[4])
               sc.parallelize(1 to 32, 32)
                 .mapPartitions { it =>
-                  ConcurrentStagingSpec.jobStarted.countDown()
+                  ConcurrentStagingSpec.jobStarted.get("external-interrupt").countDown()
                   Thread.sleep(2000); it
                 }
                 .count()
@@ -130,7 +132,7 @@ final class ConcurrentStagingSpec extends AnyFunSuite with Matchers {
     }, "staging-caller")
     caller.start()
     // interrupt only once b's job is airborne — the orphan scenario
-    ConcurrentStagingSpec.jobStarted.await(
+    ConcurrentStagingSpec.jobStarted.get(latchKey).await(
       60, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
     caller.interrupt() // the q.stop() shape: abort the awaiting thread
     caller.join(30000)
@@ -156,8 +158,14 @@ final class ConcurrentStagingSpec extends AnyFunSuite with Matchers {
 }
 
 /** Task-side rendezvous for the cancellation tests: local-mode tasks run
-  * in this JVM, so a static latch reaches them without capture — the
-  * closure references the object, not a serialized latch instance. */
+  * in this JVM, so a static map reaches them without capture — the
+  * closure serializes only its test's String key and looks the latch up
+  * here. Keyed PER TEST (not one shared `var`): a cancelled test's
+  * straggler task can still execute its countDown after the next test
+  * begins, and on a shared latch that counts the NEXT test's rendezvous
+  * down before its own job is airborne — silently degrading the
+  * in-flight scenario to cancel-before-submit. */
 object ConcurrentStagingSpec {
-  @volatile var jobStarted: java.util.concurrent.CountDownLatch = _
+  val jobStarted =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CountDownLatch]()
 }
