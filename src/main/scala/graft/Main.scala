@@ -723,17 +723,11 @@ object Main {
         // already active" retries in the meantime.
         if (rotateNow) {
           if (pumpThread != null) {
-            // the stop flag is only polled between reads — a pump parked
-            // in a COPY-BOTH read would outlive the bounded join, holding
-            // the slot against the next generation (it churns on "slot is
-            // already active") and appending spool files concurrently
-            // with the new pump. Close its socket (unblocks the read —
-            // plain-IO sockets ignore Thread.interrupt) and interrupt
-            // (unblocks the retry-backoff sleep), THEN join bounded.
-            Option(pumpSocket.get()).foreach { s =>
-              try s.close() catch { case scala.util.control.NonFatal(_) => () }
-            }
-            pumpThread.interrupt()
+            // the finally above already closed the pump's socket (unparks
+            // a COPY-BOTH read — plain-IO sockets ignore Thread.interrupt)
+            // and interrupted it (unparks the retry backoff); here just
+            // wait it out, bounded, so the next generation doesn't race
+            // the old pump for the replication slot
             pumpThread.join(10000)
             if (pumpThread.isAlive)
               System.err.println("[rotate] WARN: outgoing pump still alive " +
