@@ -334,12 +334,31 @@ object Ann {
     // codebooks train over the same normalized projection; the trainers
     // detect the held cache and neither re-persist nor drop it), released
     // before the query plan itself runs — the final scan is a single
-    // streaming pass and should not pin corpus-sized memory.
+    // streaming pass and should not pin corpus-sized memory. The two
+    // trainings are INDEPENDENT given that cache — neither reads the
+    // other's model — so they run CONCURRENTLY: each is a chain of small
+    // assignment+mean jobs with driver-side collects between them, and
+    // overlapping the chains hides one trainer's per-job latency behind
+    // the other's (the cluster is idle during each driver-side fold).
+    // Await-all-then-rethrow, not fail-fast: a failed trainer must not
+    // leave the other's jobs running against an unpersisted cache.
     val cNCached = cN.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (centVecs, cb) =
-      try (trainCentroids(cNCached, "neighbor_id", "__cv", nCentroids, trainIters),
-        trainPqCodebooks(cNCached, "neighbor_id", "__cv", m, nCodes, trainIters))
-      finally cNCached.unpersist(false)
+      try {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val fCent = scala.concurrent.Future(
+            trainCentroids(cNCached, "neighbor_id", "__cv", nCentroids, trainIters))
+          val fCb = scala.concurrent.Future(
+            trainPqCodebooks(cNCached, "neighbor_id", "__cv", m, nCodes, trainIters))
+          val inf = scala.concurrent.duration.Duration.Inf
+          val rCent = scala.util.Try(scala.concurrent.Await.result(fCent, inf))
+          val rCb = scala.util.Try(scala.concurrent.Await.result(fCb, inf))
+          (rCent.get, rCb.get)
+        } finally pool.shutdown()
+      } finally cNCached.unpersist(false)
     val cbFlat = typedLit(cb.flatten.flatten.toSeq)
     val centArr = array(centVecs.toIndexedSeq.map(v => typedLit(v)): _*)
 

@@ -206,6 +206,22 @@ class DegenerateInputSpec extends AnyFunSuite with Matchers {
     ivfpq.filter(col("neighbor_id") === 3L).count() shouldBe 0L
   }
 
+  test("IVF-PQ: a failed trainer propagates from the concurrent barrier") {
+    // the two trainers run concurrently over one shared cache; the await
+    // is all-then-rethrow, so a PQ seed shortfall (nCodes > corpus rows)
+    // must surface as the trainer's own require, never a hang or a
+    // swallowed failure with a half-trained model
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfPqTopK(queries, corpus, "vec_id", "embedding", k = 1,
+        nCentroids = 2, nProbe = 2, m = 2, nCodes = 64, trainIters = 1,
+        rerankFactor = 2).collect()
+    }
+    e.getMessage should include ("nCodes")
+  }
+
   test("NaN-component embeddings: cosine NULL, excluded from quantized ANN") {
     import graft.functions.VectorMath
     // a NaN component makes the norm NaN, not zero: `denom == 0` missed
