@@ -357,7 +357,13 @@ object Ann {
           val rCent = scala.util.Try(scala.concurrent.Await.result(fCent, inf))
           val rCb = scala.util.Try(scala.concurrent.Await.result(fCb, inf))
           (rCent.get, rCb.get)
-        } finally pool.shutdown()
+          // shutdownNow, not shutdown: on every normal/failure path both
+          // futures have completed (await-all) and it degenerates to
+          // shutdown; the one path that reaches here with a trainer still
+          // running — the awaiting thread itself interrupted — must not
+          // leave detached trainer threads submitting jobs against the
+          // about-to-be-unpersisted cache (cf. StreamingMerge's abort path)
+        } finally pool.shutdownNow()
       } finally cNCached.unpersist(false)
     val cbFlat = typedLit(cb.flatten.flatten.toSeq)
     val centArr = array(centVecs.toIndexedSeq.map(v => typedLit(v)): _*)
