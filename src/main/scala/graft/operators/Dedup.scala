@@ -318,9 +318,22 @@ object Dedup {
       .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // Fixed-point detection by LABEL-SUM SIGNATURE, not a next⋈old diff
+      // join: each round every node adopts min(self, neighbors) — element-
+      // wise monotone NON-INCREASING over an unchanging node set — so the
+      // label sum strictly decreases iff any label changed, and one
+      // map-side-combined aggregate (label-sized scan, no exchange beyond
+      // the partial-sum reduce) replaces a label-sized join + count job
+      // per round. decimal(38,0): 10^12 nodes × long-sized labels sum to
+      // ~10^30, inside decimal precision at any corpus (a long sum could
+      // overflow silently pre-ANSI, masking a change — same widening
+      // reasoning as [[graft.operators.Pca]]'s decimal accumulators).
+      def labelSig(df: DataFrame): Option[java.math.BigDecimal] =
+        Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
       var labels = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label"))
         .localCheckpoint(true)
+      var prevSig = labelSig(labels)
       var iter = 0
       while (iter < maxIters) {
         val neighbor = edges.join(labels, edges("dst") === labels("id"))
@@ -328,12 +341,10 @@ object Dedup {
         val next = neighbor.union(labels)
           .groupBy(col("id")).agg(min(col("label")).as("label"))
           .localCheckpoint(true)
-        val changed = next.alias("n")
-          .join(labels.alias("o"), col("n.id") === col("o.id"))
-          .filter(col("n.label") =!= col("o.label"))
-          .limit(1).count() > 0
+        val sig = labelSig(next)
         labels = next
-        if (!changed) return labels
+        if (sig == prevSig) return labels
+        prevSig = sig
         iter += 1
       }
       throw new IllegalStateException(
