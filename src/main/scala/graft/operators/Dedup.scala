@@ -314,8 +314,12 @@ object Dedup {
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .distinct()
+      // one edge-sized exchange: hash(dst) satisfies the (src,dst) dedup's
+      // clustering (subset rule), so dropDuplicates after the repartition
+      // is partition-local — distinct-then-repartition shuffled twice
+      // (see Graph.pageRank's identical fold)
       .repartition(col("dst"))
+      .dropDuplicates("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // Fixed-point detection by LABEL-SUM SIGNATURE, not a next⋈old diff

@@ -60,9 +60,17 @@ object Graph {
     // aggregation. Released before returning — ranks is checkpointed,
     // so the result never re-reads them.
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // ONE edge-sized exchange, not two: hash(src) satisfies the (src,dst)
+    // dedup's ClusteredDistribution (equal rows share src, so they share a
+    // partition — Spark's subset rule), which makes dropDuplicates AFTER
+    // the repartition partition-local and exchange-free, and the aggregate
+    // passes hash(src) through to the cache. distinct-then-repartition
+    // shuffled the edge list twice; at any edge scale the fold halves the
+    // setup's shuffle bytes (a distinct's map-side partial dedup only
+    // catches same-partition duplicates, so it shuffles ~|E| regardless).
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .persist(disk)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     val nodes = e.select(col("src").as("node")).distinct()

@@ -174,6 +174,29 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("repartition-then-dropDuplicates dedups after ONE exchange (edge-prep fold)") {
+    import org.apache.spark.sql.functions._
+    // the mechanism Graph.pageRank and Dedup.connectedComponents rely on:
+    // hash(src) satisfies the (src, dst) dedup's ClusteredDistribution
+    // (equal rows share src → share a partition, Spark's subset rule), so
+    // the aggregate needs no exchange of its own and passes hash(src)
+    // through — distinct-then-repartition would shuffle the edges twice
+    val edges = spark.range(0, 1000)
+      .select((col("id") % 31).as("src"), (col("id") % 53).as("dst"))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+    val p = plan(edges)
+    p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*")) shouldBe 1
+    // and the single exchange is the src repartition, not a (src, dst) one
+    p should include("hashpartitioning(src")
+    // belt: the exchange keys on src alone, never a composite (src, dst)
+    p.linesIterator.filter(_.contains("hashpartitioning")).foreach { l =>
+      l.contains("dst") shouldBe false
+    }
+    edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      (0L until 1000L).map(i => (i % 31, i % 53)).toSet
+  }
+
   test("gap fill generates the day grid executor-side; windows partition by user") {
     val p = plan(queries.Analytics.qGapfill(spark, dir))
     // sequence+explode = partition-local generation, no driver materialization
