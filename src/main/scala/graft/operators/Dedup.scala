@@ -334,7 +334,11 @@ object Dedup {
       // reasoning as [[graft.operators.Pca]]'s decimal accumulators).
       def labelSig(df: DataFrame): Option[java.math.BigDecimal] =
         Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
-      var labels = edges.select(col("src").as("id")).distinct()
+      // seeded from the DST column: the edge list is symmetrized (src and
+      // dst sets are identical), and edges is cached hash(dst), so the
+      // dedup runs partition-local with no exchange of its own — the src
+      // formulation paid a node-keyed shuffle for the same set
+      var labels = edges.select(col("dst").as("id")).dropDuplicates("id")
         .select(col("id"), col("id").as("label"))
         .localCheckpoint(true)
       var prevSig = labelSig(labels)

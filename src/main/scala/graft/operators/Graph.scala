@@ -73,18 +73,16 @@ object Graph {
       .dropDuplicates("src", "dst")
       .persist(disk)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    // ONE node-sized exchange: a single distinct over the unioned
-    // endpoint column dedups map-side first (each task emits at most its
-    // own distinct nodes, so the shuffle moves ≤ tasks×|V| rows — the
-    // shrinking the old per-side pre-distincts bought, without their two
-    // extra exchanges), and its final aggregate already REPORTS
-    // hashpartitioning(node), so the old trailing repartition(node) was a
-    // second node-keyed exchange of the same rows. The cache inherits
-    // hash(node) and every iteration's nodes⋈contrib join stays
-    // exchange-free on this side (the PlanAuditSpec mechanism pins).
+    // ZERO node-prep exchanges: under the operator's own contract (no
+    // dangling nodes — every node that appears has ≥1 out-edge) the dst
+    // set is a subset of the src set, so the node set IS the distinct src
+    // column. Deduping src over the hash(src) cache is partition-local
+    // (subset rule, same mechanism PlanAuditSpec pins) and the aliased
+    // aggregate reports hashpartitioning(node), which the cache inherits
+    // for every iteration's nodes⋈contrib join. The old shape unioned
+    // both endpoint columns and paid a node-keyed exchange to dedup them.
     val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct()
+      .dropDuplicates("node")
       .persist(disk)
     val n = nodes.count() // materializes nodes (and e under it)
     // The edge⋈out-degree join is LOOP-INVARIANT: join it once and cache
