@@ -49,15 +49,45 @@ import org.apache.spark.sql.functions._
   *     on a 1.3x-slow host day and the budget died mid-ladder (6 of 15
   *     10x families skipped, 30x not run): the ladders are the artifact a
   *     slow day must not erase, extra median passes are the cheap part —
-  *     so a slow day now degrades the `runs` count, never the ladder.
+  *     so a slow day now degrades the `runs` count, never the ladder;
+  *   - within the ladder budget the 30x point is RESERVED: its cost is
+  *     priced from pass-1 walls (refined by the 10x measurements, the
+  *     measured materialization, and the measured context-restart cost as
+  *     they arrive) and 10x families start only while they leave that
+  *     reserve intact — round 17's ~3.3x-slow driver day completed 15/15
+  *     at 10x and then had nothing left for 30x two rounds running; now
+  *     the 10x TAIL sheds by name instead (priority order keeps the
+  *     must-have families first), and the 30x ladder runs even after an
+  *     incomplete 10x;
+  *   - every record stamps `host_factor` (measured pass-1 cost over the
+  *     committed-baseline pass cost) so a reader normalizes slow-day
+  *     walls instead of misreading host weather as a regression, and the
+  *     post-ladder top-up passes run EXPENSIVE-FIRST with per-query
+  *     budget gates, so even a badly slow day leaves the headline
+  *     families with >=2 samples (`partial_passes` counts the cut ones);
+  *   - per-query `failed_tasks` and `shuffle_read_spread` sidecars make
+  *     byte-level anomalies attributable: the byte counters sum every
+  *     task attempt (retries inflate them), and a handful of operators
+  *     deliberately retain session-lifetime caches (BPE trained merges,
+  *     decontam eval-ngram set, minhash collapse frame) whose fill cost
+  *     lands on their FIRST execution only — a runs=1 record reports that
+  *     first-execution cost where a multi-run median reports the steady
+  *     state, which is exactly the round-17 "load-dependent inflation"
+  *     finding (it was sample-count, not load).
   */
 object Bench {
 
-  /** Wall-clock-free plan metrics, accumulated across all tasks. */
+  /** Wall-clock-free plan metrics, accumulated across all tasks. The
+    * failed-task counter makes byte inflation ATTRIBUTABLE: the byte
+    * counters sum every task attempt, so a stage retry under host
+    * pressure double-counts its map outputs — a record showing inflated
+    * bytes WITH failed_tasks = 0 is a real plan difference, one with
+    * failures > 0 is retry accounting (round-17 finding #2 triage). */
   private final class TaskMetricsListener extends SparkListener {
     val cpuNs       = new AtomicLong
     val shufReadB   = new AtomicLong
     val shufWriteB  = new AtomicLong
+    val failedTasks = new AtomicLong
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
@@ -65,8 +95,11 @@ object Bench {
         shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
+      if (e.taskInfo != null && !e.taskInfo.successful)
+        failedTasks.incrementAndGet()
     }
-    def snapshot: (Long, Long, Long) = (cpuNs.get, shufReadB.get, shufWriteB.get)
+    def snapshot: (Long, Long, Long, Long) =
+      (cpuNs.get, shufReadB.get, shufWriteB.get, failedTasks.get)
   }
 
   /** Flush the async listener bus so per-query metric deltas are exact.
@@ -161,9 +194,9 @@ object Bench {
       * swallowed: the ladder excludes failed samples from its min, so a
       * fast-because-it-crashed attempt can never masquerade as a fast run. */
     def timed(name: String, fn: (SparkSession, String) => DataFrame,
-              dir: String): (Double, Double, Long, Long, Boolean) = {
+              dir: String): (Double, Double, Long, Long, Boolean, Long) = {
       drainListeners(spark.sparkContext)
-      val (c0, r0, w0) = listener.snapshot
+      val (c0, r0, w0, f0) = listener.snapshot
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
@@ -177,8 +210,8 @@ object Bench {
         }
       val wall = (System.nanoTime() - t0) / 1e9
       drainListeners(spark.sparkContext)
-      val (c1, r1, w1) = listener.snapshot
-      (wall, (c1 - c0) / 1e9, r1 - r0, w1 - w0, ok)
+      val (c1, r1, w1, f1) = listener.snapshot
+      (wall, (c1 - c0) / 1e9, r1 - r0, w1 - w0, ok, f1 - f0)
     }
 
     // Suite passes are INCREMENTAL: pass 1 runs before the ladders (so a
@@ -190,8 +223,9 @@ object Bench {
     // toward `runs` afterwards, each gated on fitting inside the budget.
     // Medians/aggregates are recomputed from the samples at every emit.
     val samples = collection.mutable.Map.empty[String,
-      collection.mutable.ArrayBuffer[(Double, Double, Long, Long, Boolean)]]
+      collection.mutable.ArrayBuffer[(Double, Double, Long, Long, Boolean, Long)]]
     var passesDone = 0
+    var partialPasses = 0
     def runSuitePass(): Unit = {
       // rotate by a stride coprime-ish with the suite size: each query
       // gets different neighbors each pass, so a sustained host spike
@@ -207,7 +241,9 @@ object Bench {
 
     def medianSec(name: String): Double =
       samples.get(name).map(v => median(v.map(_._1).toSeq)).getOrElse(0.0)
-    def suiteJsons: (String, String, String, String, String, Double) = {
+    def maxWall(name: String): Double =
+      samples.get(name).filter(_.nonEmpty).map(_.map(_._1).max).getOrElse(1.0)
+    def suiteJsons: (String, String, String, String, String, Double, String) = {
       val have = selected.filter { case (n, _) => samples.contains(n) }
       val qs = have.map { case (name, _) =>
         s"\"$name\":${r4(medianSec(name))}" }.mkString("{", ",", "}")
@@ -226,7 +262,25 @@ object Bench {
         s"\"$name\":${median(samples(name).map(_._4.toDouble).toSeq).toLong}" }
         .mkString("{", ",", "}")
       val total = r4(have.map { case (n, _) => medianSec(n) }.sum)
-      (qs, disp, cpu, srd, swr, total)
+      // Attribution sidecar, emitted only where it carries signal: the
+      // [min,max] shuffle-read spread for queries whose byte samples
+      // DIFFER across passes (a first-execution cache-fill — BPE's
+      // trained-merges map, decontam's retained eval-ngram set, minhash's
+      // collapse frame — shows as a high pass-1 sample the median hides;
+      // a runs=1 record reports exactly that high sample, cf. round-17
+      // finding #2), and per-query failed-task counts when nonzero (the
+      // byte counters sum every attempt, so retries inflate them).
+      val spread = have.flatMap { case (name, _) =>
+        val b = samples(name).map(_._3)
+        if (b.min == b.max) None
+        else Some(s"\"$name\":[${b.min},${b.max}]")
+      }.mkString("{", ",", "}")
+      val ftasks = have.flatMap { case (name, _) =>
+        val f = samples(name).map(_._6).sum
+        if (f == 0L) None else Some(s"\"$name\":$f")
+      }.mkString("{", ",", "}")
+      val attrib = s""""shuffle_read_spread":$spread,"failed_tasks":$ftasks"""
+      (qs, disp, cpu, srd, swr, total, attrib)
     }
 
     // Ladder summary state for the compact line: name -> ratio_vs_sf
@@ -243,6 +297,17 @@ object Bench {
     var minhashReceipt2 = ""
     var lastLadderJson = "{}"
     var lastLadder2Json = "{}"
+    // Host-speed calibration stamped into every record: measured pass-1
+    // cost over the committed close-state pass cost (round-17 builder
+    // record: 132.7s/pass at these conditions). A reader normalizes a
+    // slow-day record's walls by this factor instead of misreading host
+    // weather as a regression — the round-17 driver day would have
+    // stamped ~3.3.
+    val RefPassSec = 133.0
+    var hostFactor = 0.0
+    // last-evaluated 30x reserve estimate, surfaced in the full record so
+    // a skipped 10x family is attributable to the reservation policy
+    var curReserve2 = 0.0
 
     /** Emit ONE complete self-contained result line with whatever ladder
       * data exists so far, FOLLOWED by one compact summary line. Called
@@ -259,9 +324,9 @@ object Bench {
     def emit(ladderJson: String): Unit = { lastLadderJson = ladderJson; emitNow() }
     def emit2(ladder2: String): Unit = { lastLadder2Json = ladder2; emitNow() }
     def emitNow(): Unit = {
-      val (qs, disp, cpu, srd, swr, total) = suiteJsons
+      val (qs, disp, cpu, srd, swr, total, attrib) = suiteJsons
       val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$passesDone,"queries":$qs,"dispersion":$disp,"task_cpu_sec":$cpu,"shuffle_read_bytes":$srd,"shuffle_write_bytes":$swr,"scale_ladder":$lastLadderJson,"scale_ladder2":$lastLadder2Json,"errors":$errs,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$passesDone,"partial_passes":$partialPasses,"host_factor":${r4(hostFactor)},"reserve2_est_sec":${r4(curReserve2)},"queries":$qs,"dispersion":$disp,"task_cpu_sec":$cpu,"shuffle_read_bytes":$srd,"shuffle_write_bytes":$swr,$attrib,"scale_ladder":$lastLadderJson,"scale_ladder2":$lastLadder2Json,"errors":$errs,"sf":"$sfDir"}"""
       println(full)
       val lad = ladderRatios.map { case (n, r) => s"\"$n\":$r" }.mkString("{", ",", "}")
       val sk = ladderSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -269,7 +334,7 @@ object Bench {
       val lad2 = ladder2Ratios.map { case (n, r) => s"\"$n\":$r" }.mkString("{", ",", "}")
       val sk2 = ladder2Skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val receipt2 = if (minhashReceipt2.isEmpty) "" else s""","minhash_receipt2":$minhashReceipt2"""
-      val compact = s"""{"metric":"graft_bench_compact","value":$total,"unit":"sec","runs":$passesDone,"sf":"$sfDir","ladder_factor":$scaleN,"ladder_status":"$ladderStatus","ladder_ratio_vs_sf":$lad,"ladder_skipped":$sk$receipt,"ladder2_factor":$scale2N,"ladder2_status":"$ladder2Status","ladder2_ratio_vs_sf":$lad2,"ladder2_skipped":$sk2$receipt2,"errors":$errs}"""
+      val compact = s"""{"metric":"graft_bench_compact","value":$total,"unit":"sec","runs":$passesDone,"partial_passes":$partialPasses,"host_factor":${r4(hostFactor)},"sf":"$sfDir","ladder_factor":$scaleN,"ladder_status":"$ladderStatus","ladder_ratio_vs_sf":$lad,"ladder_skipped":$sk$receipt,"ladder2_factor":$scale2N,"ladder2_status":"$ladder2Status","ladder2_ratio_vs_sf":$lad2,"ladder2_skipped":$sk2$receipt2,"errors":$errs}"""
       println(compact)
       Console.out.flush()
       // BARE machine-readable artifacts: the driver's stdout capture keeps
@@ -303,6 +368,57 @@ object Bench {
       }
     }
 
+    // ---- 30x-ladder budget reservation (round-17 #1) ----
+    // The 30x ladder is the rarest evidence in the record (two slow driver
+    // days in a row erased it), so its budget is PRICED and RESERVED
+    // before the 10x ladder starts: a 10x family runs only if starting it
+    // leaves the reserve intact, so a slow host sheds the 10x TAIL
+    // (priority order puts the must-have families first) instead of the
+    // whole second scale point. The price is refined as real measurements
+    // arrive — each 10x family's own timings replace its pass-1 prior,
+    // the measured 10x materialization prices the 30x one, the measured
+    // context-restart cost replaces its guess — so early conservatism
+    // decays into measurement as the ladder advances.
+    var passCostSec = 0.0
+    val sec10Meas = collection.mutable.Map.empty[String, (Double, Double)]
+    var restartCostSec = 15.0
+    var matCostSec = -1.0
+    var ladder2Pending = scaleN > 1 && scale2N > scaleN && only.isEmpty
+    // pass-1 wall of `name` — the reserve's only pre-ladder signal. It
+    // runs in the suite's shared (contaminated) session, so it OVERSTATES
+    // the ladder's fresh-context sf-side cost ~2-6x; the prior multiplier
+    // below is calibrated against that overstatement.
+    def w1(name: String): Double =
+      samples.get(name).filter(_.nonEmpty).map(_.head._1).getOrElse(2.0)
+    // Cost to run one family at the second scale point: warm + 3 timed on
+    // both sides. Measured form: the sf side re-measures (~4 sf runs) and
+    // the scaled side is bounded by linear-in-data growth from the 10x
+    // point (sec30 <= 3x sec10, +10% slack). Prior form (before the
+    // family's 10x run): 18x its pass-1 wall — pass-1 walls run ~2x the
+    // fresh-context sf side, and historical 30x/sf ratios center ~6
+    // (r15-r17 bands: 2.3-10.0), so 4*(w1/2)*(1 + ~7) ~= 18*w1.
+    def est30Family(name: String): Double = sec10Meas.get(name) match {
+      case Some((sf, s10)) => 4 * (sf + (scale2N.toDouble / scaleN) * 1.1 * s10)
+      case None            => 18.0 * w1(name)
+    }
+    def mat2Est: Double =
+      if (matCostSec > 0)
+        // 30x writes scale2N/scaleN the rows of the measured 10x build,
+        // over the queries2-only table subset (~3/4 of the rows)
+        matCostSec * (scale2N.toDouble / scaleN) * 0.75
+      else 0.5 * math.max(passCostSec, RefPassSec)
+    def reserve2Sec: Double = {
+      val r =
+        if (!ladder2Pending) 0.0
+        else mat2Est + 3 * restartCostSec +
+          ScaleLadder.queries2.map(est30Family).sum * 1.15 +
+          // the minhash candidate receipt runs the full pipeline once per
+          // side outside the timed runs: price it as one more family
+          est30Family("dedup_minhash")
+      curReserve2 = r
+      r
+    }
+
     // ---- scale ladder: heavy families on a key-shifted scaleN x input ----
     // Budgeted and incremental: the suite result is already on stdout
     // before the first ladder job runs, each finished family re-emits the
@@ -320,12 +436,15 @@ object Bench {
       * (see class scaladoc — heap/state accumulation read as phantom
       * super-linearity at ladder volume). */
     def restartContext(): Unit = {
+      val t0 = elapsedSec
       spark.stop()
       spark = mkSession(cpus)
       spark.sparkContext.setLogLevel("WARN")
       listener = new TaskMetricsListener
       spark.sparkContext.addSparkListener(listener)
       warmup()
+      // feed the measured cost back into the 30x reserve price
+      restartCostSec = math.max(restartCostSec, elapsedSec - t0)
     }
 
     /** One ladder pass: time `familyNames` on `sfDir` vs `dir`, fresh
@@ -347,12 +466,16 @@ object Bench {
         ratios: collection.mutable.LinkedHashMap[String, Double],
         skippedAcc: collection.mutable.ArrayBuffer[String],
         setReceipt: String => Unit,
-        emitFn: (Seq[String], Seq[String], String) => Unit): String = {
+        emitFn: (Seq[String], Seq[String], String) => Unit,
+        canStart: String => Boolean = _ => true,
+        onMeasured: (String, Double, Double) => Unit = (_, _, _) => ()): String = {
       val entries = collection.mutable.ArrayBuffer.empty[String]
       val skipped = collection.mutable.ArrayBuffer.empty[String]
       val families = familyNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       families.zipWithIndex.foreach { case ((name, fn), i) =>
-        if (elapsedSec > budgetSec) { skipped += name; skippedAcc += name }
+        if (elapsedSec > budgetSec || !canStart(name)) {
+          skipped += name; skippedAcc += name
+        }
         else {
           if (i % restartEvery == 0) restartContext()
           def minOf3(d: String): Option[(Double, Double, Long, Long)] = {
@@ -362,6 +485,10 @@ object Bench {
             else Some(ok.minBy(_._1)).map(t => (t._1, t._2, t._3, t._4))
           }
           val timedSides = (minOf3(sfDir), minOf3(dir))
+          timedSides match {
+            case (Some(sf), Some(sc)) => onMeasured(name, sf._1, sc._1)
+            case _ => ()
+          }
           val receipt: String =
             if (name != "dedup_minhash") ""
             else try {
@@ -399,54 +526,101 @@ object Bench {
     // against the remaining budget after the ladders.
     val tPass1 = elapsedSec
     runSuitePass()
-    var passCostSec = elapsedSec - tPass1
+    passCostSec = elapsedSec - tPass1
+    hostFactor = passCostSec / RefPassSec
+    // a slow host restarts contexts slowly too: scale the restart prior
+    // until the first measured restart replaces it
+    restartCostSec *= math.max(hostFactor, 1.0)
 
-    if (scaleN <= 1 || only.isDefined) emit("{}")
+    def ladder2Json(entries: Seq[String], skipped: Seq[String],
+                    status: String): String = {
+      val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"factor":$scale2N,"status":"$status","note":"$ladderNote","skipped":$sk,"queries":${entries.mkString("{", ",", "}")}}"""
+    }
+
+    if (scaleN <= 1 || only.isDefined) { ladder2Pending = false; emit("{}") }
     else if (elapsedSec > budgetSec) {
+      ladder2Pending = false
       ladderStatus = "skipped_budget"
       ladderSkipped ++= ScaleLadder.queries
       emit(ladderJson(Nil, ScaleLadder.queries, "skipped_budget"))
     } else {
       ladderStatus = "in_progress"
       emit(ladderJson(Nil, Nil, "in_progress"))
+      val tMat = elapsedSec
       val dir = ScaleLadder.materialize(spark, sfDir, scaleN)
+      matCostSec = elapsedSec - tMat
       // ~6 heavy executions per context (restart every 3 families) is far
       // below the ~400-execution contamination horizon; a context per
       // family blew the round-9 budget.
+      // A 10x family starts only if it leaves the 30x reserve intact
+      // (with a cheap sf-side lookahead so a family can't start just
+      // under the line and then eat deep into the reserve): on a slow
+      // host the 10x TAIL sheds by name, never the second scale point.
       ladderStatus = runLadder(ScaleLadder.queries, dir, restartEvery = 3,
         labelPrefix = "scale", ladderRatios, ladderSkipped,
-        (v: String) => minhashReceipt = v, (e, s, st) => { ladderStatus = st; emit(ladderJson(e, s, st)) })
+        (v: String) => minhashReceipt = v,
+        (e, s, st) => { ladderStatus = st; emit(ladderJson(e, s, st)) },
+        canStart = name => elapsedSec + 2 * w1(name) <= budgetSec - reserve2Sec,
+        onMeasured = (n, sf, sc) => sec10Meas(n) = (sf, sc))
 
       // ---- second scale point: the worst-ratio families at scale2N x ----
-      // Runs only when the first ladder completed whole and budget remains:
-      // the 10x ladder is the contract, the 30x curve is the stretch goal.
       // 30x executions are ~3x a phase-1 family: restart every 2 families.
-      if (ladderStatus == "complete" && scale2N > scaleN && elapsedSec < budgetSec) {
-        def ladder2Json(entries: Seq[String], skipped: Seq[String],
-                        status: String): String = {
-          val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-          s"""{"factor":$scale2N,"status":"$status","note":"$ladderNote","skipped":$sk,"queries":${entries.mkString("{", ",", "}")}}"""
-        }
+      // Entry does NOT require a complete 10x ladder (the reservation may
+      // have shed 10x tail families precisely so this can run) — only
+      // enough remaining budget that the materialization plus at least
+      // the first family fits: round 17 paid the 30x build and then
+      // skipped every family, the worst of both.
+      if (scale2N > scaleN &&
+          elapsedSec + mat2Est + est30Family(ScaleLadder.queries2.head) <= budgetSec) {
         ladder2Status = "in_progress"
         emit2(ladder2Json(Nil, Nil, "in_progress"))
         val dir2 = ScaleLadder.materialize(spark, sfDir, scale2N,
           Some(ScaleLadder.tables2))
+        // the reserve is spent from here on: families gate on the raw
+        // budget (skipping their own tail by name if it runs short)
+        ladder2Pending = false
         ladder2Status = runLadder(ScaleLadder.queries2, dir2, restartEvery = 2,
           labelPrefix = "scale2", ladder2Ratios, ladder2Skipped,
           (v: String) => minhashReceipt2 = v, (e, s, st) => { ladder2Status = st; emit2(ladder2Json(e, s, st)) })
+      } else if (scale2N > scaleN) {
+        ladder2Pending = false
+        ladder2Status = "skipped_budget"
+        ladder2Skipped ++= ScaleLadder.queries2
+        emit2(ladder2Json(Nil, ScaleLadder.queries2, "skipped_budget"))
       }
     }
 
-    // ---- top-up suite passes: median robustness with the ladders safe ----
-    // Each extra pass runs only if its (conservatively priced) cost fits
-    // the budget: on a slow host the run degrades to fewer passes — the
-    // `runs` field reports what actually ran — instead of eating the
-    // ladder from the other side next round. The last ladder context is
-    // fresh enough (a handful of heavy executions, restart-every-2/3) that
-    // a dedicated restart here would only spend budget.
-    while (passesDone < runs && elapsedSec + passCostSec * 1.1 < budgetSec) {
+    // ---- top-up suite passes: expensive-first, per-query budgeted ----
+    // At runs=1 every wall is single-sample noise (round 17: q_funnel
+    // 0.96 -> 20.9s at identical shuffle bytes), so whatever budget
+    // remains after the ladders buys robustness for the HEADLINE families
+    // first: each pass runs the suite in descending observed-cost order
+    // (cheap tail rotated as before so neighbor spikes spread), and each
+    // query starts only if its own worst observed wall (+20%) still fits.
+    // A slow day then leaves every expensive family with >=2 samples and
+    // an honest partial_passes count; a good day still reaches `runs`
+    // full passes. The last ladder context is fresh enough (a handful of
+    // heavy executions, restart-every-2/3) that a dedicated restart here
+    // would only spend budget.
+    val TopHead = 16
+    def anyFits: Boolean =
+      selected.exists { case (n, _) => elapsedSec + 1.2 * maxWall(n) < budgetSec }
+    while (passesDone < runs && anyFits) {
       val t0 = elapsedSec
-      runSuitePass()
+      val byCost = selected.sortBy { case (n, _) => -maxWall(n) }
+      val (head, rest) = byCost.splitAt(TopHead)
+      val rot = (passesDone * 13) % math.max(rest.size, 1)
+      val order = head ++ rest.drop(rot) ++ rest.take(rot)
+      var skippedAny = false
+      order.foreach { case (name, fn) =>
+        if (elapsedSec + 1.2 * maxWall(name) < budgetSec)
+          samples.getOrElseUpdate(name, collection.mutable.ArrayBuffer.empty) +=
+            timed(name, fn, sfDir)
+        else skippedAny = true
+      }
+      passesDone += 1
+      if (skippedAny) partialPasses += 1
       passCostSec = math.max(passCostSec, elapsedSec - t0)
       emitNow()
     }
