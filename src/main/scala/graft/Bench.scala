@@ -397,9 +397,14 @@ object Bench {
     // family's 10x run): 18x its pass-1 wall — pass-1 walls run ~2x the
     // fresh-context sf side, and historical 30x/sf ratios center ~6
     // (r15-r17 bands: 2.3-10.0), so 4*(w1/2)*(1 + ~7) ~= 18*w1.
+    // The prior is capped at a fifth of the whole budget: a freak pass-1
+    // wall (neighbor spikes of 20x at identical shuffle bytes are in the
+    // record) must not balloon one family's reserve into shedding the
+    // entire 10x ladder; the measured form replaces the prior as soon as
+    // the family's own 10x timings exist.
     def est30Family(name: String): Double = sec10Meas.get(name) match {
       case Some((sf, s10)) => 4 * (sf + (scale2N.toDouble / scaleN) * 1.1 * s10)
-      case None            => 18.0 * w1(name)
+      case None            => math.min(18.0 * w1(name), 0.2 * budgetSec)
     }
     def mat2Est: Double =
       if (matCostSec > 0)
@@ -543,7 +548,10 @@ object Bench {
       ladder2Pending = false
       ladderStatus = "skipped_budget"
       ladderSkipped ++= ScaleLadder.queries
+      ladder2Status = "skipped_budget"
+      ladder2Skipped ++= ScaleLadder.queries2
       emit(ladderJson(Nil, ScaleLadder.queries, "skipped_budget"))
+      emit2(ladder2Json(Nil, ScaleLadder.queries2, "skipped_budget"))
     } else {
       ladderStatus = "in_progress"
       emit(ladderJson(Nil, Nil, "in_progress"))
