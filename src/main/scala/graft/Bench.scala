@@ -104,8 +104,10 @@ object Bench {
 
   /** Flush the async listener bus so per-query metric deltas are exact.
     * `listenerBus`/`waitUntilEmpty` are private[spark] (public in
-    * bytecode); a short sleep is the fallback if the internals move. */
-  private def drainListeners(sc: SparkContext): Unit =
+    * bytecode); a short sleep is the fallback if the internals move.
+    * Shared with the diagnostic probes (graft.tools.ProfileProbe): a
+    * fixed sleep is exactly the unreliable drain this helper replaces. */
+  private[graft] def drainListeners(sc: SparkContext): Unit =
     try {
       val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").get.invoke(sc)
       val ms  = bus.getClass.getMethods.filter(_.getName == "waitUntilEmpty")
@@ -270,9 +272,12 @@ object Bench {
       // a runs=1 record reports exactly that high sample, cf. round-17
       // finding #2), and per-query failed-task counts when nonzero (the
       // byte counters sum every attempt, so retries inflate them).
+      // successful samples only: a query that dies mid-flight leaves a
+      // partial byte delta that would fabricate a spread entry the
+      // sidecar's own documentation says to read as cache-fill signal
       val spread = have.flatMap { case (name, _) =>
-        val b = samples(name).map(_._3)
-        if (b.min == b.max) None
+        val b = samples(name).filter(_._5).map(_._3)
+        if (b.isEmpty || b.min == b.max) None
         else Some(s"\"$name\":[${b.min},${b.max}]")
       }.mkString("{", ",", "}")
       val ftasks = have.flatMap { case (name, _) =>
@@ -382,6 +387,7 @@ object Bench {
     var passCostSec = 0.0
     val sec10Meas = collection.mutable.Map.empty[String, (Double, Double)]
     var restartCostSec = 15.0
+    var restartMeasured = false
     var matCostSec = -1.0
     var ladder2Pending = scaleN > 1 && scale2N > scaleN && only.isEmpty
     // pass-1 wall of `name` — the reserve's only pre-ladder signal. It
@@ -448,8 +454,15 @@ object Bench {
       listener = new TaskMetricsListener
       spark.sparkContext.addSparkListener(listener)
       warmup()
-      // feed the measured cost back into the 30x reserve price
-      restartCostSec = math.max(restartCostSec, elapsedSec - t0)
+      // feed the measured cost back into the 30x reserve price: the
+      // FIRST measurement REPLACES the (hostFactor-scaled) prior — a max
+      // against the prior could never come down and would over-shed 10x
+      // families on slow days — and later measurements only ratchet
+      // against other measurements (one GC-stalled restart staying
+      // priced-in is the conservative direction for a reserve)
+      val c = elapsedSec - t0
+      restartCostSec = if (restartMeasured) math.max(restartCostSec, c) else c
+      restartMeasured = true
     }
 
     /** One ladder pass: time `familyNames` on `sfDir` vs `dir`, fresh
@@ -532,7 +545,14 @@ object Bench {
     val tPass1 = elapsedSec
     runSuitePass()
     passCostSec = elapsedSec - tPass1
-    hostFactor = passCostSec / RefPassSec
+    // host_factor calibrates ONLY when the run matches the baseline's
+    // conditions (full suite, the sf0.1 input the 133 s constant was
+    // measured on): an ONLY-filtered or different-SF run would stamp a
+    // wildly-off factor (a 1.5 s single-query pass reads as 0.011) that
+    // the documented normalize-by-it rule would amplify into nonsense.
+    // 0.0 means "not calibrated".
+    if (only.isEmpty && sfDir.replaceAll("/+$", "").endsWith("sf0.1"))
+      hostFactor = passCostSec / RefPassSec
     // a slow host restarts contexts slowly too: scale the restart prior
     // until the first measured restart replaces it
     restartCostSec *= math.max(hostFactor, 1.0)
@@ -569,7 +589,17 @@ object Bench {
         labelPrefix = "scale", ladderRatios, ladderSkipped,
         (v: String) => minhashReceipt = v,
         (e, s, st) => { ladderStatus = st; emit(ladderJson(e, s, st)) },
-        canStart = name => elapsedSec + 2 * w1(name) <= budgetSec - reserve2Sec,
+        canStart = name => {
+          // full-family lookahead, not just the sf side: ~4 sf-side runs
+          // (2*w1 — pass-1 walls run ~2x the fresh-context sf side) plus
+          // 4 scaled-side runs at a typical 10x/sf ratio of ~3 (observed
+          // 0.9-8.9) ~= 8*w1, capped so one contaminated pass-1 spike
+          // can't shed every family below it. An sf-only lookahead let
+          // the last-admitted family eat several times its estimate out
+          // of the reserve it was supposed to protect.
+          val est10 = math.min(8.0 * w1(name), 0.15 * budgetSec)
+          elapsedSec + est10 <= budgetSec - reserve2Sec
+        },
         onMeasured = (n, sf, sc) => sec10Meas(n) = (sf, sc))
 
       // ---- second scale point: the worst-ratio families at scale2N x ----

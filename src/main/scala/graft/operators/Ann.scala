@@ -354,7 +354,13 @@ object Ann {
           // the first trainer to fail latches its exception and cancels
           // the sibling's group, so the await-all below can never block
           // forever behind a wedged sibling while a real failure sits
-          // unreported (Duration.Inf alone had exactly that hole). The
+          // unreported (Duration.Inf alone had exactly that hole).
+          // cancelJobGroupAndFutureJobs, not cancelJobGroup: the trainers
+          // are CHAINS of small jobs with driver-side folds between them,
+          // so the sibling is often between jobs at cancel time - a plain
+          // cancel would find no active jobs, no-op, and let the rest of
+          // the chain run to completion (the lost-cancel race); the
+          // future-jobs form also kills submissions that follow. The
           // latched ROOT failure is what rethrows - the sibling's induced
           // cancellation exception never masks the cause - and because
           // cancellation completes both futures, the no-jobs-after-
@@ -368,7 +374,8 @@ object Ann {
               sc.setJobGroup(group, "ivf-pq trainer", interruptOnCancel = true)
               body
             } catch { case e: Throwable =>
-              if (rootFailure.compareAndSet(null, e)) sc.cancelJobGroup(sibling)
+              if (rootFailure.compareAndSet(null, e))
+                sc.cancelJobGroupAndFutureJobs(sibling)
               throw e
             } finally sc.clearJobGroup()
           val fCent = scala.concurrent.Future(grouped(gCent, gCb)(

@@ -960,15 +960,24 @@ object Analytics {
     * importance by power iteration with decimal-summed (order-
     * independent) contributions — the oracle replays every iteration.
     * Node ids namespace the two key spaces (`2k` / `2k+1`). */
-  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+  /** q_pagerank's edge list, exposed so GraphSpec's no-dangling contract
+    * pin exercises THIS construction (a spec that rebuilt the edges
+    * locally would symmetrize by its own hand and could never fail): the
+    * symmetrizing union is what guarantees dst ⊆ src for
+    * [[graft.operators.Graph.pageRank]]'s src-derived node set, so a
+    * change here that drops it breaks the spec instead of silently
+    * dropping nodes. */
+  def pagerankEdges(s: SparkSession, dir: String): DataFrame = {
     val sp = Tables.lineitem(s, dir)
       .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       .distinct()
-    val edges = sp.unionByName(sp.select(col("dst").as("src"), col("src").as("dst")))
-    graft.operators.Graph.pageRank(edges, iters = 3)
+    sp.unionByName(sp.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  def qPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(pagerankEdges(s, dir), iters = 3)
       .select(col("node"), round(col("rank"), 6).as("rank_r"))
       .orderBy(col("node"))
-  }
 
   /** §2.2 #28e — z-score anomaly detection over the event stream: per
     * event type, mean/σ from EXACT decimal sums (values carry 2

@@ -65,16 +65,13 @@ class GraphSpec extends AnyFunSuite with Matchers {
   test("the library's own caller satisfies the no-dangling contract (dst subset of src)") {
     // pageRank derives its node set from the src column alone (the
     // node-prep exchange fold): a contract-violating dst-only node would
-    // silently vanish from the output and change n. The representative
-    // caller (q_pagerank) symmetrizes, which guarantees dst == src as
-    // SETS - pinned here against the real edge list so a future caller
-    // change that breaks the identity fails a test instead of silently
-    // dropping nodes.
-    import org.apache.spark.sql.functions._
-    val sp = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
-      .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-      .distinct()
-    val edges = sp.unionByName(sp.select(col("dst").as("src"), col("src").as("dst")))
+    // silently vanish from the output and change n. Pinned against the
+    // REAL caller's edge construction (Analytics.pagerankEdges — the
+    // same frame qPagerank feeds into pageRank), so a caller change that
+    // drops the symmetrizing union fails here instead of silently
+    // dropping nodes. A locally-rebuilt edge list would symmetrize by
+    // this test's own hand and could never fail.
+    val edges = graft.queries.Analytics.pagerankEdges(spark, "/root/testdata/sf0.001")
     edges.select("dst").except(edges.select("src")).count() shouldBe 0L
   }
 }
