@@ -396,36 +396,19 @@ object Bench {
     // below is calibrated against that overstatement.
     def w1(name: String): Double =
       samples.get(name).filter(_.nonEmpty).map(_.head._1).getOrElse(2.0)
-    // Cost to run one family at the second scale point: warm + 3 timed on
-    // both sides. Measured form: the sf side re-measures (~4 sf runs) and
-    // the scaled side is bounded by linear-in-data growth from the 10x
-    // point (sec30 <= 3x sec10, +10% slack). Prior form (before the
-    // family's 10x run): 18x its pass-1 wall — pass-1 walls run ~2x the
-    // fresh-context sf side, and historical 30x/sf ratios center ~6
-    // (r15-r17 bands: 2.3-10.0), so 4*(w1/2)*(1 + ~7) ~= 18*w1.
-    // The prior is capped at a fifth of the whole budget: a freak pass-1
-    // wall (neighbor spikes of 20x at identical shuffle bytes are in the
-    // record) must not balloon one family's reserve into shedding the
-    // entire 10x ladder; the measured form replaces the prior as soon as
-    // the family's own 10x timings exist.
-    def est30Family(name: String): Double = sec10Meas.get(name) match {
-      case Some((sf, s10)) => 4 * (sf + (scale2N.toDouble / scaleN) * 1.1 * s10)
-      case None            => math.min(18.0 * w1(name), 0.2 * budgetSec)
-    }
-    def mat2Est: Double =
-      if (matCostSec > 0)
-        // 30x writes scale2N/scaleN the rows of the measured 10x build,
-        // over the queries2-only table subset (~3/4 of the rows)
-        matCostSec * (scale2N.toDouble / scaleN) * 0.75
-      else 0.5 * math.max(passCostSec, RefPassSec)
+    // The pricing math itself is pure and spec-pinned (ReservePricing +
+    // ReservePricingSpec): these thin wrappers only bind the run's
+    // mutable measurement state into it.
+    def pricing = ReservePricing(
+      budgetSec = budgetSec, scaleN = scaleN, scale2N = scale2N,
+      passCostSec = passCostSec, refPassSec = RefPassSec,
+      restartCostSec = restartCostSec, matCostSec = matCostSec,
+      pending = ladder2Pending, sec10 = sec10Meas.toMap, w1 = w1,
+      queries2 = ScaleLadder.queries2)
+    def est30Family(name: String): Double = pricing.est30Family(name)
+    def mat2Est: Double = pricing.mat2Est
     def reserve2Sec: Double = {
-      val r =
-        if (!ladder2Pending) 0.0
-        else mat2Est + 3 * restartCostSec +
-          ScaleLadder.queries2.map(est30Family).sum * 1.15 +
-          // the minhash candidate receipt runs the full pipeline once per
-          // side outside the timed runs: price it as one more family
-          est30Family("dedup_minhash")
+      val r = pricing.reserve2
       curReserve2 = r
       r
     }
@@ -668,6 +651,60 @@ object Bench {
     emitNow()
     spark.stop()
   }
+}
+
+/** Pure pricing for the 30x-ladder budget reservation (round-17 review
+  * item #1): everything the reserve charges, as a function of the run's
+  * measurement state, so the policy is unit-testable (ReservePricingSpec)
+  * independent of a live bench run.
+  *
+  * Cost to run one family at the second scale point: warm + 3 timed on
+  * both sides. Measured form: the sf side re-measures (~4 sf runs) and
+  * the scaled side is bounded by linear-in-data growth from the 10x
+  * point (sec30 <= (scale2N/scaleN) x sec10, +10% slack). Prior form
+  * (before the family's 10x run): 18x its pass-1 wall — pass-1 walls run
+  * ~2x the fresh-context sf side, and historical 30x/sf ratios center ~6
+  * (r15-r17 bands: 2.3-10.0), so 4*(w1/2)*(1 + ~7) ~= 18*w1. The prior
+  * is capped at a fifth of the whole budget: a freak pass-1 wall
+  * (neighbor spikes of 20x at identical shuffle bytes are in the record)
+  * must not balloon one family's reserve into shedding the entire 10x
+  * ladder; the measured form replaces the prior as soon as the family's
+  * own 10x timings exist.
+  *
+  * @param matCostSec measured 10x materialization cost, or negative if
+  *   not yet measured (the prior is half a suite pass)
+  * @param pending false once the 30x ladder has started (or will never
+  *   run): the reserve releases to zero
+  * @param sec10 per-family measured (sfSideSec, scaledSideSec) at 10x
+  * @param w1 pass-1 wall lookup (contaminated-session suite walls) */
+private[graft] final case class ReservePricing(
+    budgetSec: Double, scaleN: Int, scale2N: Int,
+    passCostSec: Double, refPassSec: Double,
+    restartCostSec: Double, matCostSec: Double,
+    pending: Boolean, sec10: Map[String, (Double, Double)],
+    w1: String => Double, queries2: Seq[String]) {
+
+  def est30Family(name: String): Double = sec10.get(name) match {
+    case Some((sf, s10)) => 4 * (sf + (scale2N.toDouble / scaleN) * 1.1 * s10)
+    case None            => math.min(18.0 * w1(name), 0.2 * budgetSec)
+  }
+
+  /** 30x materialization estimate: scale2N/scaleN the rows of the
+    * measured 10x build, over the queries2-only table subset (~3/4 of
+    * the rows); half a suite pass until the 10x build is measured. */
+  def mat2Est: Double =
+    if (matCostSec > 0) matCostSec * (scale2N.toDouble / scaleN) * 0.75
+    else 0.5 * math.max(passCostSec, refPassSec)
+
+  /** The full reserve: materialization + context restarts + every
+    * queries2 family (+15% slack) + the minhash candidate receipt,
+    * which runs the full pipeline once per side OUTSIDE the timed runs
+    * and is priced as one more family. Zero once no longer pending. */
+  def reserve2: Double =
+    if (!pending) 0.0
+    else mat2Est + 3 * restartCostSec +
+      queries2.map(est30Family).sum * 1.15 +
+      est30Family("dedup_minhash")
 }
 
 /** Synthesizes a `factor`x copy of the bench input by unioning key-shifted
