@@ -23,12 +23,17 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * execution's tail task events into the next window on a loaded host —
   * the exact regime this probe targets).
   *
-  * Usage: runMain graft.tools.ProfileProbe [sfDir] [reps]
+  * Usage: runMain graft.tools.ProfileProbe [sfDir] [reps] [contaminate]
+  * `contaminate` = run the first N suite queries once before the profile
+  * reps, replicating the bench suite's session state at q_profile's
+  * pass-1 position (the +13-20% first-in-suite byte level appears only
+  * with that context, not in isolation).
   */
 object ProfileProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val contaminate = args.lift(2).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -42,11 +47,15 @@ object ProfileProbe {
       val rd = new java.util.concurrent.atomic.AtomicLong
       val wr = new java.util.concurrent.atomic.AtomicLong
       val tasks = new java.util.concurrent.atomic.AtomicLong
+      val spill = new java.util.concurrent.atomic.AtomicLong
+      val recs = new java.util.concurrent.atomic.AtomicLong
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null) {
           rd.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           wr.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+          recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
           tasks.incrementAndGet()
         }
       }
@@ -61,23 +70,40 @@ object ProfileProbe {
       override def onFailure(funcName: String, qe: QueryExecution,
           exception: Exception): Unit = lastQe.set(qe)
     })
+    if (contaminate > 0) {
+      val prefix = graft.SparkEntry.queries.toVector
+        .takeWhile(_._1 != "q_profile").take(contaminate)
+      println(s"=== contaminating with ${prefix.size} suite queries before q_profile")
+      prefix.foreach { case (_, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[probe] contaminator failed: ${e.getMessage}") }
+      }
+    }
     (1 to reps).foreach { i =>
       graft.Bench.drainListeners(spark.sparkContext)
       val (r0, w0, t0) = (listener.rd.get, listener.wr.get, listener.tasks.get)
+      val (s0, c0) = (listener.spill.get, listener.recs.get)
       lastQe.set(null)
       val df = graft.queries.Analytics.qProfile(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       graft.Bench.drainListeners(spark.sparkContext)
       val (r1, w1, t1) = (listener.rd.get, listener.wr.get, listener.tasks.get)
-      println(s"=== exec $i: srd=${r1 - r0} swr=${w1 - w0} tasks=${t1 - t0}")
+      val (s1, c1) = (listener.spill.get, listener.recs.get)
+      // records vs bytes separates "more rows emitted" (a plan/agg
+      // difference) from "same rows, worse compression" (spill-segment
+      // fragmentation under memory pressure)
+      println(s"=== exec $i: srd=${r1 - r0} swr=${w1 - w0} tasks=${t1 - t0} " +
+        s"spill=${s1 - s0} shuffle_records=${c1 - c0}")
       Option(lastQe.get) match {
         case None => println("  (no QueryExecution captured)")
         case Some(qe) =>
+          val full = sys.env.get("GRAFT_PROBE_FULL").contains("1")
           qe.executedPlan.toString.linesIterator
-            .filter(l => l.contains("Exchange") || l.contains("FileScan") ||
+            .filter(l => full || l.contains("Exchange") || l.contains("FileScan") ||
               l.contains("AQEShuffleRead") || l.contains("HashAggregate") ||
               l.contains("Expand") || l.contains("isFinalPlan"))
-            .foreach(l => println("  " + l.trim.take(180)))
+            .foreach(l => println("  " + (if (full) l else l.trim).take(200)))
       }
     }
     spark.stop()
