@@ -10,10 +10,17 @@ import org.apache.spark.sql.functions._
 /** Benchmark main. Prints ONE JSON line `{"metric":"total",...}`.
   *
   * Methodology (the measurement, not the code, is the artifact here):
-  *   - median-of-N (N>=5) per query, with min/median/max dispersion
+  *   - N samples per query (N>=5), with min/median/max dispersion
   *     reported — this VM shows up-to-20x noisy-neighbor CPU-steal
   *     spikes, so a min-of-2 cannot separate plan regressions from
-  *     neighbor noise (two rounds of phantom-regression triage proved it);
+  *     neighbor noise (two rounds of phantom-regression triage proved it).
+  *     The per-query HEADLINE value is the min of the SUCCESSFUL samples
+  *     (the ladder already argued this at its min-of-3: a stall can only
+  *     ADD wall time to an identical plan, so the min is the honest
+  *     plan-cost signal) — the round-18 driver day reported q_rollup as
+  *     73.87 s where its samples were [2.90, 144.85], a mean-of-2
+  *     dominated by one ~100x CPU-steal sample that read as a phantom
+  *     regression; the full spread still lands in `dispersion`;
   *   - query order is rotated across repetitions so a neighbor spike
   *     lands on different queries each pass instead of clustering;
   *   - a [[SparkListener]] accumulates per-query total task CPU time and
@@ -59,6 +66,23 @@ import org.apache.spark.sql.functions._
   *     the 10x TAIL sheds by name instead (priority order keeps the
   *     must-have families first), and the 30x ladder runs even after an
   *     incomplete 10x;
+  *   - the reserve RELEASES when it becomes unfulfillable: once even the
+  *     30x ENTRY cost (its materialization + its first family) exceeds
+  *     the whole remaining budget, no 10x family can start (the reserve
+  *     exceeds the entry cost by construction), so no measurement can
+  *     ever shrink the estimates and the deadlock is permanent — the
+  *     round-18 driver day (host_factor 6.31) priced the reserve at
+  *     2,333 s against ~541 s remaining and shed ALL 15 10x families AND
+  *     all 5 30x families, the reserve protecting nothing. On release
+  *     the 30x ladder is recorded skipped (per-name reason
+  *     `reserve_unfulfillable`, the priced reserve kept in
+  *     `reserve2_est_sec`) and the 10x priority order spends the
+  *     remainder gated on raw budget: some 10x ratios are strictly
+  *     better evidence than none. The 10x materialization itself is
+  *     guarded the same way the 30x one is (skipped with
+  *     `ladder_status: "skipped_budget"` when not even the first family
+  *     could follow it) — on the 6.31x day the build was paid for zero
+  *     families;
   *   - every record stamps `host_factor` (measured pass-1 cost over the
   *     committed-baseline pass cost) so a reader normalizes slow-day
   *     walls instead of misreading host weather as a regression, and the
@@ -82,7 +106,11 @@ object Bench {
     * counters sum every task attempt, so a stage retry under host
     * pressure double-counts its map outputs — a record showing inflated
     * bytes WITH failed_tasks = 0 is a real plan difference, one with
-    * failures > 0 is retry accounting (round-17 finding #2 triage). */
+    * failures > 0 is retry accounting (round-17 finding #2 triage).
+    * Only genuinely FAILED tasks count: an intentionally KILLED task
+    * (job-group cancellation in ANN's overlapped trainers, speculative
+    * or stage-cancel kills) is not a retry and must not trip the
+    * sidecar's "failed_tasks>0 means retry byte accounting" read. */
   private final class TaskMetricsListener extends SparkListener {
     val cpuNs       = new AtomicLong
     val shufReadB   = new AtomicLong
@@ -95,7 +123,7 @@ object Bench {
         shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
-      if (e.taskInfo != null && !e.taskInfo.successful)
+      if (e.taskInfo != null && e.taskInfo.failed)
         failedTasks.incrementAndGet()
     }
     def snapshot: (Long, Long, Long, Long) =
@@ -241,14 +269,30 @@ object Bench {
       passesDone += 1
     }
 
-    def medianSec(name: String): Double =
-      samples.get(name).map(v => median(v.map(_._1).toSeq)).getOrElse(0.0)
+    // Per-query HEADLINE value: min of the SUCCESSFUL samples. On a
+    // CPU-steal day a mean/median at runs=2 is dominated by one 100x
+    // stall sample (r18 driver record: q_rollup 73.87 s from samples
+    // [2.90, 144.85] at identical shuffle bytes, zero failed tasks);
+    // the min is the honest plan-cost signal — a stall can only ADD
+    // wall to an identical plan — and `dispersion` keeps the spread.
+    // A query with NO successful sample reports -1 (it is already
+    // loud in `errors`; its crash walls would read suspiciously fast).
+    def headlineSec(name: String): Double =
+      samples.get(name).map(_.filter(_._5)).filter(_.nonEmpty)
+        .map(_.map(_._1).min).getOrElse(-1.0)
+    // Budget-gate price of re-running `name`: worst SUCCESSFUL wall, or
+    // the worst crash wall when nothing succeeded (retrying a slow
+    // crasher costs its time-to-crash, not the 1 s default) — a failed
+    // sample's bogus-fast wall must never underprice the gate.
     def maxWall(name: String): Double =
-      samples.get(name).filter(_.nonEmpty).map(_.map(_._1).max).getOrElse(1.0)
+      samples.get(name).filter(_.nonEmpty).map { v =>
+        val ok = v.filter(_._5)
+        (if (ok.nonEmpty) ok else v).map(_._1).max
+      }.getOrElse(1.0)
     def suiteJsons: (String, String, String, String, String, Double, String) = {
       val have = selected.filter { case (n, _) => samples.contains(n) }
       val qs = have.map { case (name, _) =>
-        s"\"$name\":${r4(medianSec(name))}" }.mkString("{", ",", "}")
+        s"\"$name\":${r4(headlineSec(name))}" }.mkString("{", ",", "}")
       val disp = have.map { case (name, _) =>
         val t = samples(name).map(_._1)
         s"\"$name\":[${r4(t.min)},${r4(median(t.toSeq))},${r4(t.max)}]"
@@ -263,7 +307,8 @@ object Bench {
       val swr = have.map { case (name, _) =>
         s"\"$name\":${median(samples(name).map(_._4.toDouble).toSeq).toLong}" }
         .mkString("{", ",", "}")
-      val total = r4(have.map { case (n, _) => medianSec(n) }.sum)
+      // the -1 sentinel of an all-failed query stays out of the total
+      val total = r4(have.map { case (n, _) => headlineSec(n) }.filter(_ >= 0).sum)
       // Attribution sidecar, emitted only where it carries signal: the
       // [min,max] shuffle-read spread for queries whose byte samples
       // DIFFER across passes (a first-execution cache-fill — BPE's
@@ -393,9 +438,12 @@ object Bench {
     // pass-1 wall of `name` — the reserve's only pre-ladder signal. It
     // runs in the suite's shared (contaminated) session, so it OVERSTATES
     // the ladder's fresh-context sf-side cost ~2-6x; the prior multiplier
-    // below is calibrated against that overstatement.
+    // below is calibrated against that overstatement. SUCCESSFUL samples
+    // only: a query that crashes fast in pass 1 records a near-zero wall
+    // that would underprice exactly the work the reserve must bound.
     def w1(name: String): Double =
-      samples.get(name).filter(_.nonEmpty).map(_.head._1).getOrElse(2.0)
+      samples.get(name).map(_.filter(_._5)).filter(_.nonEmpty)
+        .map(_.head._1).getOrElse(2.0)
     // The pricing math itself is pure and spec-pinned (ReservePricing +
     // ReservePricingSpec): these thin wrappers only bind the run's
     // mutable measurement state into it.
@@ -407,9 +455,13 @@ object Bench {
       queries2 = ScaleLadder.queries2)
     def est30Family(name: String): Double = pricing.est30Family(name)
     def mat2Est: Double = pricing.mat2Est
+    // curReserve2 updates only while the reserve is PENDING: after a
+    // release (spent or unfulfillable) the record keeps the last PRICED
+    // value, so a reader of `reserve2_est_sec` sees the reserve that the
+    // skip decision was made against, not the zero it released to.
     def reserve2Sec: Double = {
       val r = pricing.reserve2
-      curReserve2 = r
+      if (ladder2Pending) curReserve2 = r
       r
     }
 
@@ -420,11 +472,20 @@ object Bench {
     // are skipped BY NAME rather than letting the harness kill the process.
     val ladderNote = s"key-shifted copies of $sfDir; fresh context per " +
       "family group; warm + min-of-3 successful runs on both ratio sides"
-    def ladderJson(entries: Seq[String], skipped: Seq[String],
-                   status: String): String = {
-      val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"factor":$scaleN,"status":"$status","note":"$ladderNote","skipped":$sk,"queries":${entries.mkString("{", ",", "}")}}"""
+    // skipped families carry a per-name reason ("budget" = raw budget
+    // exhausted, "reserve" = shed to keep the 30x reserve intact,
+    // "reserve_unfulfillable" = 30x families released by the deadlock
+    // rule): a record must distinguish reserve-shed 10x families from
+    // budget-shed ones or the shed is unattributable.
+    def skJson(skipped: Seq[(String, String)]): String = {
+      val names = skipped.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+      val why = skipped.map { case (n, r) => s"\"$n\":\"$r\"" }
+        .mkString("{", ",", "}")
+      s""""skipped":$names,"skip_reason":$why"""
     }
+    def ladderJson(entries: Seq[String], skipped: Seq[(String, String)],
+                   status: String): String =
+      s"""{"factor":$scaleN,"status":"$status","note":"$ladderNote",${skJson(skipped)},"queries":${entries.mkString("{", ",", "}")}}"""
 
     /** Fresh context: a long-lived bench session contaminates timings
       * (see class scaladoc — heap/state accumulation read as phantom
@@ -459,23 +520,26 @@ object Bench {
       * a candidate/pair receipt counted once per side OUTSIDE the timed
       * runs, so a super-linear wall ratio is attributable
       * (output-proportional growth vs quadratic bucket degeneration).
-      * Families past the budget are skipped BY NAME. Appends per-family
-      * ratios to `ratios`, emits an incremental record after every
-      * family via `emitFn`, and returns the final status. */
+      * Families past the budget are skipped BY NAME, each with a reason
+      * (`canStart` returns None to admit, or the skip reason). Appends
+      * per-family ratios to `ratios`, emits an incremental record after
+      * every family via `emitFn`, and returns the final status. */
     def runLadder(familyNames: Seq[String], dir: String, restartEvery: Int,
         labelPrefix: String,
         ratios: collection.mutable.LinkedHashMap[String, Double],
         skippedAcc: collection.mutable.ArrayBuffer[String],
         setReceipt: String => Unit,
-        emitFn: (Seq[String], Seq[String], String) => Unit,
-        canStart: String => Boolean = _ => true,
+        emitFn: (Seq[String], Seq[(String, String)], String) => Unit,
+        canStart: String => Option[String] = _ => None,
         onMeasured: (String, Double, Double) => Unit = (_, _, _) => ()): String = {
       val entries = collection.mutable.ArrayBuffer.empty[String]
-      val skipped = collection.mutable.ArrayBuffer.empty[String]
+      val skipped = collection.mutable.ArrayBuffer.empty[(String, String)]
       val families = familyNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       families.zipWithIndex.foreach { case ((name, fn), i) =>
-        if (elapsedSec > budgetSec || !canStart(name)) {
-          skipped += name; skippedAcc += name
+        val skipReason =
+          if (elapsedSec > budgetSec) Some("budget") else canStart(name)
+        if (skipReason.isDefined) {
+          skipped += ((name, skipReason.get)); skippedAcc += name
         }
         else {
           if (i % restartEvery == 0) restartContext()
@@ -540,11 +604,9 @@ object Bench {
     // until the first measured restart replaces it
     restartCostSec *= math.max(hostFactor, 1.0)
 
-    def ladder2Json(entries: Seq[String], skipped: Seq[String],
-                    status: String): String = {
-      val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"factor":$scale2N,"status":"$status","note":"$ladderNote","skipped":$sk,"queries":${entries.mkString("{", ",", "}")}}"""
-    }
+    def ladder2Json(entries: Seq[String], skipped: Seq[(String, String)],
+                    status: String): String =
+      s"""{"factor":$scale2N,"status":"$status","note":"$ladderNote",${skJson(skipped)},"queries":${entries.mkString("{", ",", "}")}}"""
 
     if (scaleN <= 1 || only.isDefined) { ladder2Pending = false; emit("{}") }
     else if (elapsedSec > budgetSec) {
@@ -553,37 +615,77 @@ object Bench {
       ladderSkipped ++= ScaleLadder.queries
       ladder2Status = "skipped_budget"
       ladder2Skipped ++= ScaleLadder.queries2
-      emit(ladderJson(Nil, ScaleLadder.queries, "skipped_budget"))
-      emit2(ladder2Json(Nil, ScaleLadder.queries2, "skipped_budget"))
+      emit(ladderJson(Nil, ScaleLadder.queries.map(_ -> "budget"), "skipped_budget"))
+      emit2(ladder2Json(Nil, ScaleLadder.queries2.map(_ -> "budget"), "skipped_budget"))
     } else {
-      ladderStatus = "in_progress"
-      emit(ladderJson(Nil, Nil, "in_progress"))
-      val tMat = elapsedSec
-      val dir = ScaleLadder.materialize(spark, sfDir, scaleN)
-      matCostSec = elapsedSec - tMat
-      // ~6 heavy executions per context (restart every 3 families) is far
-      // below the ~400-execution contamination horizon; a context per
-      // family blew the round-9 budget.
-      // A 10x family starts only if it leaves the 30x reserve intact
-      // (with a cheap sf-side lookahead so a family can't start just
-      // under the line and then eat deep into the reserve): on a slow
-      // host the 10x TAIL sheds by name, never the second scale point.
-      ladderStatus = runLadder(ScaleLadder.queries, dir, restartEvery = 3,
-        labelPrefix = "scale", ladderRatios, ladderSkipped,
-        (v: String) => minhashReceipt = v,
-        (e, s, st) => { ladderStatus = st; emit(ladderJson(e, s, st)) },
-        canStart = name => {
-          // full-family lookahead, not just the sf side: ~4 sf-side runs
-          // (2*w1 — pass-1 walls run ~2x the fresh-context sf side) plus
-          // 4 scaled-side runs at a typical 10x/sf ratio of ~3 (observed
-          // 0.9-8.9) ~= 8*w1, capped so one contaminated pass-1 spike
-          // can't shed every family below it. An sf-only lookahead let
-          // the last-admitted family eat several times its estimate out
-          // of the reserve it was supposed to protect.
-          val est10 = math.min(8.0 * w1(name), 0.15 * budgetSec)
-          elapsedSec + est10 <= budgetSec - reserve2Sec
-        },
-        onMeasured = (n, sf, sc) => sec10Meas(n) = (sf, sc))
+      // ---- unfulfillable-reserve release (the round-18 driver-day fix) --
+      // Evaluated before ANY ladder spend and again before every 10x
+      // admission: once the 30x ENTRY cost (materialization + first
+      // family) no longer fits the remaining budget the deadlock is
+      // permanent (ReservePricing.unfulfillable — the reserve blocks
+      // every 10x family, so no measurement can ever shrink it), and the
+      // reserve protects nothing. Release it: record the 30x ladder
+      // skipped with per-name reason `reserve_unfulfillable` (the priced
+      // reserve stays in `reserve2_est_sec`), and let the 10x priority
+      // order spend the remainder gated on raw budget — some 10x ratios
+      // are strictly better evidence than none (the r18 day shed all 20
+      // families).
+      def releaseIfUnfulfillable(): Unit =
+        if (ladder2Pending && pricing.unfulfillable(elapsedSec)) {
+          curReserve2 = pricing.reserve2
+          ladder2Pending = false
+          ladder2Status = "skipped_budget"
+          ladder2Skipped ++= ScaleLadder.queries2
+          System.err.println(s"[bench] 30x reserve unfulfillable (entry " +
+            s"${r4(pricing.entry2)}s vs ${r4(budgetSec - elapsedSec)}s " +
+            s"remaining): released, 10x ladder gates on raw budget")
+          emit2(ladder2Json(Nil,
+            ScaleLadder.queries2.map(_ -> "reserve_unfulfillable"),
+            "skipped_budget"))
+        }
+      releaseIfUnfulfillable()
+      // The 10x materialization is guarded like the 30x one (which only
+      // runs "when the reserve math says at least one family can
+      // follow"): do not pay the build unless the first family fits
+      // behind it — on the r18 6.31x day the unguarded build was paid
+      // for zero families, budget the top-up passes needed.
+      val mat10Gate = elapsedSec + pricing.mat10Est +
+        pricing.est10Family(ScaleLadder.queries.head)
+      if (mat10Gate > budgetSec - reserve2Sec) {
+        val reason = if (mat10Gate > budgetSec) "budget" else "reserve"
+        ladderStatus = "skipped_budget"
+        ladderSkipped ++= ScaleLadder.queries
+        emit(ladderJson(Nil, ScaleLadder.queries.map(_ -> reason),
+          "skipped_budget"))
+      } else {
+        ladderStatus = "in_progress"
+        emit(ladderJson(Nil, Nil, "in_progress"))
+        val tMat = elapsedSec
+        val dir = ScaleLadder.materialize(spark, sfDir, scaleN)
+        matCostSec = elapsedSec - tMat
+        // ~6 heavy executions per context (restart every 3 families) is
+        // far below the ~400-execution contamination horizon; a context
+        // per family blew the round-9 budget.
+        // A 10x family starts only if it leaves the 30x reserve intact
+        // (full-family lookahead — ReservePricing.est10Family — so a
+        // family can't start just under the line and then eat deep into
+        // the reserve): on a slow host the 10x TAIL sheds by name, never
+        // the second scale point; on a DEADLOCKED host the reserve
+        // releases first (above) and the gate degrades to raw budget.
+        ladderStatus = runLadder(ScaleLadder.queries, dir, restartEvery = 3,
+          labelPrefix = "scale", ladderRatios, ladderSkipped,
+          (v: String) => minhashReceipt = v,
+          (e, s, st) => { ladderStatus = st; emit(ladderJson(e, s, st)) },
+          canStart = name => {
+            releaseIfUnfulfillable()
+            val r = reserve2Sec
+            val est10 = pricing.est10Family(name)
+            if (elapsedSec + est10 <= budgetSec - r) None
+            else if (elapsedSec + est10 <= budgetSec) Some("reserve")
+            else Some("budget")
+          },
+          onMeasured = (n, sf, sc) => sec10Meas(n) = (sf, sc))
+      }
 
       // ---- second scale point: the worst-ratio families at scale2N x ----
       // 30x executions are ~3x a phase-1 family: restart every 2 families.
@@ -591,9 +693,13 @@ object Bench {
       // have shed 10x tail families precisely so this can run) — only
       // enough remaining budget that the materialization plus at least
       // the first family fits: round 17 paid the 30x build and then
-      // skipped every family, the worst of both.
+      // skipped every family, the worst of both. Runs whether or not the
+      // 10x ladder was skipped (a reserve-shed 10x exists to fund this).
       if (scale2N > scaleN &&
           elapsedSec + mat2Est + est30Family(ScaleLadder.queries2.head) <= budgetSec) {
+        // a mid-ladder release may have pre-marked the families skipped;
+        // actually entering supersedes that record
+        ladder2Skipped.clear()
         ladder2Status = "in_progress"
         emit2(ladder2Json(Nil, Nil, "in_progress"))
         val dir2 = ScaleLadder.materialize(spark, sfDir, scale2N,
@@ -604,11 +710,12 @@ object Bench {
         ladder2Status = runLadder(ScaleLadder.queries2, dir2, restartEvery = 2,
           labelPrefix = "scale2", ladder2Ratios, ladder2Skipped,
           (v: String) => minhashReceipt2 = v, (e, s, st) => { ladder2Status = st; emit2(ladder2Json(e, s, st)) })
-      } else if (scale2N > scaleN) {
+      } else if (scale2N > scaleN && ladder2Pending) {
         ladder2Pending = false
         ladder2Status = "skipped_budget"
         ladder2Skipped ++= ScaleLadder.queries2
-        emit2(ladder2Json(Nil, ScaleLadder.queries2, "skipped_budget"))
+        emit2(ladder2Json(Nil, ScaleLadder.queries2.map(_ -> "budget"),
+          "skipped_budget"))
       }
     }
 
@@ -688,6 +795,43 @@ private[graft] final case class ReservePricing(
     case Some((sf, s10)) => 4 * (sf + (scale2N.toDouble / scaleN) * 1.1 * s10)
     case None            => math.min(18.0 * w1(name), 0.2 * budgetSec)
   }
+
+  /** Cost to run one family at the first scale point: ~4 sf-side runs
+    * (2x w1 — pass-1 walls run ~2x the fresh-context sf side) plus 4
+    * scaled-side runs at a typical 10x/sf ratio of ~3 (observed
+    * 0.9-8.9) ~= 8x w1, capped so one contaminated pass-1 spike can't
+    * shed every family below it. */
+  def est10Family(name: String): Double =
+    math.min(8.0 * w1(name), 0.15 * budgetSec)
+
+  /** A 10x family starts only while it leaves the 30x reserve intact
+    * (full-family lookahead, not just the sf side: an sf-only lookahead
+    * let the last-admitted family eat several times its estimate out of
+    * the reserve it was supposed to protect). */
+  def canStart10(name: String, elapsedSec: Double): Boolean =
+    elapsedSec + est10Family(name) <= budgetSec - reserve2
+
+  /** 10x materialization prior (it is paid BEFORE any measurement can
+    * exist): historical builds cost ~0.3 of a suite pass, scaled by the
+    * day's measured pass cost so a slow host prices a slow build. */
+  def mat10Est: Double = 0.3 * math.max(passCostSec, refPassSec)
+
+  /** What the 30x ladder needs to START at all: its materialization plus
+    * its first (priority-head) family. */
+  def entry2: Double = mat2Est + est30Family(queries2.head)
+
+  /** The reserve is UNFULFILLABLE when even the 30x entry cost no longer
+    * fits the remaining budget. At that point the deadlock is permanent:
+    * `reserve2 >= entry2` by construction (the reserve prices the entry
+    * plus four more families, restarts and slack), so every 10x family's
+    * `canStart10` gate is unsatisfiable too, no measurement can ever
+    * land, and the estimates are frozen — the reserve blocks the whole
+    * 10x ladder while protecting a 30x ladder that can never run (the
+    * r18 driver day at host_factor 6.31: reserve 2,333 s vs ~541 s
+    * remaining, ALL 20 ladder families skipped). The caller must then
+    * release it and spend the remainder down the 10x priority order. */
+  def unfulfillable(elapsedSec: Double): Boolean =
+    pending && elapsedSec + entry2 > budgetSec
 
   /** 30x materialization estimate: scale2N/scaleN the rows of the
     * measured 10x build, over the queries2-only table subset (~3/4 of

@@ -43,7 +43,8 @@ object Graph {
     * pre-fold shape did. GraphSpec pins the contract for the library's
     * own caller (dst ∖ src empty on the q_pagerank edge list); callers
     * with genuinely dangling sinks must symmetrize or self-loop them
-    * first. Source-only nodes (out-edges but no in-edges —
+    * first — or pass `assertNoDangling = true` to make the violation
+    * loud instead of silent. Source-only nodes (out-edges but no in-edges —
     * ubiquitous in crawl graphs) are fine: each iteration rebuilds the
     * rank vector from the full node set, so they hold `teleport/n` and
     * keep contributing instead of dropping out after iteration 1.
@@ -53,9 +54,19 @@ object Graph {
     * `teleport` is passed SEPARATELY from `damping` rather than derived
     * as `1 - damping`: `1.0 - 0.85` is not the double `0.15`, and the
     * replaying oracle writes both as literals (the bigram-NLL lambda
-    * lesson). */
+    * lesson).
+    *
+    * `assertNoDangling = true` turns a contract violation LOUD at the
+    * cost of one extra dst-keyed anti-join over the (persisted) edge
+    * list before iteration starts: an external caller whose graph has a
+    * genuinely dangling sink gets an exception naming the violating node
+    * count instead of silent node loss. Off by default — the library's
+    * own caller (Analytics.pagerankEdges) satisfies the contract by
+    * construction and is spec-pinned, so the per-run check would be a
+    * pure tax there. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-      teleport: Double = 0.15, scale: Int = 12): DataFrame = {
+      teleport: Double = 0.15, scale: Int = 12,
+      assertNoDangling: Boolean = false): DataFrame = {
     // Hash-partition the loop-invariant tables on their join keys and
     // PERSIST them (not localCheckpoint: under AQE a checkpoint's
     // LogicalRDD reports UnknownPartitioning, while a cached
@@ -92,6 +103,15 @@ object Graph {
       .dropDuplicates("node")
       .persist(disk)
     val n = nodes.count() // materializes nodes (and e under it)
+    if (assertNoDangling) {
+      // dst-side dedup first so the anti-join probes distinct nodes, not
+      // every edge; both inputs read the caches just materialized
+      val dangling = e.select(col("dst").as("node")).dropDuplicates("node")
+        .join(nodes, Seq("node"), "left_anti").count()
+      require(dangling == 0L, s"pageRank contract violation: $dangling " +
+        "dst node(s) have no out-edge (dangling sinks) — symmetrize the " +
+        "edge list or add self-loops before ranking")
+    }
     // The edge⋈out-degree join is LOOP-INVARIANT: join it once and cache
     // the result instead of rebuilding the degree hash relation against
     // the corpus-sized edge list every iteration. Both sides are hashed

@@ -1,7 +1,5 @@
 package graft.tools
 
-import java.util.concurrent.atomic.AtomicReference
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -62,13 +60,18 @@ object ProfileProbe {
     }
     spark.sparkContext.addSparkListener(listener)
     // captures the WRITE's executed QueryExecution — after execution its
-    // AdaptiveSparkPlanExec renders the final (isFinalPlan=true) plan
-    val lastQe = new AtomicReference[QueryExecution]
+    // AdaptiveSparkPlanExec renders the final (isFinalPlan=true) plan.
+    // ALL completions in the measurement window are collected and the
+    // probe picks the `save` one: a last-writer AtomicReference would
+    // print whatever execution completed last on the async listener bus
+    // (an auxiliary action of the query, or a straggler from the
+    // previous window), attributing the wrong plan to the write.
+    val qes = new java.util.concurrent.ConcurrentLinkedQueue[(String, QueryExecution)]
     spark.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
-          durationNs: Long): Unit = lastQe.set(qe)
+          durationNs: Long): Unit = qes.add((funcName, qe))
       override def onFailure(funcName: String, qe: QueryExecution,
-          exception: Exception): Unit = lastQe.set(qe)
+          exception: Exception): Unit = qes.add((funcName, qe))
     })
     if (contaminate > 0) {
       val prefix = graft.SparkEntry.queries.toVector
@@ -84,7 +87,7 @@ object ProfileProbe {
       graft.Bench.drainListeners(spark.sparkContext)
       val (r0, w0, t0) = (listener.rd.get, listener.wr.get, listener.tasks.get)
       val (s0, c0) = (listener.spill.get, listener.recs.get)
-      lastQe.set(null)
+      qes.clear()
       val df = graft.queries.Analytics.qProfile(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       graft.Bench.drainListeners(spark.sparkContext)
@@ -95,8 +98,15 @@ object ProfileProbe {
       // fragmentation under memory pressure)
       println(s"=== exec $i: srd=${r1 - r0} swr=${w1 - w0} tasks=${t1 - t0} " +
         s"spill=${s1 - s0} shuffle_records=${c1 - c0}")
-      Option(lastQe.get) match {
-        case None => println("  (no QueryExecution captured)")
+      // the write above is the window's only `save`; if something else
+      // saved too, the LAST save is ours (the writes are sequential)
+      val captured = qes.toArray(Array.empty[(String, QueryExecution)])
+      val saves = captured.filter(_._1 == "save")
+      if (saves.size != captured.size)
+        println(s"  (window saw ${captured.size} executions: " +
+          s"${captured.map(_._1).mkString(",")} — matched the save)")
+      saves.lastOption.map(_._2) match {
+        case None => println("  (no save QueryExecution captured)")
         case Some(qe) =>
           val full = sys.env.get("GRAFT_PROBE_FULL").contains("1")
           qe.executedPlan.toString.linesIterator

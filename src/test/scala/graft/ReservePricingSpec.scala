@@ -88,4 +88,95 @@ class ReservePricingSpec extends AnyFunSuite with Matchers {
     // must never grow a family's reserve when its measurement is in-band
     partial.reserve2 should be < prior.reserve2
   }
+
+  // ---- the round-18 driver day (host_factor 6.31) replayed ----
+  // Pass 1 cost 839 s of the 1,380 s budget; the official record shed
+  // ALL 15 10x families ("budget_exhausted" with an empty ratio map) and
+  // all 5 30x families because the reserve priced itself at 2,333 s
+  // against ~541 s remaining — mathematically unfulfillable from the
+  // moment pass 1 finished, yet it kept blocking the 10x gate. The walls
+  // below are that record's own per-query values (bench_full.json at
+  // host_factor 6.3087), the 10x ladder's full priority order.
+  private val r18W1 = Map(
+    "cdc_compact_lineitem" -> 8.7793, "cdc_compact_fast" -> 2.5569,
+    "decontam_overlap" -> 7.3455, "dedup_exact" -> 0.4481,
+    "cdc_compact" -> 6.6154, "cdc_merge_into" -> 6.2004,
+    "cdc_merge_big" -> 9.7421, "cdc_incremental_agg" -> 5.5387,
+    "dedup_minhash" -> 18.331, "dedup_simhash" -> 0.9531,
+    "ann_topk" -> 1.426, "ann_ivf" -> 2.0116, "text_tfidf" -> 1.5387,
+    "text_dup_spans" -> 2.0018, "q_pagerank" -> 6.2932)
+  private val r18Queries10 = Seq("cdc_compact_lineitem", "cdc_compact_fast",
+    "decontam_overlap", "dedup_exact", "cdc_compact", "cdc_merge_into",
+    "cdc_merge_big", "cdc_incremental_agg", "dedup_minhash", "dedup_simhash",
+    "ann_topk", "ann_ivf", "text_tfidf", "text_dup_spans", "q_pagerank")
+  // state at 10x-ladder start under the NEW flow: nothing measured yet
+  // (the materialization guard runs before the build), restart prior
+  // scaled by the day's host factor
+  private def r18Day(pending: Boolean) =
+    base(r18W1, passCost = 839.0, restart = 15.0 * 6.31, pending = pending)
+
+  test("r18 replay: the pending reserve is a provable deadlock") {
+    val p = r18Day(pending = true)
+    val elapsed = 839.0
+    // the reserve cannot fit the remaining 541 s, so no 10x family can
+    // ever start and no measurement can ever shrink the estimates
+    p.reserve2 should be > (1380.0 - elapsed)
+    r18Queries10.foreach { n =>
+      withClue(n) { p.canStart10(n, elapsed) shouldBe false }
+    }
+    // ... and the 30x entry cost cannot fit either: unfulfillable
+    p.unfulfillable(elapsed) shouldBe true
+    p.unfulfillable(900.0) shouldBe true // elapsed only grows
+  }
+
+  test("r18 replay: releasing the reserve yields a nonzero 10x ladder") {
+    val p = r18Day(pending = false)
+    p.reserve2 shouldBe 0.0
+    // the materialization guard passes post-release: the build plus the
+    // head family fit the remaining budget on raw-budget gating
+    val afterMat = 839.0 + p.mat10Est
+    (afterMat + p.est10Family("cdc_compact_lineitem")) should be <= 1380.0
+    // walk the priority order charging each ADMITTED family its full
+    // estimate (pessimistic: real walls run at or under the lookahead):
+    // the released policy must admit a meaningful 10x prefix where the
+    // r18 record had zero
+    val admitted = r18Queries10.foldLeft((afterMat, List.empty[String])) {
+      case ((elapsed, acc), name) =>
+        if (p.canStart10(name, elapsed))
+          (elapsed + p.est10Family(name), name :: acc)
+        else (elapsed, acc)
+    }._2.reverse
+    admitted should not be empty
+    admitted.size should be >= 5
+    admitted.head shouldBe "cdc_compact_lineitem" // priority head first
+  }
+
+  test("r17/r18 good-weather replays do NOT release the reserve") {
+    // the 3.3x r17 driver day: pass 1 cost 437 s — the reserve must HOLD
+    // there (the existing replay above shows it then fits the 30x ladder)
+    val r17 = base(Map("cdc_compact_lineitem" -> 5.89), passCost = 437.0,
+      restart = 35.0)
+    r17.unfulfillable(437.0) shouldBe false
+    // a 1.73x day (the r18 close-state validation weather): nowhere near
+    val good = base(Map("cdc_compact_lineitem" -> 2.3), passCost = 230.0)
+    good.unfulfillable(230.0) shouldBe false
+  }
+
+  test("the 10x lookahead is 8x the pass-1 wall, spike-capped") {
+    val p = base(Map("cdc_compact_lineitem" -> 2.0, "dedup_minhash" -> 40.0))
+    p.est10Family("cdc_compact_lineitem") shouldBe 16.0 +- 1e-9
+    // a 20x neighbor-spiked wall must not shed every family below it
+    p.est10Family("dedup_minhash") shouldBe (0.15 * 1380.0) +- 1e-9
+  }
+
+  test("the 10x materialization guard prices the build off the day's pass cost") {
+    base(Map.empty).mat10Est shouldBe (0.3 * 133.0) +- 1e-9
+    base(Map.empty, passCost = 839.0).mat10Est shouldBe (0.3 * 839.0) +- 1e-9
+    // nearly-exhausted budget: the build must NOT be paid (r18 paid it
+    // for zero families) — head family can no longer follow it
+    val p = base(Map("cdc_compact_lineitem" -> 8.7793), passCost = 839.0,
+      pending = false)
+    (1330.0 + p.mat10Est + p.est10Family("cdc_compact_lineitem")) should
+      be > 1380.0
+  }
 }

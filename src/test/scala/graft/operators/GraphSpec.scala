@@ -74,4 +74,23 @@ class GraphSpec extends AnyFunSuite with Matchers {
     val edges = graft.queries.Analytics.pagerankEdges(spark, "/root/testdata/sf0.001")
     edges.select("dst").except(edges.select("src")).count() shouldBe 0L
   }
+
+  test("assertNoDangling turns a contract violation loud, costs nothing when clean") {
+    // node 9 is a genuinely dangling sink (in-edges, no out-edge): the
+    // default silently drops it from the node set; the opt-in check
+    // names the violation instead
+    val dangling = Seq((1L, 2L), (2L, 1L), (2L, 9L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRank(dangling, iters = 1, assertNoDangling = true)
+    }
+    ex.getMessage should include("1 dst node(s) have no out-edge")
+    // a compliant graph passes the check and ranks identically to the
+    // unchecked run (the check is a pure pre-iteration probe)
+    val e = sym((1L, 2L), (2L, 3L))
+    val checked = Graph.pageRank(e, iters = 2, assertNoDangling = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val unchecked = Graph.pageRank(e, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    checked shouldBe unchecked
+  }
 }
