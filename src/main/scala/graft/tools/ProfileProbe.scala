@@ -98,15 +98,20 @@ object ProfileProbe {
       // fragmentation under memory pressure)
       println(s"=== exec $i: srd=${r1 - r0} swr=${w1 - w0} tasks=${t1 - t0} " +
         s"spill=${s1 - s0} shuffle_records=${c1 - c0}")
-      // the write above is the window's only `save`; if something else
-      // saved too, the LAST save is ours (the writes are sequential)
+      // the write above is the window's only DataFrameWriter action; its
+      // QE reports the writer's funcName ("overwrite" for mode-overwrite
+      // V2 writes, "save" on the V1 path). Auxiliary executions in the
+      // window (e.g. "rdd" from an internal action) are listed but not
+      // matched; if several writes somehow land, the LAST is ours (the
+      // probe's writes are sequential).
       val captured = qes.toArray(Array.empty[(String, QueryExecution)])
-      val saves = captured.filter(_._1 == "save")
-      if (saves.size != captured.size)
+      val writes = captured.filter(q => Set("save", "overwrite", "append")
+        .contains(q._1))
+      if (writes.size != captured.size)
         println(s"  (window saw ${captured.size} executions: " +
-          s"${captured.map(_._1).mkString(",")} — matched the save)")
-      saves.lastOption.map(_._2) match {
-        case None => println("  (no save QueryExecution captured)")
+          s"${captured.map(_._1).mkString(",")} — matched the write)")
+      writes.lastOption.map(_._2) match {
+        case None => println("  (no write QueryExecution captured)")
         case Some(qe) =>
           val full = sys.env.get("GRAFT_PROBE_FULL").contains("1")
           qe.executedPlan.toString.linesIterator
