@@ -169,6 +169,23 @@ class ReservePricingSpec extends AnyFunSuite with Matchers {
     p.est10Family("dedup_minhash") shouldBe (0.15 * 1380.0) +- 1e-9
   }
 
+  test("a mid-ladder deadlock releases too (measured entry vs grown elapsed)") {
+    // the deadlock can also ARISE mid-10x-ladder: the head family's own
+    // 10x measurement fixes entry2 at its final (measured) value, and
+    // elapsed keeps growing as later families run — once
+    // elapsed + entry2 crosses the budget the 30x can never start and
+    // the remaining 10x tail must spend what the reserve was hoarding
+    val p = base(
+      Map("cdc_compact_lineitem" -> 2.3),
+      sec10 = Map("cdc_compact_lineitem" -> (0.86, 3.19)),
+      mat = 40.0)
+    // measured entry: mat2Est 40*3*0.75=90 + est30 4*(0.86+3.3*3.19)=45.5
+    val entry = 90.0 + 4 * (0.86 + 3.0 * 1.1 * 3.19)
+    p.entry2 shouldBe entry +- 1e-9
+    p.unfulfillable(1380.0 - entry + 1.0) shouldBe true  // just past the line
+    p.unfulfillable(1380.0 - entry - 1.0) shouldBe false // just inside it
+  }
+
   test("the 10x materialization guard prices the build off the day's pass cost") {
     base(Map.empty).mat10Est shouldBe (0.3 * 133.0) +- 1e-9
     base(Map.empty, passCost = 839.0).mat10Est shouldBe (0.3 * 839.0) +- 1e-9
