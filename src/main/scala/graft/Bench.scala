@@ -273,22 +273,17 @@ object Bench {
     // CPU-steal day a mean/median at runs=2 is dominated by one 100x
     // stall sample (r18 driver record: q_rollup 73.87 s from samples
     // [2.90, 144.85] at identical shuffle bytes, zero failed tasks);
-    // the min is the honest plan-cost signal — a stall can only ADD
-    // wall to an identical plan — and `dispersion` keeps the spread.
-    // A query with NO successful sample reports -1 (it is already
-    // loud in `errors`; its crash walls would read suspiciously fast).
+    // `dispersion` keeps the spread. The math is pure and spec-pinned
+    // (SampleStats + SampleStatsSpec, including a replay of that r18
+    // day); these wrappers only bind the run's sample map into it.
     def headlineSec(name: String): Double =
-      samples.get(name).map(_.filter(_._5)).filter(_.nonEmpty)
-        .map(_.map(_._1).min).getOrElse(-1.0)
+      samples.get(name).map(v => SampleStats.headlineSec(v.toSeq)).getOrElse(-1.0)
     // Budget-gate price of re-running `name`: worst SUCCESSFUL wall, or
     // the worst crash wall when nothing succeeded (retrying a slow
     // crasher costs its time-to-crash, not the 1 s default) — a failed
     // sample's bogus-fast wall must never underprice the gate.
     def maxWall(name: String): Double =
-      samples.get(name).filter(_.nonEmpty).map { v =>
-        val ok = v.filter(_._5)
-        (if (ok.nonEmpty) ok else v).map(_._1).max
-      }.getOrElse(1.0)
+      samples.get(name).map(v => SampleStats.maxWall(v.toSeq)).getOrElse(1.0)
     def suiteJsons: (String, String, String, String, String, Double, String) = {
       val have = selected.filter { case (n, _) => samples.contains(n) }
       val qs = have.map { case (name, _) =>
@@ -308,7 +303,7 @@ object Bench {
         s"\"$name\":${median(samples(name).map(_._4.toDouble).toSeq).toLong}" }
         .mkString("{", ",", "}")
       // the -1 sentinel of an all-failed query stays out of the total
-      val total = r4(have.map { case (n, _) => headlineSec(n) }.filter(_ >= 0).sum)
+      val total = r4(SampleStats.totalSec(have.map { case (n, _) => samples(n).toSeq }))
       // Attribution sidecar, emitted only where it carries signal: the
       // [min,max] shuffle-read spread for queries whose byte samples
       // DIFFER across passes (a first-execution cache-fill — BPE's
@@ -321,9 +316,8 @@ object Bench {
       // partial byte delta that would fabricate a spread entry the
       // sidecar's own documentation says to read as cache-fill signal
       val spread = have.flatMap { case (name, _) =>
-        val b = samples(name).filter(_._5).map(_._3)
-        if (b.isEmpty || b.min == b.max) None
-        else Some(s"\"$name\":[${b.min},${b.max}]")
+        SampleStats.readSpread(samples(name).toSeq).map {
+          case (lo, hi) => s"\"$name\":[$lo,$hi]" }
       }.mkString("{", ",", "}")
       val ftasks = have.flatMap { case (name, _) =>
         val f = samples(name).map(_._6).sum
@@ -442,8 +436,7 @@ object Bench {
     // only: a query that crashes fast in pass 1 records a near-zero wall
     // that would underprice exactly the work the reserve must bound.
     def w1(name: String): Double =
-      samples.get(name).map(_.filter(_._5)).filter(_.nonEmpty)
-        .map(_.head._1).getOrElse(2.0)
+      samples.get(name).map(v => SampleStats.w1(v.toSeq)).getOrElse(2.0)
     // The pricing math itself is pure and spec-pinned (ReservePricing +
     // ReservePricingSpec): these thin wrappers only bind the run's
     // mutable measurement state into it.
@@ -758,6 +751,60 @@ object Bench {
     emitNow()
     spark.stop()
   }
+}
+
+/** Pure per-query statistics over timed suite samples — extracted (like
+  * [[ReservePricing]]) so the semantics the HEADLINE record depends on
+  * are spec-pinned (SampleStatsSpec) instead of closure-buried in
+  * [[Bench.run]]. A sample is one `timed` execution:
+  * `(wallSec, cpuSec, shufReadBytes, shufWriteBytes, ok, failedTasks)`.
+  *
+  * The ok flag is load-bearing in every function here: a failed run's
+  * bogus-fast wall must never become the headline or underprice a budget
+  * gate, and its partial byte delta must never fabricate a cache-fill
+  * spread entry (the r18 driver day and its triage are cited at each
+  * call site in [[Bench]]). */
+private[graft] object SampleStats {
+  type Sample = (Double, Double, Long, Long, Boolean, Long)
+
+  /** Per-query HEADLINE: min of the SUCCESSFUL walls — a stall can only
+    * ADD wall to an identical plan, so the min is the honest plan-cost
+    * signal (r18 driver record: q_rollup reported 73.87 s as a mean of
+    * [2.90, 144.85]). −1 when no sample succeeded: the query is already
+    * loud in `errors`, and its crash walls would read suspiciously fast. */
+  def headlineSec(v: Seq[Sample]): Double = {
+    val ok = v.filter(_._5)
+    if (ok.isEmpty) -1.0 else ok.map(_._1).min
+  }
+
+  /** Budget-gate price of re-running a query: worst SUCCESSFUL wall, or
+    * the worst crash wall when nothing succeeded (retrying a slow crasher
+    * costs its time-to-crash), or 1.0 with no samples at all. */
+  def maxWall(v: Seq[Sample]): Double =
+    if (v.isEmpty) 1.0
+    else {
+      val ok = v.filter(_._5)
+      (if (ok.nonEmpty) ok else v).map(_._1).max
+    }
+
+  /** Reserve prior: the FIRST successful wall (pass-1 ordering), 2.0
+    * when none — a query that crashes fast in pass 1 must not underprice
+    * exactly the work the reserve bounds. */
+  def w1(v: Seq[Sample]): Double = v.find(_._5).map(_._1).getOrElse(2.0)
+
+  /** Shuffle-read [min,max] over SUCCESSFUL samples when they differ
+    * (the cache-fill attribution sidecar); None when constant, or when
+    * only failed samples exist — a query that dies mid-flight leaves a
+    * partial byte delta that would fabricate a spread entry. */
+  def readSpread(v: Seq[Sample]): Option[(Long, Long)] = {
+    val b = v.filter(_._5).map(_._3)
+    if (b.isEmpty || b.min == b.max) None else Some((b.min, b.max))
+  }
+
+  /** Suite total: sum of per-query headlines, all-failed sentinels (−1)
+    * excluded — a crashed query contributes its absence, not a negative. */
+  def totalSec(perQuery: Seq[Seq[Sample]]): Double =
+    perQuery.map(headlineSec).filter(_ >= 0).sum
 }
 
 /** Pure pricing for the 30x-ladder budget reservation (round-17 review
