@@ -288,19 +288,26 @@ object Bench {
       val have = selected.filter { case (n, _) => samples.contains(n) }
       val qs = have.map { case (name, _) =>
         s"\"$name\":${r4(headlineSec(name))}" }.mkString("{", ",", "}")
-      val disp = have.map { case (name, _) =>
-        val t = samples(name).map(_._1)
-        s"\"$name\":[${r4(t.min)},${r4(median(t.toSeq))},${r4(t.max)}]"
+      // dispersion/cpu/byte metrics come from the ATTRIBUTABLE samples
+      // (successful, falling back to all when nothing succeeded): a pass
+      // that died mid-flight leaves partial wall/CPU/byte deltas that
+      // would shift a median away from the plan's true signature — the
+      // same distortion the spread sidecar below already filters
+      val attrib0 = have.map { case (name, _) =>
+        name -> SampleStats.attributable(samples(name).toSeq) }
+      val disp = attrib0.map { case (name, v) =>
+        val t = v.map(_._1)
+        s"\"$name\":[${r4(t.min)},${r4(median(t))},${r4(t.max)}]"
       }.mkString("{", ",", "}")
-      val cpu = have.map { case (name, _) =>
-        s"\"$name\":${r4(median(samples(name).map(_._2).toSeq))}" }.mkString("{", ",", "}")
+      val cpu = attrib0.map { case (name, v) =>
+        s"\"$name\":${r4(median(v.map(_._2)))}" }.mkString("{", ",", "}")
       // shuffle bytes are a deterministic property of the plan: identical
       // across reps up to AQE rounding, so the median is exact
-      val srd = have.map { case (name, _) =>
-        s"\"$name\":${median(samples(name).map(_._3.toDouble).toSeq).toLong}" }
+      val srd = attrib0.map { case (name, v) =>
+        s"\"$name\":${median(v.map(_._3.toDouble)).toLong}" }
         .mkString("{", ",", "}")
-      val swr = have.map { case (name, _) =>
-        s"\"$name\":${median(samples(name).map(_._4.toDouble).toSeq).toLong}" }
+      val swr = attrib0.map { case (name, v) =>
+        s"\"$name\":${median(v.map(_._4.toDouble)).toLong}" }
         .mkString("{", ",", "}")
       // the -1 sentinel of an all-failed query stays out of the total
       val total = r4(SampleStats.totalSec(have.map { case (n, _) => samples(n).toSeq }))
@@ -791,6 +798,17 @@ private[graft] object SampleStats {
     * when none — a query that crashes fast in pass 1 must not underprice
     * exactly the work the reserve bounds. */
   def w1(v: Seq[Sample]): Double = v.find(_._5).map(_._1).getOrElse(2.0)
+
+  /** The samples whose metric values are attributable to the plan: the
+    * successful ones — a run that died mid-flight leaves PARTIAL wall /
+    * CPU / byte deltas that would shift a median away from the plan's
+    * true signature — or all of them when nothing succeeded, so an
+    * all-failed query still reports its observed crash walls instead of
+    * an empty row (it is named in `errors` either way). */
+  def attributable(v: Seq[Sample]): Seq[Sample] = {
+    val ok = v.filter(_._5)
+    if (ok.nonEmpty) ok else v
+  }
 
   /** Shuffle-read [min,max] over SUCCESSFUL samples when they differ
     * (the cache-fill attribution sidecar); None when constant, or when

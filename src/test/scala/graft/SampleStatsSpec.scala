@@ -60,6 +60,20 @@ class SampleStatsSpec extends AnyFunSuite with Matchers {
     SampleStats.w1(Nil) shouldBe 2.0
   }
 
+  test("attributable drops mid-flight deaths from the metric samples") {
+    // a crashed pass leaves PARTIAL wall/cpu/byte deltas: per-query
+    // dispersion and the cpu/byte medians must come from successful
+    // samples only, or a 2-of-5-crash query reports a byte median that
+    // is not any plan's signature
+    val ok1 = s(2.0, rd = 500L); val ok2 = s(2.2, rd = 500L)
+    val dead = s(0.3, ok = false, rd = 123L)
+    SampleStats.attributable(Seq(ok1, dead, ok2)) shouldBe Seq(ok1, ok2)
+    // all-failed: fall back to the raw samples so the query still
+    // reports its observed crash walls instead of an empty row
+    SampleStats.attributable(Seq(dead)) shouldBe Seq(dead)
+    SampleStats.attributable(Nil) shouldBe Nil
+  }
+
   test("readSpread reports [min,max] only when successful byte samples differ") {
     // the cache-fill attribution sidecar (BPE's trained-merges map,
     // decontam's retained ngram set): first execution reads more bytes
