@@ -287,6 +287,40 @@ class StreamingMergeSpec extends AnyFunSuite with Matchers {
     resyncs shouldBe 2 // third schema change trips the bound before resyncing
   }
 
+  test("supervisor treats StopRequested as a clean exit, not a failure") {
+    // cooperative shutdown (operator signal, deployment drain): the body
+    // finishes its close handshake then throws StopRequested — the loop
+    // must end NORMALLY with no restart, no backoff, no resync, mirroring
+    // the reference's Stop being a clean exit rather than a crash
+    var runs = 0
+    var resyncs = 0
+    val r = Supervisor.runForever(
+      body = () => { runs += 1; throw new Supervisor.StopRequested },
+      resync = () => resyncs += 1,
+      backoffMs = 1L)
+    runs shouldBe 1
+    resyncs shouldBe 0
+    r.restarts shouldBe 0
+    r.resyncs shouldBe 0
+  }
+
+  test("supervisor progress resets the consecutive-failure budget") {
+    // restart-INTENSITY semantics: only rapid crash loops trip
+    // maxRestarts — a body that ran long enough before failing counts as
+    // progress and resets the consecutive counter, so a service that
+    // fails once an hour for a week restarts forever instead of dying on
+    // the (maxRestarts+1)th lifetime failure. progressMs=0 makes every
+    // run count as progress; 5 failures in a row then exceed a
+    // maxRestarts=2 budget that would have tripped on the 3rd without
+    // the reset.
+    var runs = 0
+    val r = Supervisor.runForever(
+      body = () => { runs += 1; if (runs <= 5) throw new RuntimeException(s"fail $runs") },
+      maxRestarts = 2, backoffMs = 1L, progressMs = 0L)
+    runs shouldBe 6
+    r.restarts shouldBe 5
+  }
+
   test("same-named tables across schemas are refused at construction") {
     // WalMessage carries the unqualified name: keying public.users and
     // audit.users silently would merge one schema's changes into the
