@@ -520,6 +520,9 @@ object Bench {
       * a candidate/pair receipt counted once per side OUTSIDE the timed
       * runs, so a super-linear wall ratio is attributable
       * (output-proportional growth vs quadratic bucket degeneration).
+      * Every family also records its successful walls per side
+      * (`sf_walls`/`walls`) so band questions self-answer from the
+      * record instead of needing head re-runs.
       * Families past the budget are skipped BY NAME, each with a reason
       * (`canStart` returns None to admit, or the skip reason). Appends
       * per-family ratios to `ratios`, emits an incremental record after
@@ -543,11 +546,20 @@ object Bench {
         }
         else {
           if (i % restartEvery == 0) restartContext()
-          def minOf3(d: String): Option[(Double, Double, Long, Long)] = {
+          // keeps ALL successful walls (not just the min) so a ladder
+          // ratio that lands outside its historical band is attributable
+          // from the record alone: a wide walls spread with constant
+          // shuffle bytes reads as host weather, a tight spread as a
+          // real plan-cost change (the r19 cdc_merge_big 11.66 question
+          // needed head re-runs because this data was discarded)
+          def minOf3(d: String): Option[(Double, Double, Long, Long, Seq[Double])] = {
             timed(s"$labelPrefix:$name(warm)", fn, d)
             val ok = Seq.fill(3)(timed(s"$labelPrefix:$name", fn, d)).filter(_._5)
             if (ok.isEmpty) None
-            else Some(ok.minBy(_._1)).map(t => (t._1, t._2, t._3, t._4))
+            else {
+              val best = ok.minBy(_._1)
+              Some((best._1, best._2, best._3, best._4, ok.map(_._1)))
+            }
           }
           val timedSides = (minOf3(sfDir), minOf3(dir))
           timedSides match {
@@ -567,10 +579,12 @@ object Bench {
               s""","sf_candidates":$sc,"sf_pairs":$sp,"candidates":$lc,"pairs":$lp"""
             } catch { case _: Throwable => "" }
           val entry = timedSides match {
-            case (Some(sf), Some((wall, cpuS, rdB, wrB))) =>
+            case (Some(sf), Some((wall, cpuS, rdB, wrB, walls))) =>
               val ratio = if (sf._1 > 0) r4(wall / sf._1) else -1.0
               ratios(name) = ratio
-              s"""\"$name\":{\"sec\":${r4(wall)},\"sf_sec\":${r4(sf._1)},\"ratio_vs_sf\":$ratio,\"cpu_sec\":${r4(cpuS)},\"sf_cpu_sec\":${r4(sf._2)},\"shuffle_read\":$rdB,\"shuffle_write\":$wrB$receipt}"""
+              val sfWalls = sf._5.map(r4).mkString("[", ",", "]")
+              val scWalls = walls.map(r4).mkString("[", ",", "]")
+              s"""\"$name\":{\"sec\":${r4(wall)},\"sf_sec\":${r4(sf._1)},\"ratio_vs_sf\":$ratio,\"cpu_sec\":${r4(cpuS)},\"sf_cpu_sec\":${r4(sf._2)},\"shuffle_read\":$rdB,\"shuffle_write\":$wrB,\"sf_walls\":$sfWalls,\"walls\":$scWalls$receipt}"""
             case _ =>
               ratios(name) = -1.0
               s"""\"$name\":{\"sec\":-1,\"sf_sec\":-1,\"ratio_vs_sf\":-1,\"failed\":true}"""
