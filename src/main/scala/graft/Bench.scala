@@ -546,20 +546,12 @@ object Bench {
         }
         else {
           if (i % restartEvery == 0) restartContext()
-          // keeps ALL successful walls (not just the min) so a ladder
-          // ratio that lands outside its historical band is attributable
-          // from the record alone: a wide walls spread with constant
-          // shuffle bytes reads as host weather, a tight spread as a
-          // real plan-cost change (the r19 cdc_merge_big 11.66 question
-          // needed head re-runs because this data was discarded)
+          // min + walls selection is pure and spec-pinned
+          // (SampleStats.ladderSide): a failed attempt's bogus-fast wall
+          // can neither headline the side nor enter the walls sidecar
           def minOf3(d: String): Option[(Double, Double, Long, Long, Seq[Double])] = {
             timed(s"$labelPrefix:$name(warm)", fn, d)
-            val ok = Seq.fill(3)(timed(s"$labelPrefix:$name", fn, d)).filter(_._5)
-            if (ok.isEmpty) None
-            else {
-              val best = ok.minBy(_._1)
-              Some((best._1, best._2, best._3, best._4, ok.map(_._1)))
-            }
+            SampleStats.ladderSide(Seq.fill(3)(timed(s"$labelPrefix:$name", fn, d)))
           }
           val timedSides = (minOf3(sfDir), minOf3(dir))
           timedSides match {
@@ -837,6 +829,24 @@ private[graft] object SampleStats {
     * excluded — a crashed query contributes its absence, not a negative. */
   def totalSec(perQuery: Seq[Seq[Sample]]): Double =
     perQuery.map(headlineSec).filter(_ >= 0).sum
+
+  /** One ladder side's record: the best (min-wall) SUCCESSFUL sample's
+    * wall/CPU/read/write plus ALL successful walls — the per-family
+    * dispersion sidecar that lets an out-of-band ratio be attributed
+    * from the record alone (wide walls at constant bytes = host weather,
+    * tight walls = a real cost change; the r19 cdc_merge_big 11.66
+    * question needed head re-runs because this data was discarded). A
+    * failed attempt's bogus-fast wall can neither become the side's
+    * headline nor appear in `walls`; None when nothing succeeded (the
+    * family reports `failed:true` instead of a fabricated timing). */
+  def ladderSide(v: Seq[Sample]): Option[(Double, Double, Long, Long, Seq[Double])] = {
+    val ok = v.filter(_._5)
+    if (ok.isEmpty) None
+    else {
+      val best = ok.minBy(_._1)
+      Some((best._1, best._2, best._3, best._4, ok.map(_._1)))
+    }
+  }
 }
 
 /** Pure pricing for the 30x-ladder budget reservation (round-17 review

@@ -91,4 +91,21 @@ class SampleStatsSpec extends AnyFunSuite with Matchers {
       s(1.1, rd = 500L))) shouldBe None
     SampleStats.readSpread(Seq(s(0.3, ok = false, rd = 123L))) shouldBe None
   }
+
+  test("a ladder side headlines its min successful wall and records only successful walls") {
+    // the r20 dispersion sidecar: the min is the headline (metrics ride
+    // with it), the walls array keeps the successful spread for weather
+    // attribution, and a crashed attempt's bogus-fast 0.1 s wall appears
+    // in neither
+    val side = SampleStats.ladderSide(Seq(
+      s(9.5), s(0.1, ok = false), s(7.6, rd = 887L), s(10.4)))
+    side shouldBe Some((7.6, 7.6, 887L, 887L, Seq(9.5, 7.6, 10.4)))
+  }
+
+  test("an all-failed ladder side is None, never a fabricated timing") {
+    // the family must report failed:true — selecting among crash walls
+    // would print a ratio for a plan that never completed
+    SampleStats.ladderSide(Seq(s(0.1, ok = false), s(0.2, ok = false))) shouldBe None
+    SampleStats.ladderSide(Nil) shouldBe None
+  }
 }
