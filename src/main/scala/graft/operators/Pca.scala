@@ -52,14 +52,18 @@ object Pca {
     var lambda = 0.0
     for (_ <- 0 until iters) {
       val vLit = typedLit(v.toSeq)
+      // dims-sized result: sort on the DRIVER (the rows are collected
+      // anyway) instead of an orderBy — range partitioning samples its
+      // child, so the cluster-side sort cost one extra exchange plus a
+      // sampling job per iteration for an ordering the driver re-derives
+      // in microseconds (same trick as Ann's collect().sortBy trainers)
       val w = vecs
         .select(col("__x"), VectorMath.dot(col("__x"), vLit).as("__p"))
         .select(posexplode(col("__x")).as(Seq("__d", "__xd")), col("__p"))
         .groupBy(col("__d"))
         .agg(sum(round(col("__p") * col("__xd"), 9).cast("decimal(28,9)"))
           .cast("double").as("__w"))
-        .orderBy(col("__d"))
-        .collect().map(_.getDouble(1))
+        .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
       require(w.length == dims, s"ragged vectors: got ${w.length} dims, expected $dims")
       // driver-side normalization under the same decimal discipline the
       // SQL replay uses: sum of 9-dp-rounded squares, exactly

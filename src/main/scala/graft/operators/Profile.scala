@@ -9,15 +9,18 @@ import org.apache.spark.sql.types._
   * quality summary every ingestion pipeline runs before trusting a new
   * drop of parquet.
   *
-  * Scale shape: ONE aggregate over the table produces every statistic
-  * (the per-column rows are exploded from the single 1-row aggregate
-  * result, not re-scanned per column). Exact `countDistinct` over c
-  * columns makes Catalyst plan an Expand (c× the scan rows into the
-  * partial aggregate — still map-side combined, never a per-column
-  * pass); at 100 TB swap `exact = false` to HyperLogLog
-  * `approx_count_distinct`, which collapses the Expand back to a single
-  * pass. min/max are computed on the NATIVE type and formatted after the
-  * aggregate (formatting first would compare "10" < "9" lexically).
+  * Scale shape: ONE base aggregate over the table produces every
+  * statistic except the exact distincts (the per-column rows are exploded
+  * from the single 1-row result, not re-scanned per column); exact
+  * distinct counts run as one tiny two-stage dedup-then-count aggregate
+  * per column, crossJoined onto the 1-row base — deliberately NOT as
+  * countDistinct inside the base aggregate, whose Expand multiplied every
+  * scan row (c+1)-fold through a struct-keyed partial aggregate (see the
+  * note in [[profile]]; measured 6.6× the task-CPU of the split). At
+  * 100 TB swap `exact = false` to HyperLogLog `approx_count_distinct`,
+  * which folds the distincts back into the single base pass. min/max are
+  * computed on the NATIVE type and formatted after the aggregate
+  * (formatting first would compare "10" < "9" lexically).
   */
 object Profile {
 
@@ -43,21 +46,44 @@ object Profile {
       case TimestampType | TimestampNTZType => v.cast("date").cast("string")
       case _ => v.cast("string")
     }
-    val nd: Column => Column =
-      if (exact) countDistinct(_) else approx_count_distinct(_)
     val aggCols = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
       count(col(c)).as(s"__nn_$c"),
-      nd(col(c)).as(s"__nd_$c"),
       min(col(c)).as(s"__min_$c"),
-      max(col(c)).as(s"__max_$c")))
-    // Scan-parallelism guard ([[Skew.feedCluster]]): countDistinct's
-    // Expand multiplies the scan rows c× INSIDE the scan stage, so a
-    // source whose partition count can't feed the cluster (single-file
-    // single-row-group parquet — the local testdata shape) executes the
-    // whole profile serially (measured: 7.8s wall ≈ 7.5s cpu on 32
-    // cores). Redistributing once costs nothing the scan didn't already
-    // read — the profiler touches every column.
+      max(col(c)).as(s"__max_$c")) ++
+      (if (exact) Nil
+       else Seq(approx_count_distinct(col(c)).as(s"__nd_$c"))))
+    // Scan-parallelism guard ([[Skew.feedCluster]]): a source whose
+    // partition count can't feed the cluster (single-file single-row-group
+    // parquet — the local testdata shape) executes the whole base
+    // aggregate serially. Redistributing once costs nothing the scan
+    // didn't already read — the profiler touches every column.
     val src = Skew.feedCluster(df)
+    val base = src.agg(aggCols.head, aggCols.tail: _*)
+    // Exact distinct counts run as ONE TINY TWO-STAGE AGGREGATE PER
+    // COLUMN (partition-local dedup on the value, exchange of distinct
+    // values only, count) crossJoined onto the 1-row base — NOT as
+    // countDistinct inside the base aggregate. Mixed with the other aggs,
+    // Catalyst plans c× countDistinct as an Expand that multiplies every
+    // scan row (c+1)-fold into a partial aggregate keyed by the
+    // distinct-spread (gid, value) structs, with every min/max/count agg
+    // branch-evaluated per expanded row — measured at sf0.1 (5 columns,
+    // 600k rows): 21.9 task-CPU-s / 2.7 s wall for the Expand form vs
+    // 3.3 CPU-s / 1.5 s for this split, same results. The arms are
+    // independent leaf stages inside the one job (they run concurrently),
+    // each scans only its own column (columnar pruning), and each
+    // crossJoin side is one row, so the join tree is free. At 100 TB the
+    // profiled columns are read twice (base + arm) instead of once — the
+    // documented `exact = false` HLL drop-in (single pass, no arms, no
+    // Expand) remains the scale configuration. A DERIVED input frame is
+    // re-evaluated per arm (identical exchanges dedup via ReusedExchange;
+    // pre-exchange stages don't): persist an expensive lineage first, or
+    // profile it with `exact = false`.
+    val withNd =
+      if (!exact) base
+      else cols.foldLeft(base) { (acc, c) =>
+        acc.crossJoin(
+          df.select(col(c)).distinct().agg(count(col(c)).as(s"__nd_$c")))
+      }
     val structs = cols.map(c => struct(
       lit(c).as("col_name"),
       col("__rows").as("n_rows"),
@@ -65,7 +91,7 @@ object Profile {
       col(s"__nd_$c").as("n_distinct"),
       fmt(c, col(s"__min_$c")).as("min_s"),
       fmt(c, col(s"__max_$c")).as("max_s")))
-    src.agg(aggCols.head, aggCols.tail: _*)
+    withNd
       .select(explode(array(structs: _*)).as("__p"))
       .select(col("__p.*"))
   }

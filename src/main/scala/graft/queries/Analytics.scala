@@ -968,9 +968,17 @@ object Analytics {
     * change here that drops it breaks the spec instead of silently
     * dropping nodes. */
   def pagerankEdges(s: SparkSession, dir: String): DataFrame = {
+    // NO distinct() here: [[graft.operators.Graph.pageRank]] dedups its
+    // input after ONE hash(src) exchange (repartition-then-dropDuplicates,
+    // the PlanAuditSpec-pinned fold), so a distinct here paid a whole
+    // extra edge-sized exchange — read twice through the union's
+    // ReusedExchange — to dedup rows the operator dedups anyway (measured
+    // at sf0.1: 11.7 MB shuffle read and ~1 s wall for a 600k→591k
+    // reduction the downstream dedup replays). The multiset union is
+    // set-identical after that dedup, so the oracle's DISTINCT-then-UNION
+    // replay is unchanged.
     val sp = Tables.lineitem(s, dir)
       .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-      .distinct()
     sp.unionByName(sp.select(col("dst").as("src"), col("src").as("dst")))
   }
 
