@@ -28,8 +28,13 @@ object Analytics {
 
   /** §2.2 #17 — scan+filter+hash agg+sort (TPC-H Q1 flavor). */
   def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir)
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    // feedCluster AFTER the pushed-down filter: the single-file local scan
+    // otherwise runs the whole decimal partial aggregate on one task
+    // (measured 0.65 serial CPU-s at sf0.1); at real scale the scan has
+    // enough splits and the guard is a no-op
+    graft.operators.Skew.feedCluster(
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
@@ -137,7 +142,12 @@ object Analytics {
 
   /** §2.2 #26 — rollup over two grouping columns. */
   def qRollup(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir)
+    // grouping sets expand the scan rows (#sets)× INSIDE the scan stage:
+    // feedCluster so the single-file local scan doesn't run the whole
+    // expanded partial aggregate serially (no-op at real scan widths)
+    graft.operators.Skew.feedCluster(
+      Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity")))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         count(lit(1)).as("n_rows"))
@@ -148,7 +158,10 @@ object Analytics {
     * set (both, each alone, grand total) in one pass — Spark expands the
     * sets map-side, so it's still a single shuffle. */
   def qCube(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir)
+    // same Expand-feeds-serial-scan consideration as [[qRollup]]
+    graft.operators.Skew.feedCluster(
+      Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity")))
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         count(lit(1)).as("n_rows"))
@@ -263,6 +276,10 @@ object Analytics {
   /** §2.2 #29 — exact percentiles per group (interpolating, rounded for
     * cross-engine float stability). */
   def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    // measured, left alone: feedCluster-ing the serial local scan moved
+    // the raw value column through an extra exchange for no wall win
+    // (1.00 -> 1.10 s at sf0.1) — the percentile partial buffers dominate
+    // either way
     Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"))
       .agg(
@@ -278,10 +295,20 @@ object Analytics {
     * (5·n·qty < sum) so no division touches the predicate — exact decimal
     * arithmetic on both engines, no float boundary. */
   def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
-    val perPart = Tables.lineitem(s, dir)
+    // ONE scan, ONE exchange (guide §2.4 "share one exchange"): the
+    // per-part aggregate and the probe side are both keyed on l_partkey,
+    // so hash-repartitioning the projected scan once lets the groupBy
+    // aggregate partition-locally AND the join consume both sides
+    // exchange-free through the reused exchange — the former shape
+    // scanned lineitem twice and exchanged twice (once under the partial
+    // aggregate, once for the join).
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .repartition(col("l_partkey"))
+    val perPart = li
       .groupBy(col("l_partkey").as("pk"))
       .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
-    Tables.lineitem(s, dir)
+    li
       .join(perPart, col("l_partkey") === col("pk"))
       .filter(dec(col("l_quantity")) * 5 * col("n") < col("sum_qty"))
       .agg(sum(dec(col("l_extendedprice"))).cast("double").as("total_price"),
