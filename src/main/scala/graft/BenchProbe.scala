@@ -196,6 +196,30 @@ object BenchProbe {
               trainDocs, evalDocs, "doc_id", "text", n = 5, threshold = 0.5)
             .repartition(1).sortWithinPartitions(col("doc_id"))))
 
+      case "report" => // decontam_report stage attribution (r21: 14
+        // task-CPU-s at sf0.1 against ~0.35M train 5-grams)
+        import graft.functions.TextAnalysis
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val evalDocs = docs.filter(col("doc_id") % 7 === 0)
+        val trainDocs = docs.filter(col("doc_id") % 7 =!= 0)
+          .unionByName(docs.filter(col("doc_id") % 14 === 0)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        def evalGrams = evalDocs
+          .select(col("doc_id"), explode(TextAnalysis.wordNgrams(col("text"), 5)).as("__ngram"))
+          .distinct()
+        def evalSet = evalGrams.select(col("__ngram")).distinct()
+        def trainG = trainDocs
+          .select(explode(TextAnalysis.wordNgrams(col("text"), 5)).as("__ngram"))
+        timed("eval grams distinct (id,ngram)")(noop(evalGrams))
+        timed("eval set distinct (ngram)")(noop(evalSet))
+        timed("train explode only")(noop(trainG))
+        timed("train semi-join + distinct") {
+          noop(trainG.join(broadcast(evalSet), Seq("__ngram"), "left_semi").distinct())
+        }
+        timed("full decontam_report query")(
+          noop(SparkEntry.queries("decontam_report")(spark, sfDir)))
+
       case "dedupexact" =>
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"), col("text"))

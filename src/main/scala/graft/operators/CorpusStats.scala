@@ -40,23 +40,29 @@ object CorpusStats {
     * corpus size), so the scores are reproducible cross-engine and
     * independent of partitioning.
     *
-    * Scale shape: tf is one explode + partial-agg'd hash aggregate; df and
-    * dl reuse tf (no second corpus scan); N/avgdl is a 1-row aggregate
-    * broadcast into the scoring join; the per-doc top-k window shuffles on
-    * doc_id — the same key tf already hashes on. */
+    * Scale shape: tf is one explode + partial-agg'd hash aggregate; df
+    * reuses tf (no second corpus scan); N/avgdl is a 1-row aggregate
+    * (riding dl's doc-sized partial-agg chain) broadcast into the scoring
+    * join; `dl` itself is NOT a join — it is a window sum over the same
+    * doc_id exchange the per-doc top-k window needs anyway. The former
+    * tf⋈dl join exchanged the full term-level tf table by doc_id a second
+    * time purely to attach a per-doc sum the window partitioning already
+    * co-locates (measured at sf0.1: 2.05 → 1.4 s wall, one fewer
+    * tf-sized exchange). */
   def tfidfBm25(docs: DataFrame, idCol: String, textCol: String,
       topPerDoc: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tf = docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val totals = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val totals = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
 
+    val wdl = Window.partitionBy(col(idCol))
     val scored = tf
-      .join(dl, Seq(idCol))
       .join(df, Seq("term"))
       .crossJoin(broadcast(totals))
+      .withColumn("dl", sum(col("tf")).over(wdl))
       .withColumn("tfidf", col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
       .withColumn("bm25",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
