@@ -239,8 +239,15 @@ object CorpusStats {
     val ucounts = toks.groupBy(col("term")).agg(count(lit(1)).as("cu"))
     val totals = ucounts.agg(sum(col("cu")).as("t_tokens"),
       count(lit(1)).as("v_vocab"))
+    // ONE bigram-keyed exchange shared three ways (guide §2.4): the
+    // model count (groupBy bg), the per-doc tf (groupBy (id, bg) —
+    // hash(bg) satisfies its clustering by the subset rule), and their
+    // join all consume the same repartition through ReusedExchange. The
+    // former shape paid three separate bigram-level exchanges: the model
+    // build, the tf build, and a re-shuffle of tf onto the join key.
     val bg = docs
       .select(col(idCol), explode(TextAnalysis.wordNgrams(col(textCol), 2)).as("bg"))
+      .repartition(col("bg"))
     val bgc = bg.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
     val hist = bgc
       .groupBy(substring_index(col("bg"), " ", 1).as("__w1"))
