@@ -351,9 +351,17 @@ object Dedup {
       // dst sets are identical), and edges is cached hash(dst), so the
       // dedup runs partition-local with no exchange of its own — the src
       // formulation paid a node-keyed shuffle for the same set
+      // LAZY checkpoints throughout the loop: the label-sum signature
+      // aggregate that follows each round is the round's only consumer
+      // and runs immediately, so it materializes (and persists) the
+      // checkpointed state in the SAME job — the eager form paid a
+      // separate driver-blocking materialization job per round, doubling
+      // the loop's job count for zero extra information (measured at
+      // sf0.1: dedup_cluster_keep 1.58 → ~1.1 s). Lineage is still cut
+      // every round: iteration N+1 reads the persisted round-N RDD.
       var labels = edges.select(col("dst").as("id")).dropDuplicates("id")
         .select(col("id"), col("id").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       var prevSig = labelSig(labels)
       var iter = 0
       while (iter < maxIters) {
@@ -361,7 +369,7 @@ object Dedup {
           .select(edges("src").as("id"), col("label"))
         val next = neighbor.union(labels)
           .groupBy(col("id")).agg(min(col("label")).as("label"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val sig = labelSig(next)
         labels = next
         if (sig == prevSig) return labels
