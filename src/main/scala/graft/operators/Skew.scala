@@ -21,10 +21,30 @@ object Skew {
     * exchange-bearing frame finalizes the adaptive plan and MATERIALIZES
     * every upstream stage — a hidden double execution (probing is only
     * free where building the RDD plans zero jobs). */
-  def feedCluster[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+  def feedCluster[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
+    if (starved(ds)) ds.repartition(ds.sparkSession.sparkContext.defaultParallelism)
+    else ds
+
+  /** [[feedCluster]] with a HASH repartition on `keys` instead of
+    * round-robin. Two reasons to prefer it when a natural high-cardinality
+    * key exists: a keyless `repartition(n)` first SORTS each input
+    * partition (`spark.sql.execution.sortBeforeRepartition`, the
+    * SPARK-23207 retry-determinism sort) — on the exact starved single-
+    * partition scan this guard targets, that is a serial sort of the whole
+    * input before anything spreads (measured: q17's probe side 1.33 →
+    * 1.90 s WORSE under round-robin) — and a downstream aggregate or join
+    * keyed on `keys` can consume the hash partitioning instead of
+    * exchanging again. Same guard, same no-op at real scan widths. */
+  def feedClusterBy[T](ds: org.apache.spark.sql.Dataset[T],
+      keys: Column*): org.apache.spark.sql.Dataset[T] =
+    if (starved(ds)) ds.repartition(keys: _*) else ds
+
+  /** True when `ds` is a shuffle-free frame whose scan partition count
+    * can't feed the cluster (parts×2 < cores). */
+  private def starved[T](ds: org.apache.spark.sql.Dataset[T]): Boolean = {
     // a streaming frame has no RDD to probe (micro-batch partitioning is
     // the source's concern); pass it through untouched
-    if (ds.isStreaming) return ds
+    if (ds.isStreaming) return false
     val cores = ds.sparkSession.sparkContext.defaultParallelism
     // "narrow" = every node is shuffle-free AND carries no subquery
     // expressions: a scalar subquery hides a whole plan inside an
@@ -43,8 +63,7 @@ object Skew {
         case _ => false
       })
     }
-    if (narrow && ds.rdd.getNumPartitions * 2 < cores) ds.repartition(cores)
-    else ds
+    narrow && ds.rdd.getNumPartitions * 2 < cores
   }
 
   /** Salted equi-join of a skewed `big` side against a `small` side:

@@ -28,13 +28,16 @@ object Analytics {
 
   /** §2.2 #17 — scan+filter+hash agg+sort (TPC-H Q1 flavor). */
   def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
-    // feedCluster AFTER the pushed-down filter: the single-file local scan
-    // otherwise runs the whole decimal partial aggregate on one task
-    // (measured 0.65 serial CPU-s at sf0.1); at real scale the scan has
-    // enough splits and the guard is a no-op
-    graft.operators.Skew.feedCluster(
+    // hash-keyed feedCluster AFTER the pushed-down filter: the
+    // single-file local scan otherwise runs the whole decimal partial
+    // aggregate on one task (measured 0.65 serial CPU-s at sf0.1); the
+    // hash guard (high-cardinality price column) avoids round-robin's
+    // serial sort-before-repartition; at real scale the scan has enough
+    // splits and the guard is a no-op
+    graft.operators.Skew.feedClusterBy(
       Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")))
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")),
+      col("l_extendedprice"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
@@ -143,11 +146,14 @@ object Analytics {
   /** §2.2 #26 — rollup over two grouping columns. */
   def qRollup(s: SparkSession, dir: String): DataFrame = {
     // grouping sets expand the scan rows (#sets)× INSIDE the scan stage:
-    // feedCluster so the single-file local scan doesn't run the whole
-    // expanded partial aggregate serially (no-op at real scan widths)
-    graft.operators.Skew.feedCluster(
+    // hash-keyed feedCluster so the single-file local scan doesn't run
+    // the whole expanded partial aggregate serially (and doesn't pay
+    // round-robin's serial pre-sort); ~300 distinct key combos spread 32
+    // partitions evenly. No-op at real scan widths.
+    graft.operators.Skew.feedClusterBy(
       Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_linestatus"),
-        col("l_quantity")))
+        col("l_quantity")),
+      col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         count(lit(1)).as("n_rows"))
@@ -159,9 +165,10 @@ object Analytics {
     * sets map-side, so it's still a single shuffle. */
   def qCube(s: SparkSession, dir: String): DataFrame = {
     // same Expand-feeds-serial-scan consideration as [[qRollup]]
-    graft.operators.Skew.feedCluster(
+    graft.operators.Skew.feedClusterBy(
       Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_linestatus"),
-        col("l_quantity")))
+        col("l_quantity")),
+      col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         count(lit(1)).as("n_rows"))
@@ -295,20 +302,27 @@ object Analytics {
     * (5·n·qty < sum) so no division touches the predicate — exact decimal
     * arithmetic on both engines, no float boundary. */
   def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
-    // ONE scan, ONE exchange (guide §2.4 "share one exchange"): the
-    // per-part aggregate and the probe side are both keyed on l_partkey,
-    // so hash-repartitioning the projected scan once lets the groupBy
-    // aggregate partition-locally AND the join consume both sides
-    // exchange-free through the reused exchange — the former shape
-    // scanned lineitem twice and exchanged twice (once under the partial
-    // aggregate, once for the join).
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      .repartition(col("l_partkey"))
-    val perPart = li
+    // feedClusterBy(l_partkey) on BOTH branches: the single-file local
+    // scan otherwise runs the per-part decimal partial aggregate AND the
+    // probe-side decimal work serially on one task each (1.33 s ≈ cpu at
+    // sf0.1); the HASH guard avoids round-robin's serial
+    // sort-before-repartition and keys the spread on the column both the
+    // aggregate and the join consume. At real scan widths both guards
+    // are no-ops and the plan is the r20 scale shape: partial-agg
+    // exchange under perPart + the planner's join. (A single shared
+    // unconditional repartition was tried and REVERTED: per-branch
+    // column pruning makes the two subtrees differ — 2-col vs 3-col — so
+    // AQE cannot reuse the exchange and the fact table shuffles
+    // row-level TWICE at any scale, the wrong 100 TB shape.)
+    val perPart = graft.operators.Skew.feedClusterBy(
+      Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity")),
+      col("l_partkey"))
       .groupBy(col("l_partkey").as("pk"))
       .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
-    li
+    graft.operators.Skew.feedClusterBy(
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice")),
+      col("l_partkey"))
       .join(perPart, col("l_partkey") === col("pk"))
       .filter(dec(col("l_quantity")) * 5 * col("n") < col("sum_qty"))
       .agg(sum(dec(col("l_extendedprice"))).cast("double").as("total_price"),

@@ -3,7 +3,8 @@ package graft.tools
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.execution.{FormattedMode, QueryExecution}
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Optimization-round helper (not part of the driver contract): dumps
   * `.explain("formatted")` for named declared queries to files, so plan
@@ -14,7 +15,14 @@ import org.apache.spark.sql.execution.FormattedMode
   * names are given). The session mirrors Bench.mkSession (same shuffle
   * partitions, same determinism-sort flag) so the dumped plan is the plan
   * the bench actually times.
-  */
+  *
+  * The dump is the EXECUTED plan: each query runs through the bench's
+  * noop sink and the write's own QueryExecution is captured via a
+  * [[QueryExecutionListener]] (the ProfileProbe technique) — a bare
+  * `df.queryExecution` never executes, so under AQE it would print the
+  * static `isFinalPlan=false` skeleton, which hides exactly the things
+  * plan claims are about (ReusedExchange, AQEShuffleRead coalescing,
+  * runtime join-strategy changes). */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir  = args(0)
@@ -32,12 +40,27 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
+    val qes = new java.util.concurrent.ConcurrentLinkedQueue[(String, QueryExecution)]
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = qes.add((funcName, qe))
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    })
     SparkEntryAccess.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
         try {
-          val plan = fn(spark, sfDir).queryExecution.explainString(FormattedMode)
+          qes.clear()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          graft.Bench.drainListeners(spark.sparkContext)
+          // the window's last write QE is ours (sequential execution);
+          // iterative operators run auxiliary actions first
+          val plan = qes.toArray(Array.empty[(String, QueryExecution)])
+            .filter(q => Set("save", "overwrite", "append").contains(q._1))
+            .lastOption.map(_._2.explainString(FormattedMode))
+            .getOrElse(fn(spark, sfDir).queryExecution.explainString(FormattedMode))
           Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
           println(s"[plandump] wrote $name")
         } catch { case e: Throwable =>
