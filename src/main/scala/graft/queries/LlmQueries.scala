@@ -598,8 +598,14 @@ object LlmQueries {
     * explode + two-level aggregation keyed by doc_id, so the shuffle is
     * (doc_id, bigram)-partitioned and skew-free at corpus scale. */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // hash-keyed scan-starvation guard (no-op at real scan widths): the
+    // single-file local scan otherwise runs the split/explode/partial-agg
+    // of BOTH branches serially; both branches project the same
+    // (doc_id, w), so the guard's one exchange feeds them both
+    val words = graft.operators.Skew.feedClusterBy(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w")),
+      col("doc_id"))
     val base = words.select(col("doc_id"),
       size(col("w")).cast("long").as("n_words"),
       size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
