@@ -289,16 +289,16 @@ object BenchProbe {
         timed("edges (distinct+sym union)")(noop(edges))
         timed("full q_pagerank")(
           noop(SparkEntry.queries("q_pagerank")(spark, sfDir)))
-        timed("setup: e cache + nodes + edeg") {
-          val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-            .repartition(col("src")).dropDuplicates("src", "dst").persist(disk)
-          val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-          val nodes = e.select(col("src").as("node")).dropDuplicates("node")
+        timed("setup: edeg window cache + nodes") {
+          val edeg = edges.select(col("src").cast("long"), col("dst").cast("long"))
+            .repartition(col("src")).dropDuplicates("src", "dst")
+            .withColumn("__deg", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+            .persist(disk)
+          val nodes = edeg.select(col("src").as("node")).dropDuplicates("node")
             .persist(disk)
           val n = nodes.count()
-          val edeg = e.join(deg, "src").persist(disk)
-          val ne = edeg.count()
-          println(s"[probe]   n_nodes=$n n_edges=$ne")
+          println(s"[probe]   n_nodes=$n")
           var ranks = nodes.withColumn("rank", round(lit(1.0) / n, 12))
             .localCheckpoint(true)
           timed("one iteration (join+agg+rebuild+ckpt)") {
@@ -314,7 +314,7 @@ object BenchProbe {
                 12).as("rank"))
               .localCheckpoint(true)
           }
-          edeg.unpersist(false); nodes.unpersist(false); e.unpersist(false)
+          edeg.unpersist(false); nodes.unpersist(false)
         }
 
       case "profilex" => // q_profile Expand vs split-arm alternative (r21)

@@ -135,8 +135,16 @@ object Graph {
     val factor = math.pow(10, scale)
     var i = 0
     while (i < iters) {
+      // SHUFFLE_HASH on the rank side: it is the provably smaller side
+      // (one row per node, nodes ⊆ edge endpoints), and the default
+      // sort-merge strategy re-SORTED the corpus-sized cached edge list
+      // every iteration (the cache preserves hash(src) partitioning, not
+      // sort order; the checkpointed rank side reports unknown size, so
+      // the planner can't pick this itself). Build side = rank rows per
+      // partition — node-partition-sized, the same memory class as the
+      // iteration's own aggregation state.
       val contrib = edeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("node"),
           // rank is scale-rounded, so round(rank·10^scale) is its exact
           // long image in BOTH engines (an integral double casts exactly;
