@@ -365,7 +365,14 @@ object Dedup {
       var prevSig = labelSig(labels)
       var iter = 0
       while (iter < maxIters) {
-        val neighbor = edges.join(labels, edges("dst") === labels("id"))
+        // SHUFFLE_HASH on the label side (one row per node, nodes ⊆ edge
+        // endpoints): sort-merge would re-sort the corpus-sized cached
+        // edge list every round — the cache preserves hash(dst)
+        // partitioning, not sort order, and the checkpointed label side
+        // reports unknown size so the planner can't pick the hash build
+        // itself (same finding as Graph.pageRank's iteration join).
+        val neighbor = edges.join(labels.hint("shuffle_hash"),
+            edges("dst") === labels("id"))
           .select(edges("src").as("id"), col("label"))
         val next = neighbor.union(labels)
           .groupBy(col("id")).agg(min(col("label")).as("label"))
