@@ -365,14 +365,16 @@ object Dedup {
       var prevSig = labelSig(labels)
       var iter = 0
       while (iter < maxIters) {
-        // SHUFFLE_HASH on the label side (one row per node, nodes ⊆ edge
-        // endpoints): sort-merge would re-sort the corpus-sized cached
-        // edge list every round — the cache preserves hash(dst)
-        // partitioning, not sort order, and the checkpointed label side
-        // reports unknown size so the planner can't pick the hash build
-        // itself (same finding as Graph.pageRank's iteration join).
-        val neighbor = edges.join(labels.hint("shuffle_hash"),
-            edges("dst") === labels("id"))
+        // NO join-strategy hint here, measured (unlike Graph.pageRank's
+        // iteration join): a shuffle_hash hint on the label side blocked
+        // AQE's runtime SMJ→broadcast conversion of exactly that side —
+        // near-dup cluster graphs are SPARSE (labels ≈ a few hundred rows
+        // per planted chain at the gates, duplicate-cluster-sized in
+        // production), so the broadcast is usually right and the forced
+        // hash build measured +50% task-CPU at sf0.1. PageRank's case
+        // differs in kind: its rank side is the FULL node set and its
+        // edge side big enough that the per-iteration sort is real work.
+        val neighbor = edges.join(labels, edges("dst") === labels("id"))
           .select(edges("src").as("id"), col("label"))
         val next = neighbor.union(labels)
           .groupBy(col("id")).agg(min(col("label")).as("label"))
