@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO wraps every stream it probes in a DISK-backed cache by default
+  // (`getUseCache` = true): one temp-file create+delete PER RECORD on the
+  // decode path, even for payloads no reader claims. Over an in-memory
+  // binary column that file is pure filesystem tax — measured as
+  // multimodal_meta's 8.6→91 task-CPU-s swing across bench windows at
+  // bit-identical shuffle bytes (the temp-file path is I/O-weather-
+  // sensitive; decode output is identical either way). Memory-cached
+  // streams decode the same bytes to the same rasters; payloads here are
+  // KB-sized, so the memory cache is strictly cheaper. JVM-global, set
+  // once when the object loads on each executor.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media row: opaque payload + source metadata. */
   final case class MediaRecord(id: Long, media: Array[Byte], format: String)
 
