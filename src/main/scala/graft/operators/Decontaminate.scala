@@ -15,8 +15,8 @@ import graft.functions.TextAnalysis
   * the standard guard against test-set leakage into training data.
   *
   * Scale shape (100 TB corpus, eval set of any size). The eval side is
-  * measured (its distinct n-gram set is materialized, persisted and
-  * counted in one pass — the same cached set every downstream join then
+  * measured (its distinct n-gram set is materialized, checkpointed and
+  * counted in one pass — the same stored set every downstream join then
   * probes) and the regime follows:
   *
   *   - **broadcast regime** (benchmark-sized evals, the common case): the
@@ -63,19 +63,25 @@ object Decontaminate {
       n: Int = 5, threshold: Double = 0.5,
       maxBroadcastTokens: Long = MaxBroadcastTokens): DataFrame = {
     // ONE materialized pass over the eval side, deliberately eager: the
-    // distinct n-gram set is persisted and counted here. The exact count
-    // IS the regime signal (better than a chars-per-token estimate), and
-    // the persist pins the set so a non-deterministic or expensive eval
-    // lineage cannot pick the regime on different data than the joins
-    // probe — the broadcast build, the Bloom build, and the exact-verify
-    // join all read this one cached copy instead of re-running the eval
-    // lineage (it was evaluated up to 3x before). The cache entry is
-    // eval-sized and LRU-evicted; callers looping over many eval sets can
-    // unpersist via eval.sparkSession.catalog.clearCache() between runs.
+    // distinct n-gram set is checkpointed and counted here. The exact
+    // count IS the regime signal (better than a chars-per-token
+    // estimate), and the materialization pins the set so a
+    // non-deterministic or expensive eval lineage cannot pick the regime
+    // on different data than the joins probe — the broadcast build, the
+    // Bloom build, and the exact-verify join all read this one stored
+    // copy instead of re-running the eval lineage (it was evaluated up
+    // to 3x before). localCheckpoint, NOT persist (r21): a persisted
+    // plan registers with the CacheManager, which matches by
+    // CANONICALIZED PLAN session-wide — the retained entry kept serving
+    // the eval set of every LATER execution of the same query (bench
+    // reps 2..N read rep 1's cache; the old comment's "LRU-evicted"
+    // lifecycle is exactly the cross-run reuse the bench must not
+    // measure). The checkpoint is RDD-keyed: shared within THIS
+    // invocation only, storage released on GC.
     val evalNgrams = eval
       .select(explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__ngram"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val nEvalNgrams = evalNgrams.count()
 
     val counted =
@@ -128,10 +134,13 @@ object Decontaminate {
     * in train, `burned` = hit_ratio ≥ threshold. */
   def reportPerEval(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    // lazy localCheckpoint, not persist — same CacheManager-reuse
+    // reasoning as [[overlap]]: shared by the broadcast set and the
+    // join-back within this invocation, invisible to later executions
     val evalGrams = eval
       .select(col(idCol), explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__ngram"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val evalSet = evalGrams.select(col("__ngram")).distinct()
     val hitGrams = train
       .select(explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__ngram"))

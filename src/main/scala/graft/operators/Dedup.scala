@@ -132,12 +132,10 @@ object Dedup {
     minhashPairsImpl(docs, idCol, textCol, shingleK, numHashes, bands,
       threshold)._1
 
-  /** [[minhashPairs]] plus a handle on its persisted collapse frame, so
-    * eager callers (the bench-ladder receipt counts the result twice per
-    * side) can unpersist it once they have materialized — a query result
-    * handed back lazily keeps the persist alive for the consumer, but a
-    * counted-and-discarded one would otherwise leak a corpus-derived
-    * cache into the session for its remaining lifetime. */
+  /** [[minhashPairs]] plus a handle on its checkpointed collapse frame
+    * (kept for spec access to the collapse groups). The checkpoint is
+    * RDD-keyed, not CacheManager-registered, so it needs no explicit
+    * release — its storage dies with the frame on GC. */
   private def minhashPairsImpl(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int, bands: Int,
       threshold: Double): (DataFrame, DataFrame) = {
@@ -149,6 +147,16 @@ object Dedup {
     // docs are recovered by the [[subkExactPairs]] companion below.
     val base = docs.select(col(idCol), col(textCol))
       .filter(graft.functions.Sketches.hasShingles(col(textCol), shingleK))
+    // Lazy localCheckpoint, NOT persist (r21): the collapse frame feeds
+    // three consumers (band join, cross-expansion, within-expansion), so
+    // one materialization is load-bearing — but a persisted plan
+    // registers with the CacheManager, which matches by CANONICALIZED
+    // PLAN session-wide, so the lazily-returned result kept serving the
+    // collapse of every LATER execution of the same query (bench reps
+    // 2..N read the first rep's cache: measured shuffle-read spread
+    // [66 KB vs 2.03 MB] across reps — warm-cache headlines, not
+    // recomputation). A checkpoint is keyed to its RDD: shared within
+    // THIS invocation, invisible to every other plan, released on GC.
     val grouped = base
       .select(col(idCol), md5(col(textCol)).as("__th"),
         graft.functions.Sketches.minhashSig(col(textCol), shingleK, numHashes).as("sig"))
@@ -156,7 +164,7 @@ object Dedup {
       .agg(min(col(idCol)).as("__rep"),
         collect_list(col(idCol)).as("__members"),
         first(col("sig")).as("sig")) // all sigs in a group are identical
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val repSigs = grouped.select(col("__rep").as(idCol), col("sig"))
     val cands = minhashCandidates(repSigs, idCol, bands, numHashes / bands)
     val verified = jaccardVerify(cands, base, idCol, textCol, shingleK)
@@ -216,9 +224,9 @@ object Dedup {
     val (pairsDf, grouped) =
       minhashPairsImpl(docs, idCol, textCol, shingleK, numHashes, bands, threshold)
     val pairs = pairsDf.count()
-    // the counts are materialized; drop the collapse cache so repeated
-    // receipts (two per ladder point) don't accumulate in the session
-    grouped.unpersist()
+    // the counts are materialized; the checkpointed collapse frame has no
+    // CacheManager entry to drop (it is RDD-keyed) and its storage is
+    // released when this frame goes out of scope — nothing to unpersist
     (candidates, pairs)
   }
 

@@ -1079,7 +1079,13 @@ object LlmQueries {
           nullif(TextAnalysis.statsField(col("__st"), "n_chars"), lit(0))).as("x_punct"),
         (TextAnalysis.statsField(col("__st"), "n_upper").cast("double") /
           nullif(TextAnalysis.statsField(col("__st"), "n_chars"), lit(0))).as("x_upper"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy localCheckpoint, not persist (r21): the feature frame feeds
+      // 3 eager GD iterations AND the lazily-returned scoring, so its
+      // storage must outlive this function — a persist would register
+      // with the CacheManager and serve plan-equal feature subtrees of
+      // later bench reps (cross-run reuse); the checkpoint is RDD-keyed
+      // and GC-released
+      .localCheckpoint(false)
     val w = graft.operators.QualityClassifier.train(
       feats, "y", Seq("x_stop", "x_punct", "x_upper"), lr = 0.5, iters = 3)
     orderedSmall(
