@@ -27,9 +27,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: ranks are one row per node; each iteration is one join
   * (ranks ⋈ edges on src — both sides hash-partitioned on the join key,
   * reusable across iterations) plus one aggregation on dst with
-  * map-side partials. Nothing edge-squared; lineage is cut per
-  * iteration with a localCheckpoint so iteration k does not replay
-  * 1..k-1.
+  * map-side partials. Nothing edge-squared; lineage is cut every
+  * [[CkptEvery]] iterations (and once at the end, so the returned frame
+  * survives the cache release) rather than every iteration — each
+  * iteration's rank vector is consumed exactly once by the next, so an
+  * unbroken chain evaluates once in one job with no replay, and the
+  * per-iteration eager checkpoint bought only a driver-blocking job plus
+  * a partitioning-erasing plan cut per iteration (r22 finding below).
   */
 object Graph {
 
@@ -136,13 +140,17 @@ object Graph {
     var i = 0
     while (i < iters) {
       // SHUFFLE_HASH on the rank side: it is the provably smaller side
-      // (one row per node, nodes ⊆ edge endpoints), and the default
-      // sort-merge strategy re-SORTED the corpus-sized cached edge list
-      // every iteration (the cache preserves hash(src) partitioning, not
-      // sort order; the checkpointed rank side reports unknown size, so
-      // the planner can't pick this itself). Build side = rank rows per
-      // partition — node-partition-sized, the same memory class as the
-      // iteration's own aggregation state.
+      // (one row per node, nodes ⊆ edge endpoints), and a sort-merge
+      // strategy would re-SORT the corpus-sized cached edge list every
+      // iteration (the cache preserves hash(src) partitioning, not sort
+      // order). Build side = rank rows per partition — node-partition-
+      // sized, the same memory class as the iteration's own aggregation
+      // state. In the UNBROKEN chain (no per-iteration checkpoint, r22)
+      // the rank side arrives already hash(node)-partitioned from the
+      // previous iteration's rebuild join, `node` aliases to `src`, and
+      // the join consumes BOTH partitionings: zero exchanges of its own —
+      // the hint then only pins the strategy against a local-only
+      // broadcast conversion the 100 TB rank vector couldn't take.
       val contrib = edeg
         .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("node"),
@@ -151,18 +159,50 @@ object Graph {
           // a bare cast would truncate in Spark but round in DuckDB);
           // `div` is integral division — pure long math per edge
           expr(s"cast(round(rank * ${factor}d) as long) div __deg").as("__c"))
+      // SHUFFLE_HASH on the aggregate side of the rebuild join too (r22):
+      // its groupBy exchange lands hash(node)-partitioned — the exact
+      // partitioning the nodes cache already has — so the hinted join
+      // needs NO exchange and NO broadcast build. AQE's local choice was
+      // a per-iteration BroadcastExchange of the full contribution
+      // aggregate (a driver collect + build + an extra stage per
+      // iteration, measured below), which at 100 TB is a node-set-sized
+      // relation no broadcast could hold anyway.
       ranks = nodes
-        .join(contrib.groupBy(col("node")).agg(sum(col("__c")).as("__s")),
+        .join(contrib.groupBy(col("node")).agg(sum(col("__c")).as("__s"))
+          .hint("shuffle_hash"),
           Seq("node"), "left")
         .select(col("node"), round(
           lit(teleport / n) +
             lit(damping) * (coalesce(col("__s"), lit(0L)).cast("double") /
               lit(factor)),
           scale).as("rank"))
-        .localCheckpoint(true)
       i += 1
+      // Cut lineage every CkptEvery iterations, NOT every iteration (r22,
+      // guide §1.2 step 1): each rank vector is consumed exactly once by
+      // the next iteration, so the unbroken chain evaluates ONCE in ONE
+      // job — the per-iteration eager checkpoint added a driver-blocking
+      // job per iteration AND erased the rank side's partitioning (a
+      // LogicalRDD reports UnknownPartitioning), forcing a rank-vector
+      // re-exchange per iteration that the fused chain proves unnecessary
+      // (measured at sf0.1: stages/exec 24 → 10, task-CPU 59–75 → ~25).
+      // The periodic cut (LAZY — it materializes inside the next
+      // consuming job) only bounds plan/lineage growth on long loops; it
+      // costs one rank-sized re-exchange per CkptEvery iterations.
+      if (i < iters && i % CkptEvery == 0) ranks = ranks.localCheckpoint(false)
     }
+    // ONE eager checkpoint at the end: the returned frame must not depend
+    // on the caches released below (an unpersisted reference would
+    // re-evaluate the edge scan once per iteration when the caller runs
+    // its action).
+    ranks = ranks.localCheckpoint(true)
     edeg.unpersist(false); nodes.unpersist(false)
     ranks
   }
+
+  /** Iterations between intra-loop lineage cuts. 8 keeps the fused plan
+    * at most ~8 join+agg+join blocks deep (Catalyst planning stays
+    * trivially cheap at that depth) while amortizing the checkpoint's
+    * partitioning erasure — one rank-vector re-exchange per 8 iterations
+    * instead of one per iteration. */
+  private val CkptEvery = 8
 }

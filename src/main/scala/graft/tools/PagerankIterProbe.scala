@@ -19,6 +19,7 @@ object PagerankIterProbe {
   private final class L extends SparkListener {
     val cpuNs = new AtomicLong; val rdB = new AtomicLong
     val tasks = new AtomicLong
+    val stages = new AtomicLong; val jobs = new AtomicLong
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
@@ -27,6 +28,12 @@ object PagerankIterProbe {
         tasks.incrementAndGet()
       }
     }
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      stages.incrementAndGet()
+    override def onJobEnd(
+        e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      jobs.incrementAndGet()
   }
 
   def main(args: Array[String]): Unit = {
@@ -46,16 +53,24 @@ object PagerankIterProbe {
     def timed(name: String)(f: => Unit): Unit = (1 to 3).foreach { round =>
       Thread.sleep(300)
       val (c0, r0, t0n) = (l.cpuNs.get, l.rdB.get, l.tasks.get)
+      val (s0, j0) = (l.stages.get, l.jobs.get)
       val t0 = System.nanoTime()
       f
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
       val (c1, r1, t1n) = (l.cpuNs.get, l.rdB.get, l.tasks.get)
       println(f"[probe] $name (r$round): $wall%.2f s wall, ${(c1 - c0) / 1e9}%.2f cpu-s, " +
-        f"shufrd ${(r1 - r0) / 1e6}%.1f MB, tasks ${t1n - t0n}")
+        f"shufrd ${(r1 - r0) / 1e6}%.1f MB, tasks ${t1n - t0n}, " +
+        f"stages ${l.stages.get - s0}, jobs ${l.jobs.get - j0}")
     }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+
+    // Full-query phase first (fresh-context numbers, the stage-count
+    // receipt for the r22 fused-iteration-chain change): the declared
+    // q_pagerank end to end, stages/jobs per execution.
+    timed("F: full q_pagerank query")(
+      noop(graft.queries.Analytics.qPagerank(spark, sfDir)))
 
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = graft.queries.Analytics.pagerankEdges(spark, sfDir)

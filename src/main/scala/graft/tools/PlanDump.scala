@@ -57,11 +57,23 @@ object PlanDump {
           graft.Bench.drainListeners(spark.sparkContext)
           // the window's last write QE is ours (sequential execution);
           // iterative operators run auxiliary actions first
-          val plan = qes.toArray(Array.empty[(String, QueryExecution)])
+          val all = qes.toArray(Array.empty[(String, QueryExecution)])
+          val plan = all
             .filter(q => Set("save", "overwrite", "append").contains(q._1))
             .lastOption.map(_._2.explainString(FormattedMode))
             .getOrElse(fn(spark, sfDir).queryExecution.explainString(FormattedMode))
           Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+          // Iterative operators cut lineage with Dataset.localCheckpoint,
+          // so the final write QE is only the post-checkpoint TAIL (the
+          // r21 verdict's q_pagerank plan-dump gap): also dump the LAST
+          // checkpoint materialization's QE — under the r22 fused-chain
+          // policy that is the whole iteration loop in one plan.
+          all.filter(q => Set("checkpoint", "localCheckpoint").contains(q._1))
+            .lastOption.foreach { case (_, qe) =>
+              Files.writeString(Paths.get(s"$outDir/${name}_loop_$suffix.txt"),
+                qe.explainString(FormattedMode))
+              println(s"[plandump] wrote ${name}_loop")
+            }
           println(s"[plandump] wrote $name")
         } catch { case e: Throwable =>
           System.err.println(s"[plandump] $name failed: ${e.getMessage}")
