@@ -385,7 +385,23 @@ object Bench {
       val lad2 = ladder2Ratios.map { case (n, r) => s"\"$n\":$r" }.mkString("{", ",", "}")
       val sk2 = ladder2Skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val receipt2 = if (minhashReceipt2.isEmpty) "" else s""","minhash_receipt2":$minhashReceipt2"""
-      val compact = s"""{"metric":"graft_bench_compact","value":$total,"unit":"sec","runs":$passesDone,"partial_passes":$partialPasses,"host_factor":${r4(hostFactor)},"sf":"$sfDir","ladder_factor":$scaleN,"ladder_status":"$ladderStatus","ladder_ratio_vs_sf":$lad,"ladder_skipped":$sk$receipt,"ladder2_factor":$scale2N,"ladder2_status":"$ladder2Status","ladder2_ratio_vs_sf":$lad2,"ladder2_skipped":$sk2$receipt2,"errors":$errs}"""
+      // Per-query walls (and, space permitting, task-CPU medians) ride the
+      // compact line so the driver's round-over-round per_query comparison
+      // has data (PERF_r20/r21 had per_query:{} — the full record's maps
+      // never survive the 2,000-char stdout-tail capture). ADDITIONS ONLY:
+      // every pre-existing compact field is byte-identical; the tail packs
+      // most-expensive-first into whatever the hard line budget leaves, so
+      // the headline families always make the cut and the sub-floor tail
+      // is counted in queries_omitted instead of silently dropped.
+      val perQ = selected.flatMap { case (name, _) =>
+        samples.get(name).map { v =>
+          val att = SampleStats.attributable(v.toSeq)
+          (name, SampleStats.headlineSec(v.toSeq), median(att.map(_._2)))
+        }
+      }
+      val compactBase = s"""{"metric":"graft_bench_compact","value":$total,"unit":"sec","runs":$passesDone,"partial_passes":$partialPasses,"host_factor":${r4(hostFactor)},"sf":"$sfDir","ladder_factor":$scaleN,"ladder_status":"$ladderStatus","ladder_ratio_vs_sf":$lad,"ladder_skipped":$sk$receipt,"ladder2_factor":$scale2N,"ladder2_status":"$ladder2Status","ladder2_ratio_vs_sf":$lad2,"ladder2_skipped":$sk2$receipt2,"errors":$errs"""
+      val compact =
+        compactBase + CompactTail.render(perQ, CompactTail.MaxLine - compactBase.length - 1) + "}"
       println(compact)
       Console.out.flush()
       // BARE machine-readable artifacts: the driver's stdout capture keeps
@@ -846,6 +862,66 @@ private[graft] object SampleStats {
       val best = ok.minBy(_._1)
       Some((best._1, best._2, best._3, best._4, ok.map(_._1)))
     }
+  }
+}
+
+/** Per-query tail of the compact bench line (r22): the driver's stdout
+  * capture keeps only the LAST ~2,000 chars and parses the LAST line as
+  * JSON, so the full record's 127-entry metric maps can never reach it —
+  * two rounds of `PERF per_query: {}` — while the compact line had ~900
+  * spare chars. This packs `"queries":{name:wallSec}` entries
+  * MOST-EXPENSIVE-FIRST (the headline families are where a regression
+  * matters; the omitted tail sits at the ~0.1–0.35 s suite floor) into a
+  * hard per-LINE budget, counts what didn't fit in `queries_omitted`,
+  * and spends any remainder on `task_cpu_sec` medians (the noise-immune
+  * plan signal) the same way. Pure so the budget discipline is
+  * spec-pinned (CompactTailSpec) — an oversized final line would
+  * truncate at the FRONT of the capture window and cost the round its
+  * entire bench parse, totals included. */
+private[graft] object CompactTail {
+  /** Hard budget for the whole compact line (chars, excluding the
+    * newline): the capture window is ~2,000 chars and the line must fit
+    * INSIDE it in full, so 1,900 leaves slack for the trailing newline
+    * and any off-by-a-few in the window itself. */
+  val MaxLine = 1900
+
+  private def f2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  /** Greedy-pack `"name":value` pairs (in the caller's order) into a JSON
+    * object of at most `budget` chars including braces; a pair that does
+    * not fit is skipped (a shorter later name may still fit — the result
+    * stays deterministic). Returns (json, omittedCount). */
+  private def pack(entries: Seq[(String, String)], budget: Int): (String, Int) = {
+    val sb = new StringBuilder("{")
+    var omitted = 0
+    entries.foreach { case (n, v) =>
+      val e = (if (sb.length > 1) "," else "") + "\"" + n + "\":" + v
+      if (sb.length + e.length + 1 <= budget) sb.append(e) else omitted += 1
+    }
+    (sb.append("}").toString, omitted)
+  }
+
+  /** Render the tail (`,"queries":{...},"queries_omitted":N[,...]`) for
+    * `perQ = (name, headlineWallSec, medianCpuSec)` within `budget`
+    * chars; empty string when nothing fits. All-failed queries
+    * (headline −1) are excluded — they are already loud in `errors`. */
+  def render(perQ: Seq[(String, Double, Double)], budget: Int): String = {
+    val ok = perQ.filter(_._2 >= 0)
+    val wallsFixed = ""","queries":,"queries_omitted":""".length + 4
+    if (ok.isEmpty || budget < wallsFixed + 20) return ""
+    val wallEntries = ok.sortBy { case (n, w, _) => (-w, n) }
+      .map { case (n, w, _) => n -> f2(w) }
+    val (wj, wOmit) = pack(wallEntries, budget - wallsFixed)
+    val wallsPart = s""","queries":$wj,"queries_omitted":$wOmit"""
+    val cpuFixed = ""","task_cpu_sec":,"cpu_omitted":""".length + 4
+    val rem = budget - wallsPart.length - cpuFixed
+    if (rem < 20) return wallsPart
+    val cpuEntries = ok.sortBy { case (n, _, c) => (-c, n) }
+      .map { case (n, _, c) => n -> f2(c) }
+    val (cj, cOmit) = pack(cpuEntries, rem)
+    if (cj == "{}") wallsPart
+    else wallsPart + s""","task_cpu_sec":$cj,"cpu_omitted":$cOmit"""
   }
 }
 
