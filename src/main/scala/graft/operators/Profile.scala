@@ -56,8 +56,12 @@ object Profile {
     // partition count can't feed the cluster (single-file single-row-group
     // parquet — the local testdata shape) executes the whole base
     // aggregate serially. Redistributing once costs nothing the scan
-    // didn't already read — the profiler touches every column.
-    val src = Skew.feedCluster(df)
+    // didn't already read — the profiler touches every column. The
+    // EXPLICIT projection ahead of the guard is guide-§2.3 insurance: the
+    // exchange (when it fires) carries exactly the profiled columns, never
+    // the table's full width, and every consumer below (base aggregate and
+    // exact arms alike) shares the one projected subtree.
+    val src = Skew.feedCluster(df.select(cols.map(col): _*))
     val base = src.agg(aggCols.head, aggCols.tail: _*)
     // Exact distinct counts run as ONE TINY TWO-STAGE AGGREGATE PER
     // COLUMN (partition-local dedup on the value, exchange of distinct
@@ -78,6 +82,17 @@ object Profile {
     // re-evaluated per arm (identical exchanges dedup via ReusedExchange;
     // pre-exchange stages don't): persist an expensive lineage first, or
     // profile it with `exact = false`.
+    //
+    // The arms deliberately read `df`, NOT the guarded `src` (r22,
+    // measured): routing them through the guard's round-robin exchange
+    // was a 10x CPU pessimization (same-window 7-rep A/B: q_profile
+    // task-CPU 2.0 → 24.7 s, shuffle read 12.7 → 20.6 MB) — column
+    // pruning splits the guard into one keyless exchange PER ARM, each
+    // paying the serial SPARK-23207 pre-sort and shuffling 600k RAW
+    // values where the serial partial dedup collapses them first
+    // (l_returnflag: 600k → 3 rows before any exchange). The per-arm
+    // serial dedups are independent LEAF stages of one job and run
+    // concurrently, so the cluster is fed without any arm exchange.
     val withNd =
       if (!exact) base
       else cols.foldLeft(base) { (acc, c) =>
